@@ -1,0 +1,48 @@
+"""Pipeline configuration.
+
+Replaces the reference's YAML + env config sprawl (``embedConfig.yaml``,
+``neo4jConfig`` — reference ``ingestMD.py:16-35``, ``graphutil.py:22-50``)
+with one dataclass.  Defaults mirror the reference's code defaults:
+chunk size 1500 tokens (``ingestMD.py:33``), overlap 0 (``ingestMD.py:34``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    # --- chunking (reference ingestMD.py:33-34) ---
+    chunk_size: int = 1500
+    chunk_overlap: int = 0
+
+    # --- embedding ---
+    # The reference asserts dim 3072 (main.py:180-181).  The deterministic
+    # hash embedder used in tests/bench defaults much smaller so embedding
+    # payloads do not dominate object-store traffic at test scale; the
+    # backend protocol supports any dim.
+    embed_dim: int = 64
+
+    # --- stage sizing (tune per cluster; these are per-stage knobs, the
+    # streaming executor handles global backpressure) ---
+    extract_batch_size: int = 256        # chunks per extractor batch
+    extract_concurrency: int | tuple = 4  # actor pool size for TripleExtractor
+    embed_batch_size: int = 4096         # distinct text keys per embed batch
+    embed_concurrency: int | tuple = 2   # actor pool size for Embedder
+    map_batch_size: int = 4096           # stateless map_batches rows per batch
+
+    # --- shuffles / joins ---
+    join_partitions: int = 8             # hash partitions for Dataset.join
+    shuffle_partitions: int = 8          # groupby output parallelism hint
+
+    # --- snapshot layout ---
+    entity_buckets: int = 16             # entity-id range partitions of nodes/edges
+    input_shards: int = 4                # url-hash shards for resumable extraction
+
+    # --- misc ---
+    src_text_max_chars: int = 1000       # normal-triple provenance truncation
+    #                                      (reference ingestMD.py:494)
+    seed: int = 42
+
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,140 @@
+"""The flagship pipeline: pages -> KG tables.
+
+Distributed re-expression of the reference's per-file ingestion loop
+(``ingestMD.py:730-797``):
+
+    read_parquet(pages)
+      -> map_batches(html->text, doc_id)            [stateless]
+      -> groupby(doc_id) first                      [doc dedup, A6]
+      -> map_batches(chunker)                       [stateless flat-map]
+      -> groupby(chunk_id) distinct                 [A1: extract once per chunk]
+      -> map_batches(TripleExtractor, actor pool)   [ST2]
+      -> map_batches(normalize routing)             [M7]
+      -> join back to (doc, chunk) membership       [J1]
+      -> entity shuffle (A3/A4) / edge shuffle (A5) / mentions (A7)
+      -> distinct-key embedding (A2) joined onto nodes & edges (J2)
+
+Every exchange moves light rows: raw HTML is dropped in stage 1,
+embeddings are computed once per distinct key and joined on at the end,
+and both wide groupbys are fed by in-batch partial aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min
+
+from neo4j_document_pipeline_ray.config import PipelineConfig
+from neo4j_document_pipeline_ray.stages.chunker import chunk_docs
+from neo4j_document_pipeline_ray.stages.edge_agg import build_edges
+from neo4j_document_pipeline_ray.stages.embed import EmbedderBackend, build_embeddings
+from neo4j_document_pipeline_ray.stages.entity_link import build_mentions, build_nodes
+from neo4j_document_pipeline_ray.stages.extract_text import extract_docs, title_from_url
+from neo4j_document_pipeline_ray.stages.normalize import normalize_triples
+from neo4j_document_pipeline_ray.stages.triple_extract import (
+    TripleExtractorBackend,
+    extract_triples,
+)
+
+
+def _retitle_batch(batch: pa.Table) -> pa.Table:
+    urls = batch["url"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "url": batch["url"],
+            "title": pa.array([title_from_url(u) for u in urls], pa.string()),
+            "text": batch["text"],
+        }
+    )
+
+
+def dedupe_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """One row per doc_id; representative url = min(url) (the reference
+    MERGEs Documents on doc_id and keeps first-seen title/path via
+    coalesce, ``ingestMD.py:344-350`` — made deterministic here)."""
+    agg = docs.groupby("doc_id").aggregate(
+        Min("url", alias_name="url"),
+        Min("text", alias_name="text"),
+    )
+    return agg.map_batches(_retitle_batch, batch_format="pyarrow")
+
+
+def build_kg(
+    pages: "ray.data.Dataset",
+    cfg: Optional[PipelineConfig] = None,
+    extract_backend: Optional[TripleExtractorBackend] = None,
+    embed_backend: Optional[EmbedderBackend] = None,
+    with_embeddings: bool = True,
+    materialize_intermediates: bool = True,
+) -> Dict[str, "ray.data.Dataset"]:
+    """Run the full construction pipeline; returns the logical KG tables.
+
+    ``materialize_intermediates`` pins the (small, post-extraction)
+    triple tables in the object store so the fan-out into
+    nodes/edges/mentions/embeddings does not re-run extraction per
+    consumer.  The durable variant of the same idea — parquet stage
+    checkpoints with manifests — lives in ``pipelines/snapshot.py``.
+    """
+    cfg = cfg or PipelineConfig()
+
+    docs = dedupe_docs(extract_docs(pages, cfg))
+    chunks = chunk_docs(docs, cfg)
+    if materialize_intermediates:
+        chunks = chunks.materialize()
+
+    membership = chunks.select_columns(["doc_id", "chunk_idx", "chunk_id"])
+    uniq_chunks = chunks.groupby("chunk_id").aggregate(Min("text", alias_name="text"))
+
+    raw = extract_triples(uniq_chunks, cfg, backend=extract_backend)
+    norm = normalize_triples(raw, cfg)  # chunk-level
+    if materialize_intermediates:
+        norm = norm.materialize()
+
+    triples = norm.join(
+        membership,
+        join_type="inner",
+        num_partitions=cfg.join_partitions,
+        on=("chunk_id",),
+    )
+    if materialize_intermediates:
+        triples = triples.materialize()
+
+    nodes = build_nodes(norm, cfg)
+    mentions = build_mentions(triples, cfg)
+    edges = build_edges(triples, cfg)
+
+    embeddings = None
+    if with_embeddings:
+        embeddings = build_embeddings(norm, cfg, backend=embed_backend)
+        if materialize_intermediates:
+            embeddings = embeddings.materialize()
+        nodes = nodes.join(
+            embeddings,
+            join_type="inner",
+            num_partitions=cfg.join_partitions,
+            on=("node_key",),
+            right_on=("text_key",),
+        )
+        edges = edges.join(
+            embeddings,
+            join_type="inner",
+            num_partitions=cfg.join_partitions,
+            on=("rel_key",),
+            right_on=("text_key",),
+        )
+
+    out: Dict[str, "ray.data.Dataset"] = {
+        "docs": docs,
+        "triples": triples,
+        "nodes": nodes,
+        "edges": edges,
+        "mentions": mentions,
+    }
+    if embeddings is not None:
+        out["embeddings"] = embeddings
+    return out

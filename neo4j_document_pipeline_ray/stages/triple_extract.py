@@ -1,0 +1,141 @@
+"""Stage 3: distinct chunks -> raw triples (the stateful extraction stage).
+
+Reference behavior being reproduced (``ingestMD.py:744-776``):
+
+* each *distinct* chunk is extracted once — the reference gets this
+  from a per-run ``in_memory_chunk_cache`` dict keyed by ``chunk_id``
+  (``tasks.py:19-20``); here it is cluster-global: callers dedupe chunks
+  on ``chunk_id`` *before* this stage and join results back to every
+  (doc, chunk) pair afterwards;
+* the primary extractor (an LLM in the reference, a deterministic rule
+  extractor here) runs first; only when it returns zero triples for a
+  chunk does the markdown-table fallback run — a per-chunk conditional
+  kept row-level inside the stage;
+* output rows carry the raw extraction contract
+  ``{subject, predicate, object, subject_type, object_type}`` with
+  ``object`` JSON-serialized when it is a dict (timeline/distribution
+  shapes survive Arrow transport as strings + an ``object_is_json``
+  flag).
+
+The stage is an actor pool (``map_batches`` with a callable class):
+``__init__`` loads the backend once per actor — the analog of the
+reference's module-global Azure client (``ingestMD.py:21-26``) — and a
+real NER/RE model would be loaded there.  ``concurrency`` and
+``batch_size`` come from config so the pool can be sized to the node.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Protocol
+
+import pyarrow as pa
+
+import ray.data
+
+from neo4j_document_pipeline_ray.config import PipelineConfig
+from neo4j_document_pipeline_ray.functions.rules import extract_rule_triples
+from neo4j_document_pipeline_ray.functions.tables import extract_table_triples
+from neo4j_document_pipeline_ray.functions.textnorm import to_json_compact
+
+
+class TripleExtractorBackend(Protocol):
+    """Any ``chunk text -> list of raw triple dicts`` callable."""
+
+    def __call__(self, text: str) -> List[Dict[str, Any]]: ...
+
+
+def rule_backend(text: str) -> List[Dict[str, Any]]:
+    """Default deterministic backend (stand-in for the temp-0 LLM call)."""
+    return extract_rule_triples(text)
+
+
+def make_llm_backend(client_factory: Callable[[], Any]) -> TripleExtractorBackend:
+    """Slot for a real model/endpoint backend.
+
+    Mirrors the reference's chat-completion extraction contract
+    (``ingestMD.py:123-156``): the callable must return a list of dicts.
+    No network exists in this environment, so constructing one here
+    raises until a client_factory is supplied by the deployment.
+    """
+
+    def backend(text: str) -> List[Dict[str, Any]]:
+        raise NotImplementedError(
+            "LLM extraction backend requires an external endpoint; "
+            "wire a client_factory in your deployment config."
+        )
+
+    return backend
+
+
+class TripleExtractor:
+    """Actor-pool stage: batches of distinct chunks in, raw triples out."""
+
+    def __init__(self, backend: TripleExtractorBackend | None = None):
+        # once per actor: load/compile the extraction model
+        self._backend = backend or rule_backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: Dict[str, List] = {
+            "chunk_id": [], "subject": [], "predicate": [], "object": [],
+            "object_is_json": [], "subject_type": [], "object_type": [],
+            "used_fallback": [], "src_text": [],
+        }
+        for chunk_id, text in zip(batch["chunk_id"].to_pylist(), batch["text"].to_pylist()):
+            triples = self._backend(text)
+            used_fallback = False
+            if not triples:
+                # fallback only on empty primary result (ingestMD.py:764-776)
+                triples = extract_table_triples(text)
+                used_fallback = True
+            for t in triples:
+                if not isinstance(t, dict):
+                    continue
+                obj = t.get("object")
+                is_json = isinstance(obj, (dict, list))
+                out["chunk_id"].append(chunk_id)
+                out["subject"].append(_as_str(t.get("subject")))
+                out["predicate"].append(_as_str(t.get("predicate")))
+                out["object"].append(to_json_compact(obj) if is_json else _as_str(obj))
+                out["object_is_json"].append(is_json)
+                out["subject_type"].append(_as_str(t.get("subject_type")))
+                out["object_type"].append(_as_str(t.get("object_type")))
+                out["used_fallback"].append(used_fallback)
+                out["src_text"].append(text)
+        return pa.table(
+            {
+                "chunk_id": pa.array(out["chunk_id"], pa.string()),
+                "subject": pa.array(out["subject"], pa.string()),
+                "predicate": pa.array(out["predicate"], pa.string()),
+                "object": pa.array(out["object"], pa.string()),
+                "object_is_json": pa.array(out["object_is_json"], pa.bool_()),
+                "subject_type": pa.array(out["subject_type"], pa.string()),
+                "object_type": pa.array(out["object_type"], pa.string()),
+                "used_fallback": pa.array(out["used_fallback"], pa.bool_()),
+                "src_text": pa.array(out["src_text"], pa.string()),
+            }
+        )
+
+
+def _as_str(x: Any) -> str | None:
+    if x is None:
+        return None
+    return x if isinstance(x, str) else str(x)
+
+
+def extract_triples(
+    distinct_chunks: "ray.data.Dataset",
+    cfg: PipelineConfig | None = None,
+    backend: TripleExtractorBackend | None = None,
+) -> "ray.data.Dataset":
+    """Run the extractor pool over distinct chunks ``(chunk_id, text)``."""
+    cfg = cfg or PipelineConfig()
+    kwargs: Dict[str, Any] = {}
+    if backend is not None:
+        kwargs["fn_constructor_kwargs"] = {"backend": backend}
+    return distinct_chunks.map_batches(
+        TripleExtractor,
+        batch_format="pyarrow",
+        batch_size=cfg.extract_batch_size,
+        concurrency=cfg.extract_concurrency,
+        **kwargs,
+    )
