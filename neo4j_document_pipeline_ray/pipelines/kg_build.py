@@ -30,8 +30,12 @@ from ray.data.aggregate import Min
 
 from neo4j_document_pipeline_ray.config import PipelineConfig
 from neo4j_document_pipeline_ray.stages.chunker import chunk_docs
-from neo4j_document_pipeline_ray.stages.edge_agg import build_edges
-from neo4j_document_pipeline_ray.stages.embed import EmbedderBackend, build_embeddings
+from neo4j_document_pipeline_ray.stages.edge_agg import build_edges, decode_sources_batch
+from neo4j_document_pipeline_ray.stages.embed import (
+    EmbedderBackend,
+    build_embeddings,
+    decode_embeddings_batch,
+)
 from neo4j_document_pipeline_ray.stages.entity_link import build_mentions, build_nodes
 from neo4j_document_pipeline_ray.stages.extract_text import extract_docs, title_from_url
 from neo4j_document_pipeline_ray.stages.normalize import normalize_triples
@@ -119,14 +123,15 @@ def build_kg(
             num_partitions=cfg.join_partitions,
             on=("node_key",),
             right_on=("text_key",),
-        )
+        ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
         edges = edges.join(
             embeddings,
             join_type="inner",
             num_partitions=cfg.join_partitions,
             on=("rel_key",),
             right_on=("text_key",),
-        )
+        ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
+    edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
 
     out: Dict[str, "ray.data.Dataset"] = {
         "docs": docs,
@@ -136,5 +141,7 @@ def build_kg(
         "mentions": mentions,
     }
     if embeddings is not None:
-        out["embeddings"] = embeddings
+        out["embeddings"] = embeddings.map_batches(
+            decode_embeddings_batch, batch_format="pyarrow"
+        )
     return out

@@ -89,6 +89,9 @@ def _merge_edge_group(g: pd.DataFrame) -> pd.DataFrame:
     for sj in g["sources_json"]:
         srcs.update(json.loads(sj))
     last = g.loc[g["ord"].idxmax()]
+    # sources stays JSON-serialized until after the embedding join —
+    # Arrow's hash join cannot carry list-typed payload columns; the
+    # snapshot finalizer decodes it to list<string>.
     return pd.DataFrame(
         {
             "src_id": [last["src_id"]], "dst_id": [last["dst_id"]],
@@ -96,11 +99,20 @@ def _merge_edge_group(g: pd.DataFrame) -> pd.DataFrame:
             "object_kind": [last["object_kind"]],
             "src_norm_key": [last["src_norm_key"]],
             "dst_norm_key": [last["dst_norm_key"]],
-            "sources": [sorted(srcs)],
+            "sources_json": [json.dumps(sorted(srcs))],
             "source_text": [last["source_text"]],
             "count": [last["count"]], "rel_key": [last["rel_key"]],
             "start": [last["start"]], "end": [last["end"]],
         }
+    )
+
+
+def decode_sources_batch(batch: pa.Table) -> pa.Table:
+    """sources_json -> sources list<string> (post-join restore)."""
+    srcs = [json.loads(s) for s in batch["sources_json"].to_pylist()]
+    idx = batch.schema.get_field_index("sources_json")
+    return batch.set_column(idx, "sources_json", pa.array(srcs, pa.list_(pa.string()))).rename_columns(
+        [n if n != "sources_json" else "sources" for n in batch.schema.names]
     )
 
 

@@ -70,12 +70,26 @@ class Embedder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text_key"].to_pylist()
         vecs = self._backend.embed(texts)
+        # float32 bytes, not list<float32>: Arrow's hash join (used to
+        # attach embeddings to nodes/edges) does not support list-typed
+        # payload columns; decode_embeddings() restores the list column
+        # after the last join.
         return pa.table(
             {
                 "text_key": batch["text_key"],
-                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                "embedding": pa.array([v.tobytes() for v in vecs], pa.binary()),
             }
         )
+
+
+def decode_embeddings_batch(batch: pa.Table) -> pa.Table:
+    """binary float32 payload -> list<float32> column (post-join restore)."""
+    vecs = [
+        np.frombuffer(b, dtype=np.float32) if b is not None else None
+        for b in batch["embedding"].to_pylist()
+    ]
+    idx = batch.schema.get_field_index("embedding")
+    return batch.set_column(idx, "embedding", pa.array(vecs, pa.list_(pa.float32())))
 
 
 def _keys_batch(batch: pa.Table) -> pa.Table:
