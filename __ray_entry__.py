@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline on the sf0.001
+synthetic page corpus.  ``queries()`` exposes every implemented
+operator/pipeline from SURVEY.md §2 as ``sf_dir -> result`` callables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL.  The KG pipeline's
+input corpus is synthesized deterministically (seeded) to
+``/tmp/graft_pages/<sf>/{pages,truth}.parquet``; the oracle SQL reads
+the same files via ``read_parquet`` so both sides see identical input.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,416 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SF001 = "/root/testdata/sf0.01"
+_PAGES_001 = "/tmp/graft_pages/sf0.01/pages.parquet"
+_TRUTH_001 = "/tmp/graft_pages/sf0.01/truth.parquet"
+
+# number-word map mirrored from functions/textnorm.py (graphutil.py:635-638)
+_NUM_WORDS = [("one", "1"), ("two", "2"), ("three", "3"), ("four", "4"),
+              ("five", "5"), ("six", "6"), ("seven", "7"), ("eight", "8"),
+              ("nine", "9"), ("ten", "10")]
+
+
+def _norm_sql(col: str) -> str:
+    """DuckDB expression equal to functions.textnorm.normalize_name_for_key."""
+    cases = " ".join(f"WHEN '{w}' THEN '{d}'" for w, d in _NUM_WORDS)
+    return (
+        "array_to_string(list_transform(list_filter("
+        f"string_split_regex(trim(regexp_replace(lower({col}), '[^a-z0-9 ]+', ' ', 'g')), ' +'),"
+        " x -> x <> ''),"
+        f" x -> CASE x {cases} ELSE x END), ' ')"
+    )
+
+
+def _eid_sql(norm_expr: str) -> str:
+    """DuckDB expression equal to functions.textnorm.stable_id."""
+    return f"CAST(concat('0x', substr(sha256({norm_expr}), 1, 15)) AS BIGINT)"
+
+
+def _corpus(sf_dir: str):
+    from neo4j_document_pipeline_ray.sources.corpus import ensure_corpus
+
+    return ensure_corpus(sf_dir)
+
+
+def _cfg():
+    from neo4j_document_pipeline_ray.config import PipelineConfig
+
+    return PipelineConfig(extract_concurrency=2, embed_concurrency=2, join_partitions=8)
+
+
+_KG_CACHE: dict = {}
+
+
+def _kg(sf_dir: str):
+    """Build (or reuse) the KG tables for one scale factor.
+
+    The driver calls each kg_* query independently; the pipeline runs
+    once per sf and the materialized tables are shared."""
+    if sf_dir in _KG_CACHE:
+        return _KG_CACHE[sf_dir]
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.pipelines.kg_build import build_kg
+
+    paths = _corpus(sf_dir)
+    pages = rd.read_parquet(paths["pages"], columns=["url", "html"])
+    out = build_kg(pages, _cfg())
+    out = {k: v.materialize() for k, v in out.items()}
+    _KG_CACHE[sf_dir] = out
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: pages -> KG snapshot; returns nodes."""
+    return _kg("/root/testdata/sf0.001")["nodes"]
+
+
+# ---------------------------------------------------------------------------
+# query callables
+# ---------------------------------------------------------------------------
+
+def _q_kg_extract_text(sf_dir: str):
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.stages.extract_text import extract_docs
+
+    paths = _corpus(sf_dir)
+    pages = rd.read_parquet(paths["pages"], columns=["url", "html"])
+    return extract_docs(pages).select_columns(["url", "doc_id", "text"])
+
+
+def _q_kg_docs(sf_dir: str):
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.pipelines.kg_build import dedupe_docs
+    from neo4j_document_pipeline_ray.stages.extract_text import extract_docs
+
+    paths = _corpus(sf_dir)
+    pages = rd.read_parquet(paths["pages"], columns=["url", "html"])
+    return dedupe_docs(extract_docs(pages))
+
+
+def _q_kg_triples(sf_dir: str):
+    cols = ["subject", "predicate", "rel_type", "object", "subject_type",
+            "object_type", "object_kind", "start", "end", "term", "count"]
+    out = _kg(sf_dir)["triples"].select_columns(cols)
+    # distinct triple identities; the triple set is small post-aggregation
+    return out.to_pandas().drop_duplicates().reset_index(drop=True)
+
+
+def _q_kg_nodes(sf_dir: str):
+    return _kg(sf_dir)["nodes"].select_columns(
+        ["entity_id", "label", "name", "norm_key"]
+    )
+
+
+def _q_kg_edges(sf_dir: str):
+    import pyarrow as pa
+
+    edges = _kg(sf_dir)["edges"]
+
+    def proj(t: pa.Table) -> pa.Table:
+        terms = [x or "" for x in t["term"].to_pylist()]
+        srcs = t["sources"].to_pylist()
+        return pa.table({
+            "src_id": t["src_id"],
+            "rel_type": t["rel_type"],
+            "dst_id": t["dst_id"],
+            "term_key": pa.array(terms, pa.string()),
+            "sources_csv": pa.array([",".join(s) for s in srcs], pa.string()),
+            "n_sources": pa.array([len(s) for s in srcs], pa.int64()),
+        })
+
+    return edges.map_batches(proj, batch_format="pyarrow")
+
+
+def _q_kg_mentions(sf_dir: str):
+    return _kg(sf_dir)["mentions"]
+
+
+def _q_kg_chunks(sf_dir: str):
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.pipelines.kg_build import dedupe_docs
+    from neo4j_document_pipeline_ray.stages.chunker import chunk_docs
+    from neo4j_document_pipeline_ray.stages.extract_text import extract_docs
+
+    paths = _corpus(sf_dir)
+    pages = rd.read_parquet(paths["pages"], columns=["url", "html"])
+    docs = dedupe_docs(extract_docs(pages))
+    return chunk_docs(docs).select_columns(["doc_id", "chunk_idx", "chunk_id"])
+
+
+def _q_kg_embeddings(sf_dir: str):
+    return _kg(sf_dir)["embeddings"]
+
+
+def _q_ann_topk(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        brute_force_topk,
+        query_vector,
+    )
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return brute_force_topk(emb, query_vector(sf_dir), k=10)
+
+
+def _q_ann_label_topk(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.similarity import label_topk, query_vector
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return label_topk(emb, query_vector(sf_dir), k=5)
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.similarity import lsh_topk, query_vector
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_topk(emb, query_vector(sf_dir), k=10, multiprobe=2)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.dedup import minhash_dedup_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return minhash_dedup_pairs(docs, threshold=0.8)
+
+
+def _q_minhash_components(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    if pairs.count() == 0:
+        import pandas as pd
+
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    return connected_components(pairs.select_columns(["a", "b"]))
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.dedup import simhash_near_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+def _q_emb_near_dup(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.similarity import embedding_near_dup_pairs
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_pairs(emb, threshold=0.95)
+
+
+def _q_lang_id(sf_dir: str):
+    from neo4j_document_pipeline_ray.extras.textstats import lang_id
+
+    return lang_id(sf_dir)
+
+
+def _q_fingerprints(sf_dir: str):
+    from neo4j_document_pipeline_ray.extras.textstats import fingerprints
+
+    return fingerprints(sf_dir)
+
+
+def _q_mm_features(sf_dir: str):
+    from neo4j_document_pipeline_ray.extras.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    return extract_media_features(synthesize_media(n=96)).drop_columns(["feature"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from neo4j_document_pipeline_ray.extras.dedup import exact_dedup_sf
+    from neo4j_document_pipeline_ray.extras.textstats import quality_stats, token_count
+    from neo4j_document_pipeline_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # pre-materialize the synthetic corpus the oracle SQL reads
+    _corpus(_SF001)
+
+    return {
+        # --- KG construction pipeline (SURVEY.md §2.1-2.5) ---
+        "kg_extract_text": _q_kg_extract_text,
+        "kg_docs": _q_kg_docs,
+        "kg_triples": _q_kg_triples,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "kg_mentions": _q_kg_mentions,
+        "kg_chunks": _q_kg_chunks,
+        "kg_embeddings": _q_kg_embeddings,
+        # --- generic relational operators (§2.4-2.8) ---
+        "rel_lineitem_agg": rel.q_lineitem_agg,
+        "rel_segment_topk": rel.q_segment_revenue_topk,
+        "rel_brand_supplier": rel.q_brand_supplier_stats,
+        "rel_events_hourly": rel.q_events_hourly,
+        "rel_orders_top": rel.q_orders_top,
+        "rel_union_distinct": rel.q_nation_region_union,
+        # --- training-data curation extras ---
+        "docs_token_count": token_count,
+        "docs_quality": quality_stats,
+        "docs_exact_dedup": exact_dedup_sf,
+        "docs_lang_id": _q_lang_id,
+        "docs_fingerprint": _q_fingerprints,
+        "docs_minhash_pairs": _q_minhash_pairs,
+        "docs_minhash_components": _q_minhash_components,
+        "docs_simhash_pairs": _q_simhash_pairs,
+        "ann_topk": _q_ann_topk,
+        "ann_label_topk": _q_ann_label_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "emb_near_dup": _q_emb_near_dup,
+        "mm_features": _q_mm_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from neo4j_document_pipeline_ray.extras.dedup import EXACT_DEDUP_SQL
+    from neo4j_document_pipeline_ray.extras.textstats import QUALITY_SQL, TOKEN_COUNT_SQL
+    from neo4j_document_pipeline_ray.pipelines import relational as rel
+
+    _corpus(_SF001)
+
+    nsub = _norm_sql("subject")
+    nobj = _norm_sql("object")
+    nname = _norm_sql("name")
+
+    return {
+        "kg_extract_text": f"""
+            SELECT url, sha256(text) AS doc_id, text
+            FROM read_parquet('{_PAGES_001}')
+        """,
+        "kg_docs": f"""
+            SELECT sha256(text) AS doc_id,
+                   min(url) AS url,
+                   regexp_extract(min(url), '([^/]+)$', 1) AS title,
+                   min(text) AS text
+            FROM read_parquet('{_PAGES_001}')
+            GROUP BY sha256(text)
+        """,
+        "kg_triples": f"""
+            SELECT DISTINCT subject, predicate, rel_type, object, subject_type,
+                            object_type, object_kind, "start", "end", term, "count"
+            FROM read_parquet('{_TRUTH_001}')
+        """,
+        "kg_nodes": f"""
+            WITH m AS (
+                SELECT subject AS name, subject_type AS label
+                FROM read_parquet('{_TRUTH_001}')
+                UNION ALL
+                SELECT object, object_type FROM read_parquet('{_TRUTH_001}')
+            ), k AS (
+                SELECT name, label, {nname} AS norm_key FROM m
+            ), g AS (
+                SELECT norm_key, min(name || chr(31) || label) AS rep
+                FROM k GROUP BY norm_key
+            )
+            SELECT {_eid_sql('norm_key')} AS entity_id,
+                   split_part(rep, chr(31), 2) AS label,
+                   split_part(rep, chr(31), 1) AS name,
+                   norm_key
+            FROM g
+        """,
+        "kg_edges": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            )
+            SELECT {_eid_sql(nsub)} AS src_id,
+                   rel_type,
+                   {_eid_sql(nobj)} AS dst_id,
+                   coalesce(term, '') AS term_key,
+                   array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS sources_csv,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sources
+            FROM t
+            GROUP BY 1, 2, 3, 4
+        """,
+        "kg_mentions": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            ), m AS (
+                SELECT doc_id, subject AS name FROM t
+                UNION ALL
+                SELECT doc_id, object FROM t
+            )
+            SELECT DISTINCT doc_id, {_eid_sql(nname)} AS entity_id FROM m
+        """,
+        "rel_lineitem_agg": rel.Q_LINEITEM_AGG_SQL,
+        "rel_segment_topk": rel.Q_SEGMENT_REVENUE_TOPK_SQL,
+        "rel_brand_supplier": rel.Q_BRAND_SUPPLIER_STATS_SQL,
+        "rel_events_hourly": rel.Q_EVENTS_HOURLY_SQL,
+        "rel_orders_top": rel.Q_ORDERS_TOP_SQL,
+        "rel_union_distinct": rel.Q_NATION_REGION_UNION_SQL,
+        "docs_token_count": TOKEN_COUNT_SQL,
+        "docs_quality": QUALITY_SQL,
+        "docs_exact_dedup": EXACT_DEDUP_SQL,
+        "ann_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
+            FROM embeddings e
+            ORDER BY sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        "ann_label_topk": """
+            SELECT vec_id, label, sim FROM (
+                SELECT vec_id, label,
+                       round(list_cosine_similarity(
+                           CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim,
+                       row_number() OVER (
+                           PARTITION BY label
+                           ORDER BY round(list_cosine_similarity(
+                               CAST(embedding AS DOUBLE[]),
+                               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) DESC,
+                           vec_id) AS rn
+                FROM embeddings
+            ) WHERE rn <= 5
+        """,
+        # kg_chunks / kg_embeddings: token-based chunk boundaries and the
+        # hash-projection embedder are not SQL-expressible -> rows-only.
+        # docs_lang_id / docs_fingerprint / minhash / simhash / lsh /
+        # emb_near_dup / mm_features: iterative or sketch-based -> rows-only,
+        # verified against exact oracles in pytest instead.
+    }

@@ -1,0 +1,256 @@
+"""General relational operators expressed Ray-Data-first.
+
+The reference's query path does its relational work inside Neo4j —
+counts/stats per label and rel type (``main.py:600-726``), top-k with
+global sort (``graphutil.py:364-447``), ordered listings
+(``main.py:82-95``), joins via graph pattern matching
+(``graphutil.py:547-632``).  These operators re-express the same
+capability classes (aggregate, hash join, sort/limit, windowed
+aggregate) over Arrow batches so the engine covers SURVEY.md §2.4-2.6
+generically, with DuckDB-checkable semantics.
+
+Design rules applied throughout:
+* column pruning at the read (``columns=[...]``);
+* money sums carried as integer cents (exact, associative — float
+  accumulation order would otherwise differ between engines);
+* pre-aggregation happens inside ``map_batches`` only where it shrinks
+  the exchange; small dimension tables ride through ``Dataset.join``'s
+  hash partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+
+def _round_half_away(x):
+    """DuckDB-compatible rounding (half away from zero); pyarrow defaults
+    to half-to-even, which diverges on exact .5 products."""
+    return pc.round(x, round_mode="half_towards_infinity")
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(_round_half_away(pc.multiply(col, 100)), pa.int64())
+
+
+# --- pricing summary (TPC-H Q1 shape; A8-class grouped aggregate) ---
+
+def q_lineitem_agg(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        disc_price_c = pc.cast(
+            _round_half_away(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))),
+            pa.int64(),
+        )
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+            "price_cents": price_c,
+            "disc_cents": disc_c,
+            "disc_price": disc_price_c,
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+Q_LINEITEM_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- join + grouped aggregate + top-k (Q3 shape; J-class + T1-class) ---
+
+def q_segment_revenue_topk(sf_dir: str) -> "ray.data.Dataset":
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev_cents": pc.cast(
+                _round_half_away(pc.multiply(
+                    pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    100)),
+                pa.int64()),
+        })
+
+    li_rev = li.map_batches(rev, batch_format="pyarrow")
+    o_b = orders.join(cust, join_type="inner", num_partitions=8,
+                      on=("o_custkey",), right_on=("c_custkey",))
+    joined = li_rev.join(o_b.select_columns(["o_orderkey"]), join_type="inner",
+                         num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby("l_orderkey").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+Q_SEGMENT_REVENUE_TOPK_SQL = """
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- multi-way join + grouped count (J3-class) ---
+
+def q_brand_supplier_stats(sf_dir: str) -> "ray.data.Dataset":
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("qty", pc.cast(t["l_quantity"], pa.int64())).drop_columns(["l_quantity"])
+
+    li = li.map_batches(prep, batch_format="pyarrow")
+    j = li.join(part, join_type="inner", num_partitions=8,
+                on=("l_partkey",), right_on=("p_partkey",))
+    j = j.join(supp, join_type="inner", num_partitions=8,
+               on=("l_suppkey",), right_on=("s_suppkey",))
+    return j.groupby(["p_brand", "s_name"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Count(alias_name="n_lines"),
+    )
+
+
+Q_BRAND_SUPPLIER_STATS_SQL = """
+SELECT p_brand, s_name,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_name
+"""
+
+
+# --- tumbling-window aggregate over the event stream (§2.8 analog) ---
+
+def q_events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(t["ts"], pa.int64())
+        win = pc.cast(pc.floor(pc.divide(epoch_us, 3_600_000_000)), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "win": win,
+            "value_milli": pc.cast(_round_half_away(pc.multiply(t["value"], 1000)), pa.int64()),
+        })
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_milli", alias_name="sum_value_milli"),
+            Min("value_milli", alias_name="min_value_milli"),
+            Max("value_milli", alias_name="max_value_milli"),
+        )
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win,
+       count(*) AS n,
+       sum(CAST(round(value * 1000) AS BIGINT)) AS sum_value_milli,
+       min(CAST(round(value * 1000) AS BIGINT)) AS min_value_milli,
+       max(CAST(round(value * 1000) AS BIGINT)) AS max_value_milli
+FROM events
+GROUP BY event_type, win
+"""
+
+
+# --- global sort + limit (T6-class ordered listing) ---
+
+def q_orders_top(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "total_cents": _cents(t["o_totalprice"]),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+Q_ORDERS_TOP_SQL = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY total_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
+# --- union + distinct (§2.7 set-op analog) ---
+
+def q_nation_region_union(sf_dir: str) -> "ray.data.Dataset":
+    nation = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"]}), batch_format="pyarrow"
+    )
+    region = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow"
+    )
+    u = nation.union(region)
+    return u.groupby("name").aggregate(Count(alias_name="n"))
+
+
+Q_NATION_REGION_UNION_SQL = """
+SELECT name, count(*) AS n FROM (
+  SELECT n_name AS name FROM nation
+  UNION ALL
+  SELECT r_name FROM region
+) GROUP BY name
+"""
