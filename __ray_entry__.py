@@ -18,7 +18,7 @@ from collections.abc import Callable
 from typing import Any
 
 _SF001 = "/root/testdata/sf0.01"
-_PAGES_001 = "/tmp/graft_pages/sf0.01/pages.parquet"
+_PAGES_001 = "/tmp/graft_pages/sf0.01/pages/*.parquet"
 _TRUTH_001 = "/tmp/graft_pages/sf0.01/truth.parquet"
 
 # number-word map mirrored from functions/textnorm.py (graphutil.py:635-638)

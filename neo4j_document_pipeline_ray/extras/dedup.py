@@ -79,21 +79,25 @@ _PERM_A = (_rng.integers(1, _MERSENNE, size=_N_PERM, dtype=np.int64)).astype(np.
 _PERM_B = (_rng.integers(0, _MERSENNE, size=_N_PERM, dtype=np.int64)).astype(np.uint64)
 
 
+def _fnv64(w: str) -> int:
+    h = 14695981039346656037
+    for b in w.encode("utf-8"):
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-grams (lowercased)."""
+    """Hashes of word k-grams (lowercased) — vectorized polynomial
+    combination of per-word FNV hashes (one numpy pass per doc)."""
     words = text.lower().split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    if not grams:
+    if not words:
         return np.zeros(0, dtype=np.uint64)
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = np.frombuffer(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), dtype=np.uint64
-        )[0]
-    return out
+    whs = np.array([_fnv64(w) for w in words], dtype=np.uint64)
+    kk = min(k, len(whs))
+    win = np.lib.stride_tricks.sliding_window_view(whs, kk)
+    weights = np.array([pow(1_000_003, kk - 1 - i, 1 << 61) for i in range(kk)],
+                       dtype=np.uint64)
+    return (win * weights).sum(axis=1, dtype=np.uint64) & np.uint64((1 << 61) - 1)
 
 
 def minhash_signature(text: str, k: int = 3) -> np.ndarray:
@@ -118,46 +122,52 @@ def _minhash_batch(t: pa.Table) -> pa.Table:
 
 
 def _bands_batch(t: pa.Table) -> pa.Table:
-    doc_ids, band_ids, band_hashes = [], [], []
+    doc_ids, buckets = [], []
     for doc_id, sig in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
         s = np.frombuffer(sig, dtype=np.int64)
         for b in range(_N_BANDS):
             chunk = s[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND].tobytes()
             h = hashlib.blake2b(chunk, digest_size=8).hexdigest()
             doc_ids.append(doc_id)
-            band_ids.append(b)
-            band_hashes.append(h)
+            buckets.append(f"{b}:{h}")
     return pa.table({
         "doc_id": pa.array(doc_ids, pa.int64()),
-        "band_id": pa.array(band_ids, pa.int32()),
-        "band_hash": pa.array(band_hashes, pa.string()),
+        "bucket": pa.array(buckets, pa.string()),
     })
 
 
-def _pairs_from_bucket(g) -> "pa.Table":
+def _pairs_partition(df) -> "pa.Table":
+    """All LSH buckets of one hash partition -> candidate pairs.
+
+    Pathological buckets (boilerplate floods) are capped: all-pairs on
+    the first 50 members, chain the rest — keeps connectivity while
+    bounding the O(n^2) blow-up."""
     import pandas as pd
 
-    ids = sorted(set(g["doc_id"]))
-    a, b = [], []
-    # cap pathological buckets (boilerplate floods): all-pairs on the
-    # first 50 members, chain the rest — keeps connectivity, bounds O(n^2)
-    cap = 50
-    head = ids[:cap]
-    for i in range(len(head)):
-        for j in range(i + 1, len(head)):
-            a.append(head[i]); b.append(head[j])
-    for i in range(cap, len(ids)):
-        a.append(ids[0]); b.append(ids[i])
-    return pd.DataFrame({"a": a, "b": b})
+    out_a, out_b = [], []
+    multi = df.groupby("bucket", sort=False)["doc_id"]
+    for _, ids_s in multi:
+        ids = sorted(set(ids_s))
+        if len(ids) < 2:
+            continue
+        cap = 50
+        head = ids[:cap]
+        for i in range(len(head)):
+            for j in range(i + 1, len(head)):
+                out_a.append(head[i]); out_b.append(head[j])
+        for i in range(cap, len(ids)):
+            out_a.append(ids[0]); out_b.append(ids[i])
+    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                         "b": pd.Series(out_b, dtype="int64")})
 
 
 def minhash_candidate_pairs(docs: "ray.data.Dataset") -> Tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Returns (signatures, candidate pairs) datasets."""
+    from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
+
     sigs = docs.map_batches(_minhash_batch, batch_format="pyarrow").materialize()
     bands = sigs.map_batches(_bands_batch, batch_format="pyarrow")
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_from_bucket, batch_format="pandas"
-    )
+    pairs = partitioned_group_map(bands, "bucket", _pairs_partition, 16).materialize()
     if pairs.count() == 0:
         return sigs, pairs
     uniq = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
@@ -204,16 +214,24 @@ def minhash_dedup_pairs(
 # --- connected components (bounded-round min-label propagation) -----------
 
 def connected_components(
-    pairs: "ray.data.Dataset", max_rounds: int = 6
+    pairs: "ray.data.Dataset", max_rounds: int = 8
 ) -> "ray.data.Dataset":
     """(node, component) from undirected edge pairs (a, b).
 
-    Shuffle-based: each round every node adopts the minimum label in its
-    closed neighborhood (groupby-min over propagated labels).  Alias /
-    near-dup graphs cluster tightly, so a handful of rounds converges;
-    the loop stops early when the label sum is stable.
+    Bounded-round min-label propagation, expressed entirely as
+    union + groupby shuffles (no Dataset.join): each round every node's
+    current label is shipped to the reducer of each neighbor alongside
+    the neighbor list, and every node adopts the minimum label seen in
+    its closed neighborhood.  Message rows are (id, src, lbl) — label
+    carriers have src = -1 — and the per-partition merge is a vectorized
+    pandas join inside ``partitioned_group_map``.  Near-dup/alias graphs
+    cluster tightly so a handful of rounds converges; the loop exits
+    early once the label-sum fixpoint is reached.
     """
+    import pandas as pd
     import pyarrow as pa
+
+    from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
 
     both = pairs.map_batches(
         lambda t: pa.table({
@@ -232,16 +250,48 @@ def connected_components(
         batch_format="pyarrow",
     ).materialize()
 
+    edge_msgs = both.map_batches(
+        lambda t: pa.table({
+            "id": t["peer"],
+            "src": t["node"],
+            "lbl": pa.array([-1] * t.num_rows, pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[df["src"] < 0][["id", "lbl"]]
+        ed = df[df["src"] >= 0][["id", "src"]]
+        m = ed.merge(lab, on="id", how="inner")
+        out = pd.concat([
+            lab.rename(columns={"id": "node", "lbl": "label"}),
+            m.rename(columns={"src": "node", "lbl": "label"})[["node", "label"]],
+        ])
+        return out
+
     prev_sig = None
     for _ in range(max_rounds):
-        prop = both.join(labels, join_type="inner", num_partitions=8,
-                         on=("peer",), right_on=("node",), right_suffix="_l")
-        prop = prop.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+        label_msgs = labels.map_batches(
+            lambda t: pa.table({
+                "id": t["node"],
+                "src": pa.array([-1] * t.num_rows, pa.int64()),
+                "lbl": t["label"],
+            }),
             batch_format="pyarrow",
         )
-        merged = prop.union(labels.select_columns(["node", "label"]))
-        labels = merged.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        # pointer jumping: each node also asks for its label's label, so
+        # chains collapse in O(log n) rounds rather than O(n)
+        jump_msgs = labels.map_batches(
+            lambda t: pa.table({
+                "id": t["label"],
+                "src": t["node"],
+                "lbl": pa.array([-1] * t.num_rows, pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        msgs = label_msgs.union(edge_msgs).union(jump_msgs)
+        prop = partitioned_group_map(msgs, "id", propagate, 8)
+        labels = prop.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
         sig = labels.map_batches(
             lambda t: pa.table({"s": pa.array([int(pc.sum(t["label"]).as_py() or 0)], pa.int64())}),
             batch_format="pyarrow",
@@ -249,7 +299,10 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
-    return labels.rename_columns({"label": "component"})
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
 
 
 # --- simhash --------------------------------------------------------------
@@ -290,38 +343,42 @@ def simhash_near_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.d
     sk = simhash_sketch(docs).materialize()
 
     def bands(t: pa.Table) -> pa.Table:
-        ids, bids, vals, full = [], [], [], []
+        ids, buckets, full = [], [], []
         for doc_id, sh in zip(t["doc_id"].to_pylist(), t["simhash"].to_pylist()):
             u = int(np.uint64(np.int64(sh)))
             for b in range(4):
                 ids.append(doc_id)
-                bids.append(b)
-                vals.append((u >> (16 * b)) & 0xFFFF)
+                buckets.append(f"{b}:{(u >> (16 * b)) & 0xFFFF}")
                 full.append(sh)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
-            "band_id": pa.array(bids, pa.int32()),
-            "band_val": pa.array(vals, pa.int32()),
+            "bucket": pa.array(buckets, pa.string()),
             "simhash": pa.array(full, pa.int64()),
         })
 
-    def bucket_pairs(g):
+    def bucket_pairs_partition(df):
         import pandas as pd
 
-        rows = sorted(set(zip(g["doc_id"], g["simhash"])))
         a, b = [], []
-        for i in range(min(len(rows), 50)):
-            for j in range(i + 1, min(len(rows), 50)):
-                da, ha = rows[i]
-                db, hb = rows[j]
-                if hamming64(int(np.uint64(np.int64(ha))), int(np.uint64(np.int64(hb)))) <= max_hamming:
-                    a.append(da); b.append(db)
-        return pd.DataFrame({"a": a, "b": b})
+        for _, g in df.groupby("bucket", sort=False):
+            rows = sorted(set(zip(g["doc_id"], g["simhash"])))
+            if len(rows) < 2:
+                continue
+            for i in range(min(len(rows), 50)):
+                for j in range(i + 1, min(len(rows), 50)):
+                    da, ha = rows[i]
+                    db, hb = rows[j]
+                    if hamming64(int(np.uint64(np.int64(ha))),
+                                 int(np.uint64(np.int64(hb)))) <= max_hamming:
+                        a.append(da); b.append(db)
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64")})
 
-    pairs = (
-        sk.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
+
+    pairs = partitioned_group_map(
+        sk.map_batches(bands, batch_format="pyarrow"),
+        "bucket", bucket_pairs_partition, 16,
     )
     if pairs.count() == 0:
         return pairs

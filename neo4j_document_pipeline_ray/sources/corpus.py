@@ -464,28 +464,60 @@ def truth_batch(indices: List[int], seed: int = 42) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=TRUTH_SCHEMA)
 
 
-def generate_corpus(out_dir: str, n_docs: int, seed: int = 42) -> Dict[str, str]:
-    """Write ``pages.parquet`` + ``truth.parquet`` deterministically.
+def generate_corpus(
+    out_dir: str, n_docs: int, seed: int = 42, docs_per_file: int = 2000
+) -> Dict[str, str]:
+    """Write a multi-file ``pages/`` directory + ``truth.parquet``.
 
-    Single-writer, index-ordered → byte-stable output files.  Generation
-    is pure per-index so it could fan out over Ray; at test/bench scales
-    (≤ tens of thousands of docs) a local loop is faster than a
-    distributed round-trip.
+    Pages are laid out as one Parquet file per ``docs_per_file`` index
+    range — the Common-Crawl-style sharding the snapshot pipeline's
+    per-shard checkpoints key on.  Generation is pure per-index
+    (order-independent, byte-stable files); it fans out over Ray when a
+    session is live and the corpus is large, else runs locally.
     """
     import pyarrow.parquet as pq
 
-    os.makedirs(out_dir, exist_ok=True)
-    pages_path = os.path.join(out_dir, "pages.parquet")
+    pages_dir = os.path.join(out_dir, "pages")
     truth_path = os.path.join(out_dir, "truth.parquet")
-    idx = list(range(n_docs))
-    step = 2000
-    with pq.ParquetWriter(pages_path, PAGES_SCHEMA) as w:
-        for lo in range(0, n_docs, step):
-            w.write_table(pages_batch(idx[lo:lo + step], seed))
+    os.makedirs(pages_dir, exist_ok=True)
+
+    ranges = [(lo, min(lo + docs_per_file, n_docs))
+              for lo in range(0, n_docs, docs_per_file)]
+
+    def write_shard(shard_idx: int, lo: int, hi: int) -> None:
+        pq.write_table(
+            pages_batch(list(range(lo, hi)), seed),
+            os.path.join(pages_dir, f"part-{shard_idx:05d}.parquet"),
+        )
+
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(ranges) > 2
+    except Exception:
+        pass
+
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def _gen(shard_idx: int, lo: int, hi: int, d: str, s: int) -> None:
+            pq.write_table(
+                pages_batch(list(range(lo, hi)), s),
+                os.path.join(d, f"part-{shard_idx:05d}.parquet"),
+            )
+
+        ray.get([_gen.remote(i, lo, hi, pages_dir, seed)
+                 for i, (lo, hi) in enumerate(ranges)])
+    else:
+        for i, (lo, hi) in enumerate(ranges):
+            write_shard(i, lo, hi)
+
     with pq.ParquetWriter(truth_path, TRUTH_SCHEMA) as w:
-        for lo in range(0, n_docs, step):
-            w.write_table(truth_batch(idx[lo:lo + step], seed))
-    return {"pages": pages_path, "truth": truth_path}
+        for lo, hi in ranges:
+            w.write_table(truth_batch(list(range(lo, hi)), seed))
+    return {"pages": pages_dir, "truth": truth_path}
 
 
 def n_pages_for_sf(sf_dir: str) -> int:
@@ -506,8 +538,14 @@ def corpus_dir_for_sf(sf_dir: str, root: str = "/tmp/graft_pages") -> str:
 def ensure_corpus(sf_dir: str, seed: int = 42, root: str = "/tmp/graft_pages") -> Dict[str, str]:
     """Idempotently materialize the corpus for a scale factor; cached on disk."""
     out_dir = corpus_dir_for_sf(sf_dir, root)
-    pages_path = os.path.join(out_dir, "pages.parquet")
+    pages_dir = os.path.join(out_dir, "pages")
     truth_path = os.path.join(out_dir, "truth.parquet")
-    if os.path.exists(pages_path) and os.path.exists(truth_path):
-        return {"pages": pages_path, "truth": truth_path}
-    return generate_corpus(out_dir, n_pages_for_sf(sf_dir), seed)
+    done_marker = os.path.join(out_dir, "_corpus_complete.json")
+    if os.path.exists(done_marker):
+        return {"pages": pages_dir, "truth": truth_path}
+    paths = generate_corpus(out_dir, n_pages_for_sf(sf_dir), seed)
+    import json
+
+    with open(done_marker, "w") as f:
+        json.dump({"n_docs": n_pages_for_sf(sf_dir), "seed": seed}, f)
+    return paths

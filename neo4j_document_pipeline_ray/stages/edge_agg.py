@@ -84,27 +84,29 @@ def _partial_edges_batch(batch: pa.Table) -> pa.Table:
     return pa.table({name: pa.array(cols[name], typ) for name, typ in _EDGE_COLS})
 
 
-def _merge_edge_group(g: pd.DataFrame) -> pd.DataFrame:
-    srcs: set = set()
-    for sj in g["sources_json"]:
-        srcs.update(json.loads(sj))
-    last = g.loc[g["ord"].idxmax()]
-    # sources stays JSON-serialized until after the embedding join —
-    # Arrow's hash join cannot carry list-typed payload columns; the
-    # snapshot finalizer decodes it to list<string>.
-    return pd.DataFrame(
-        {
-            "src_id": [last["src_id"]], "dst_id": [last["dst_id"]],
-            "rel_type": [last["rel_type"]], "term": [last["term"]],
-            "object_kind": [last["object_kind"]],
-            "src_norm_key": [last["src_norm_key"]],
-            "dst_norm_key": [last["dst_norm_key"]],
-            "sources_json": [json.dumps(sorted(srcs))],
-            "source_text": [last["source_text"]],
-            "count": [last["count"]], "rel_key": [last["rel_key"]],
-            "start": [last["start"]], "end": [last["end"]],
-        }
-    )
+_OUT_COLS = ["src_id", "dst_id", "rel_type", "term", "object_kind",
+             "src_norm_key", "dst_norm_key", "sources_json", "source_text",
+             "count", "rel_key", "start", "end"]
+
+
+def _merge_edges_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized merge of ALL edge groups within one hash partition.
+
+    last-wins fields come from the max-``ord`` partial row per edge key;
+    ``sources`` is the sorted union of the partials' doc-id lists.
+    ``sources_json`` stays JSON-serialized until after the embedding
+    join (Arrow's hash join cannot carry list-typed payload columns).
+    """
+    df = df.sort_values(["edge_key", "ord"], kind="mergesort")
+    last = df.groupby("edge_key", sort=False).tail(1).set_index("edge_key")
+
+    exploded = df[["edge_key"]].assign(src=df["sources_json"].map(json.loads)).explode("src")
+    uniq = exploded.drop_duplicates().sort_values(["edge_key", "src"], kind="mergesort")
+    srcs = uniq.groupby("edge_key", sort=False)["src"].agg(list).map(json.dumps)
+
+    last = last.copy()
+    last["sources_json"] = srcs
+    return last.reset_index()[_OUT_COLS]
 
 
 def decode_sources_batch(batch: pa.Table) -> pa.Table:
@@ -118,10 +120,12 @@ def decode_sources_batch(batch: pa.Table) -> pa.Table:
 
 def build_edges(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
     """Doc-level triples -> aggregated edges table."""
+    from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
+
     cfg = cfg or PipelineConfig()
     partial = triples.map_batches(
         _partial_edges_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
     )
-    return partial.groupby("edge_key").map_groups(
-        _merge_edge_group, batch_format="pandas"
+    return partitioned_group_map(
+        partial, "edge_key", _merge_edges_partition, cfg.shuffle_partitions
     )

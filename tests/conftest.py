@@ -30,7 +30,7 @@ def small_corpus(tmp_path_factory):
     from neo4j_document_pipeline_ray.sources.corpus import generate_corpus
 
     out = tmp_path_factory.mktemp("corpus")
-    return generate_corpus(str(out), n_docs=150, seed=42)
+    return generate_corpus(str(out), n_docs=150, seed=42, docs_per_file=50)
 
 
 @pytest.fixture(scope="session")

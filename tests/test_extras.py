@@ -1,0 +1,232 @@
+"""Tests for curation extras: dedup, similarity, text stats, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(ray_session, rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": i, "text": t} for i, t in enumerate(rows)],
+        schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    ))
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while the sun sets slowly behind hills ") * 5
+
+
+class TestExactDedup:
+    def test_groups(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.dedup import exact_dedup
+
+        ds = _docs_ds(ray_session, ["aaa", "bbb", "aaa", "aaa", "ccc"])
+        out = {r["text_hash"]: r for r in exact_dedup(ds).take_all()}
+        sizes = sorted(r["n_docs"] for r in out.values())
+        assert sizes == [1, 1, 3]
+        trip = [r for r in out.values() if r["n_docs"] == 3][0]
+        assert trip["keep_doc_id"] == 0
+
+
+class TestMinhash:
+    def test_near_dups_found_and_distinct_not(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.dedup import minhash_dedup_pairs
+
+        near = BASE.replace("quick", "rapid")  # tiny edit
+        other = ("completely different content about economic policy and "
+                 "infrastructure spending in urban regions every year ") * 6
+        ds = _docs_ds(ray_session, [BASE, near, other, BASE])
+        pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(ds, 0.5).take_all()}
+        assert (0, 1) in pairs          # near-dup caught
+        assert (0, 3) in pairs          # exact dup caught
+        assert not any(2 in p for p in pairs)  # distinct doc untouched
+
+    def test_signature_jaccard_estimate(self):
+        from neo4j_document_pipeline_ray.extras.dedup import (
+            estimate_jaccard,
+            minhash_signature,
+        )
+
+        s1 = minhash_signature(BASE)
+        s2 = minhash_signature(BASE)
+        assert estimate_jaccard(s1, s2) == 1.0
+        s3 = minhash_signature("entirely unrelated words " * 30)
+        assert estimate_jaccard(s1, s3) < 0.2
+
+
+class TestConnectedComponents:
+    def test_two_components(self, ray_session):
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.dedup import connected_components
+
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array([1, 2, 10, 11], pa.int64()),
+            "b": pa.array([2, 3, 11, 12], pa.int64()),
+        }))
+        comp = {r["node"]: r["component"] for r in connected_components(pairs).take_all()}
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == comp[12] == 10
+
+    def test_chain_converges(self, ray_session):
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.dedup import connected_components
+
+        # a long chain is the worst case for label propagation
+        n = 40
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array(list(range(n - 1)), pa.int64()),
+            "b": pa.array(list(range(1, n)), pa.int64()),
+        }))
+        comp = {r["node"]: r["component"] for r in
+                connected_components(pairs, max_rounds=8).take_all()}
+        assert set(comp.values()) == {0}
+
+
+class TestSimhash:
+    def test_near_pairs(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.dedup import simhash_near_pairs
+
+        near = BASE.replace("lazy", "idle")
+        other = "unrelated economic policy text about ports and tariffs " * 10
+        ds = _docs_ds(ray_session, [BASE, near, other])
+        pairs = {(r["a"], r["b"]) for r in simhash_near_pairs(ds, 6).take_all()}
+        assert (0, 1) in pairs
+        assert not any(2 in p for p in pairs)
+
+    def test_hamming(self):
+        from neo4j_document_pipeline_ray.extras.dedup import hamming64
+
+        assert hamming64(0b1011, 0b1001) == 1
+        assert hamming64(0, (1 << 64) - 1) == 64
+
+
+class TestSimilarity:
+    @pytest.fixture()
+    def emb(self, ray_session):
+        import ray.data as rd
+
+        return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_brute_force_matches_duckdb(self, ray_session, emb):
+        import duckdb
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            brute_force_topk,
+            query_vector,
+        )
+
+        q = query_vector("/root/testdata/sf0.001")
+        got = brute_force_topk(emb, q, k=10).take_all()
+        want = duckdb.sql("""
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM
+                        read_parquet('/root/testdata/sf0.001/embeddings.parquet')
+                        WHERE vec_id = 0)), 6) AS sim
+            FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet') e
+            ORDER BY sim DESC, e.vec_id LIMIT 10
+        """).fetchall()
+        assert [(r["vec_id"], r["sim"]) for r in got] == want
+
+    def test_lsh_recall(self, ray_session, emb):
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            brute_force_topk,
+            lsh_topk,
+            query_vector,
+        )
+
+        q = query_vector("/root/testdata/sf0.001")
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).take_all()}
+        approx = {r["vec_id"] for r in lsh_topk(emb, q, k=10, multiprobe=2).take_all()}
+        assert len(exact & approx) >= 5  # recall@10 >= 0.5 with multiprobe 2
+
+    def test_label_topk_per_group(self, ray_session, emb):
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            label_topk,
+            query_vector,
+        )
+
+        q = query_vector("/root/testdata/sf0.001")
+        rows = label_topk(emb, q, k=5).take_all()
+        by_label = {}
+        for r in rows:
+            by_label.setdefault(r["label"], []).append(r["sim"])
+        for label, sims in by_label.items():
+            assert len(sims) <= 5
+            assert sims == sorted(sims, reverse=True)
+
+
+class TestTextStats:
+    def test_token_count_matches_python(self, ray_session):
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.textstats import token_count
+
+        got = {r["doc_id"]: r["n_tokens"]
+               for r in token_count("/root/testdata/sf0.001").take_all()}
+        for row in pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pylist():
+            assert got[row["doc_id"]] == len(row["text"].split())
+
+    def test_lang_id(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.textstats import lang_id
+
+        rows = [
+            {"doc_id": 0, "text": "the cat and the dog are in the house"},
+            {"doc_id": 1, "text": "program ini dan yang itu di kampung untuk semua"},
+        ]
+        d = tmp_path / "langid"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = {r["doc_id"]: r["pred_lang"] for r in lang_id(str(d)).take_all()}
+        assert got == {0: "en", 1: "ms"}
+
+    def test_fingerprint_deterministic(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.textstats import fingerprints
+
+        a = sorted((r["doc_id"], r["fingerprint"])
+                   for r in fingerprints("/root/testdata/sf0.001").take_all())
+        b = sorted((r["doc_id"], r["fingerprint"])
+                   for r in fingerprints("/root/testdata/sf0.001").take_all())
+        assert a == b
+        assert len({fp for _, fp in a}) > 100  # discriminative
+
+
+class TestMultimodal:
+    def test_plumbing(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.multimodal import (
+            FEATURE_DIM,
+            extract_media_features,
+            synthesize_media,
+        )
+
+        out = extract_media_features(synthesize_media(n=30)).take_all()
+        assert len(out) == 30
+        for r in out:
+            assert len(r["feature"]) == FEATURE_DIM
+            assert r["n_bytes"] > 0
+            assert abs(float(np.linalg.norm(r["feature"])) - 1.0) < 1e-3
+
+    def test_deterministic(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.multimodal import (
+            extract_media_features,
+            synthesize_media,
+        )
+
+        a = {r["media_id"]: list(r["feature"])
+             for r in extract_media_features(synthesize_media(n=10)).take_all()}
+        b = {r["media_id"]: list(r["feature"])
+             for r in extract_media_features(synthesize_media(n=10)).take_all()}
+        assert a == b
+
+    def test_real_decoder_is_explicit_stub(self):
+        from neo4j_document_pipeline_ray.extras.multimodal import RealDecoder
+
+        with pytest.raises(NotImplementedError):
+            RealDecoder("image").decode(b"\x89PNG")
