@@ -59,10 +59,11 @@ def run_bench() -> dict:
     rd.read_parquet(paths["pages"], columns=["url"]).count()
 
     cfg = PipelineConfig(
-        extract_concurrency=max(2, NUM_CPUS // 2),
-        embed_concurrency=max(2, NUM_CPUS // 4),
-        join_partitions=max(8, NUM_CPUS),
+        extract_concurrency=(1, max(2, NUM_CPUS // 8)),
+        embed_concurrency=(1, max(2, NUM_CPUS // 4)),
+        join_partitions=max(4, NUM_CPUS // 4),
         shuffle_partitions=max(8, NUM_CPUS),
+        shard_parallelism=max(2, NUM_CPUS // 4),
     )
     out_dir = f"/tmp/bench_snapshot_{NUM_CPUS}"
     if os.path.isdir(out_dir):

@@ -39,6 +39,8 @@ class PipelineConfig:
     # --- snapshot layout ---
     entity_buckets: int = 16             # entity-id range partitions of nodes/edges
     input_shards: int = 4                # url-hash shards for resumable extraction
+    shard_parallelism: int = 4           # concurrent shard pipelines in stage A
+    read_blocks_per_file: int = 8        # block-split hint per input file
 
     # --- misc ---
     src_text_max_chars: int = 1000       # normal-triple provenance truncation

@@ -53,6 +53,38 @@ from neo4j_document_pipeline_ray.stages.triple_extract import extract_triples
 from neo4j_document_pipeline_ray.state import manifest as mf
 
 
+def _patch_fsspec_http_for_threads() -> None:
+    """Make ``fsspec.implementations.http`` import-safe under threads.
+
+    The module fails to import here (no aiohttp).  Single-threaded, Ray's
+    ``_is_http_filesystem`` catches the ``ModuleNotFoundError``; but when
+    several shard threads race the first import, the partially-initialized
+    module raises a plain ``ImportError`` that Ray does not catch.  Install
+    a stub with a never-matching ``HTTPFileSystem`` class so the import
+    always succeeds deterministically.
+    """
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except ImportError:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # placeholder: aiohttp unavailable in this env
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+        try:
+            import fsspec.implementations as fsi
+
+            fsi.http = mod
+        except Exception:
+            pass
+
+
 def _list_input_files(pages_path: str) -> List[str]:
     if os.path.isdir(pages_path):
         return sorted(
@@ -67,13 +99,42 @@ def _shard_groups(files: List[str], shard_files: int) -> List[List[str]]:
     return [files[i : i + shard_files] for i in range(0, len(files), shard_files)]
 
 
+def _effective_shard_workers(cfg: PipelineConfig, n_todo: int) -> int:
+    """Concurrent shard pipelines, capped so actor pools can't starve tasks.
+
+    Each shard pipeline holds an extraction actor pool for its lifetime;
+    running more shards than ``CPUs // (min_actors + 1)`` would pin every
+    CPU under actors and deadlock the stateless tasks (read/join/write)
+    behind them.  The ``+1`` reserves at least one task slot per shard.
+    """
+    import ray
+
+    cpus = 0
+    try:
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    if not cpus:
+        cpus = os.cpu_count() or 8
+    ec = cfg.extract_concurrency
+    min_actors = ec[0] if isinstance(ec, (tuple, list)) else ec
+    per_shard = max(2, int(min_actors) + 1)
+    return max(1, min(cfg.shard_parallelism, n_todo, cpus // per_shard))
+
+
 def run_extraction_shard(
     files: List[str], out_dir: str, shard: int, cfg: PipelineConfig,
     extract_backend=None,
 ) -> Dict:
+    from ray.data.aggregate import Max
+
     t0 = time.time()
-    pages = ray.data.read_parquet(files, columns=["url", "html"])
-    docs = dedupe_docs(extract_docs(pages, cfg))
+    pages = ray.data.read_parquet(
+        files, columns=["url", "html"],
+        override_num_blocks=max(2, len(files) * cfg.read_blocks_per_file),
+    )
+    docs = dedupe_docs(extract_docs(pages, cfg)).materialize()
     chunks = chunk_docs(docs, cfg).materialize()
     membership = chunks.select_columns(["doc_id", "chunk_idx", "chunk_id"])
     uniq = chunks.groupby("chunk_id").aggregate(Min("text", alias_name="text"))
@@ -92,16 +153,13 @@ def run_extraction_shard(
     docs.write_parquet(docs_dir)
     triples.write_parquet(trip_dir)
 
-    n_docs = docs.count()
-    n_chunks = chunks.count()
-    n_triples = triples.count()
-    urls = [r["url"] for r in docs.select_columns(["url"]).take_all()]
+    url_range = docs.aggregate(Min("url", alias_name="lo"), Max("url", alias_name="hi"))
     stats = {
         "input_files": [os.path.basename(f) for f in files],
-        "url_range": [min(urls), max(urls)] if urls else [None, None],
-        "n_docs": n_docs,
-        "n_chunks": n_chunks,
-        "n_triples": n_triples,
+        "url_range": [url_range.get("lo"), url_range.get("hi")],
+        "n_docs": docs.count(),
+        "n_chunks": chunks.count(),
+        "n_triples": triples.count(),
         "wall_s": round(time.time() - t0, 3),
     }
     mf.commit_shard(out_dir, shard, stats)
@@ -147,21 +205,43 @@ def build_snapshot(
     os.makedirs(out_dir, exist_ok=True)
 
     shards = _shard_groups(_list_input_files(pages_path), shard_files)
-    skipped = 0
-    for i, files in enumerate(shards):
-        if resume and mf.shard_committed(out_dir, i):
-            skipped += 1
-            continue
-        run_extraction_shard(files, out_dir, i, cfg, extract_backend)
-    t_extract = time.time()
+    todo = [(i, files) for i, files in enumerate(shards)
+            if not (resume and mf.shard_committed(out_dir, i))]
+    skipped = len(shards) - len(todo)
+    if todo:
+        # Shard pipelines are independent; run a few concurrently so one
+        # shard's stage latency doesn't idle the cluster.  Each thread
+        # drives its own streaming execution; Ray schedules tasks from
+        # all of them onto the shared CPU pool.
+        _patch_fsspec_http_for_threads()
+        from concurrent.futures import ThreadPoolExecutor
 
+        workers = _effective_shard_workers(cfg, len(todo))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futs = [
+                pool.submit(run_extraction_shard, files, out_dir, i, cfg, extract_backend)
+                for i, files in todo
+            ]
+            for f in futs:
+                f.result()
+    t_extract = time.time()
+    timings: Dict[str, float] = {}
+
+    def mark(name: str, t_prev: List[float]) -> None:
+        now = time.time()
+        timings[name] = round(now - t_prev[0], 3)
+        t_prev[0] = now
+
+    tp = [time.time()]
     triples = ray.data.read_parquet(os.path.join(out_dir, "triples")).materialize()
+    mark("read_triples", tp)
 
     nodes = build_nodes(triples, cfg)
     mentions = build_mentions(triples, cfg)
     edges = build_edges(triples, cfg)
     if with_embeddings:
         embeddings = build_embeddings(triples, cfg, backend=embed_backend).materialize()
+        mark("embeddings", tp)
         nodes = nodes.join(
             embeddings, join_type="inner", num_partitions=cfg.join_partitions,
             on=("node_key",), right_on=("text_key",),
@@ -173,8 +253,11 @@ def build_snapshot(
     edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
 
     _write_bucketed(nodes, out_dir, "nodes", cfg, "entity_id")
+    mark("nodes", tp)
     _write_bucketed(edges, out_dir, "edges", cfg, "src_id")
+    mark("edges", tp)
     _write_bucketed(mentions, out_dir, "mentions", cfg, None)
+    mark("mentions", tp)
     t_done = time.time()
 
     counts = {
@@ -197,6 +280,7 @@ def build_snapshot(
             "extraction": round(t_extract - t_start, 3),
             "graph_shuffles": round(t_done - t_extract, 3),
             "total": round(t_done - t_start, 3),
+            **{f"shuffle_{k}": v for k, v in timings.items()},
         },
     }
     mf.write_json_atomic(mf.root_manifest_path(out_dir), root)

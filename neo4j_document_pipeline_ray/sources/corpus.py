@@ -488,6 +488,7 @@ def generate_corpus(
         pq.write_table(
             pages_batch(list(range(lo, hi)), seed),
             os.path.join(pages_dir, f"part-{shard_idx:05d}.parquet"),
+            row_group_size=250,  # small row groups → the reader can split blocks
         )
 
     use_ray = False
@@ -506,6 +507,7 @@ def generate_corpus(
             pq.write_table(
                 pages_batch(list(range(lo, hi)), s),
                 os.path.join(d, f"part-{shard_idx:05d}.parquet"),
+                row_group_size=250,
             )
 
         ray.get([_gen.remote(i, lo, hi, pages_dir, seed)
