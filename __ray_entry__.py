@@ -266,6 +266,68 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(sf_dir)
 
 
+# fixed retrieval inputs for the oracle-checked query-layer entries;
+# tokens chosen to overlap many entity surface forms so the keyword
+# channel's scoring/ranking is exercised on a non-trivial result set
+_QUESTION = ('How does the "National Broadband Plan" support the Six Pillars '
+             'and the rural skills initiative rollout?')
+_KHOP_SEED_NAMES = ["United States", "Six Pillars"]
+
+
+def _q_kg_vector_topk(sf_dir: str):
+    from neo4j_document_pipeline_ray.pipelines.graphrag import (
+        embed_question,
+        vector_topk,
+    )
+
+    return vector_topk(_kg(sf_dir)["nodes"], embed_question(_QUESTION), k=10)
+
+
+def _q_kg_keyword_topk(sf_dir: str):
+    from neo4j_document_pipeline_ray.pipelines.graphrag import keyword_topk
+
+    return keyword_topk(_kg(sf_dir)["nodes"], _QUESTION, k=12)
+
+
+def _khop_seeds() -> list[int]:
+    from neo4j_document_pipeline_ray.functions.textnorm import (
+        normalize_name_for_key,
+        stable_id,
+    )
+
+    return [stable_id(normalize_name_for_key(n)) for n in _KHOP_SEED_NAMES]
+
+
+def _q_kg_khop(sf_dir: str):
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.pipelines.graphrag import khop_entity_ids
+
+    ids = khop_entity_ids(_kg(sf_dir)["edges"], _khop_seeds(), max_hops=1)
+    return pd.DataFrame({"entity_id": pd.Series(ids, dtype="int64")})
+
+
+def _q_kg_graphrag(sf_dir: str):
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.pipelines.graphrag import graphrag
+
+    res = graphrag(_kg(sf_dir), _QUESTION, top_k=5, hops=2)
+    return pd.DataFrame({"fact": res["facts"].splitlines()})
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
 def _q_mm_features(sf_dir: str):
     from neo4j_document_pipeline_ray.extras.multimodal import (
         extract_media_features,
@@ -293,6 +355,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_chunks": _q_kg_chunks,
         "kg_embeddings": _q_kg_embeddings,
+        # --- query layer over the KG (graphutil.py retrieval semantics) ---
+        "kg_vector_topk": _q_kg_vector_topk,
+        "kg_keyword_topk": _q_kg_keyword_topk,
+        "kg_khop": _q_kg_khop,
+        "kg_graphrag": _q_kg_graphrag,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
         "rel_segment_topk": rel.q_segment_revenue_topk,
@@ -306,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": exact_dedup_sf,
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprints,
+        "docs_ngram_jaccard": _q_ngram_jaccard,
         "docs_minhash_pairs": _q_minhash_pairs,
         "docs_minhash_components": _q_minhash_components,
         "docs_simhash_pairs": _q_simhash_pairs,
@@ -317,8 +385,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _keyword_topk_sql(nname: str) -> str:
+    """Oracle for the deterministic fulltext stand-in: score nodes of
+    the truth-derived entity set by query-token / anchor-phrase matches
+    on the normalized name, exactly as pipelines.graphrag.keyword_topk.
+    Token and phrase sets are computed by the SAME Python helpers the
+    Ray path uses and inlined as literals."""
+    from neo4j_document_pipeline_ray.functions.textnorm import normalize_name_for_key
+    from neo4j_document_pipeline_ray.pipelines.graphrag import _query_terms
+
+    anchors, terms = _query_terms(_QUESTION)
+    toks = sorted({t for term in terms for t in normalize_name_for_key(term).split()})
+    phrases = sorted({normalize_name_for_key(a) for a in anchors if " " in a})
+    tok_score = " + ".join(
+        f"CASE WHEN list_contains(string_split(norm_key, ' '), '{t}') THEN 1 ELSE 0 END"
+        for t in toks
+    ) or "0"
+    phrase_score = " + ".join(
+        f"CASE WHEN norm_key LIKE '%{p}%' THEN 1 ELSE 0 END" for p in phrases
+    ) or "0"
+    return f"""
+        WITH m AS (
+            SELECT subject AS name, subject_type AS label
+            FROM read_parquet('{_TRUTH_001}')
+            UNION ALL
+            SELECT object, object_type FROM read_parquet('{_TRUTH_001}')
+        ), k AS (
+            SELECT name, label, {nname} AS norm_key FROM m
+        ), g AS (
+            SELECT norm_key, min(name || chr(31) || label) AS rep
+            FROM k GROUP BY norm_key
+        ), scored AS (
+            SELECT {_eid_sql('norm_key')} AS entity_id,
+                   split_part(rep, chr(31), 2) AS label,
+                   split_part(rep, chr(31), 1) AS name,
+                   CAST(({tok_score}) + ({phrase_score}) AS DOUBLE) AS score
+            FROM g
+        )
+        SELECT entity_id, label, name, score FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, entity_id
+        LIMIT 16
+    """
+
+
+def _khop_sql(nsub: str, nobj: str) -> str:
+    """Oracle for the 1-hop undirected neighborhood of the fixed seeds
+    over the truth-derived edge set (NODE_GLOBAL uniqueness = plain
+    DISTINCT closure; 1 hop keeps the result a strict subgraph of the
+    dense sf0.01 graph so the check is discriminative)."""
+    seeds = _khop_seeds()
+    values = ", ".join(f"({i})" for i in seeds)
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), und AS (
+            SELECT s AS a, d AS b FROM e UNION SELECT d, s FROM e
+        ), seeds(id) AS (
+            SELECT * FROM (VALUES {values})
+        ), h1 AS (
+            SELECT id FROM seeds
+            UNION
+            SELECT und.b FROM und JOIN seeds ON und.a = seeds.id
+        )
+        SELECT id AS entity_id FROM h1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
-    from neo4j_document_pipeline_ray.extras.dedup import EXACT_DEDUP_SQL
+    from neo4j_document_pipeline_ray.extras.dedup import (
+        EXACT_DEDUP_SQL,
+        NGRAM_JACCARD_SQL,
+    )
     from neo4j_document_pipeline_ray.extras.textstats import QUALITY_SQL, TOKEN_COUNT_SQL
     from neo4j_document_pipeline_ray.pipelines import relational as rel
 
@@ -391,6 +530,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, {_eid_sql(nname)} AS entity_id FROM m
         """,
+        "kg_keyword_topk": _keyword_topk_sql(nname),
+        "kg_khop": _khop_sql(nsub, nobj),
         "rel_lineitem_agg": rel.Q_LINEITEM_AGG_SQL,
         "rel_segment_topk": rel.Q_SEGMENT_REVENUE_TOPK_SQL,
         "rel_brand_supplier": rel.Q_BRAND_SUPPLIER_STATS_SQL,
@@ -400,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_quality": QUALITY_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,
+        "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
         "ann_topk": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(

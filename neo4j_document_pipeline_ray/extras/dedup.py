@@ -32,6 +32,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from neo4j_document_pipeline_ray.stages.grouped import safe_join
+
 # --- exact dedup ----------------------------------------------------------
 
 
@@ -185,11 +187,11 @@ def minhash_dedup_pairs(
     sigs, pairs = minhash_candidate_pairs(docs)
     if pairs.count() == 0:
         return pairs
-    j = pairs.join(sigs, join_type="inner", num_partitions=8,
+    j = safe_join(pairs, sigs, join_type="inner", num_partitions=8,
                    on=("a",), right_on=("doc_id",), right_suffix="_a")
     sig_col = "sig" if "sig" in j.schema().names else "sig_a"
     j = j.rename_columns({sig_col: "siga"}) if sig_col != "siga" else j
-    j = j.join(sigs, join_type="inner", num_partitions=8,
+    j = safe_join(j, sigs, join_type="inner", num_partitions=8,
                on=("b",), right_on=("doc_id",), right_suffix="_b")
 
     def verify(t: pa.Table) -> pa.Table:
@@ -383,3 +385,137 @@ def simhash_near_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.d
     if pairs.count() == 0:
         return pairs
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+# --- exact n-gram Jaccard -------------------------------------------------
+
+_GRAM_WORD_RE = None  # compiled lazily per process
+
+
+def _gram_words(text: str) -> List[str]:
+    """Lowercased alphanumeric word tokens (matches NGRAM_JACCARD_SQL)."""
+    global _GRAM_WORD_RE
+    if _GRAM_WORD_RE is None:
+        import re
+
+        _GRAM_WORD_RE = re.compile(r"[a-z0-9]+")
+    return _GRAM_WORD_RE.findall(text.lower())
+
+
+def _gram_hashes_batch(t: pa.Table, n: int) -> pa.Table:
+    """(doc_id, gram-hash) rows, distinct grams per doc."""
+    ids, grams = [], []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        words = _gram_words(text or "")
+        seen = set()
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i : i + n])
+            if g in seen:
+                continue
+            seen.add(g)
+            ids.append(doc_id)
+            grams.append(np.int64(np.uint64(_fnv64(g))))
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "gram": pa.array(grams, pa.int64()),
+    })
+
+
+def ngram_jaccard_pairs(
+    docs: "ray.data.Dataset",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_gram_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT word-n-gram Jaccard near-dup pairs (a < b, jaccard >= t).
+
+    Fully shuffle-based — no driver-side set math:
+
+      1. explode docs -> distinct (doc, gram-hash) rows;
+      2. |set| per doc via ``groupby(doc_id).count()``;
+      3. co-occurrence pairs per gram via partition-wise grouping, then
+         ``groupby(a, b).count()`` = |A ∩ B| (each shared gram
+         contributes exactly one pair row);
+      4. two hash joins pull in |A| and |B|; jaccard = i / (|A|+|B|-i).
+
+    ``max_gram_docs`` caps pathological grams (boilerplate shared by
+    thousands of docs): grams above the cap are *dropped* from pair
+    generation — at a 0.8 threshold such grams never decide a pair on
+    their own, but the count becomes a lower bound, so the default is
+    None (exact) and the cap is the documented 100 TB knob.  MinHash+LSH
+    (above) is the probabilistic scale path.
+    """
+    grams = docs.map_batches(
+        lambda t: _gram_hashes_batch(t, n), batch_format="pyarrow"
+    ).materialize()
+    sizes = grams.groupby("doc_id").aggregate(Count(alias_name="n_grams"))
+
+    cap = max_gram_docs
+
+    def gram_pairs_partition(df):
+        import pandas as pd
+
+        out_a, out_b = [], []
+        for _, ids_s in df.groupby("gram", sort=False)["doc_id"]:
+            ids = sorted(set(ids_s))
+            if len(ids) < 2 or (cap is not None and len(ids) > cap):
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i]); out_b.append(ids[j])
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
+
+    pair_rows = partitioned_group_map(grams, "gram", gram_pairs_partition, 16)
+    if pair_rows.count() == 0:
+        return pair_rows
+    inter = pair_rows.groupby(["a", "b"]).aggregate(Count(alias_name="i"))
+    j = safe_join(inter, sizes, join_type="inner", num_partitions=8,
+                   on=("a",), right_on=("doc_id",))
+    j = j.rename_columns({"n_grams": "na"})
+    j = safe_join(j, sizes, join_type="inner", num_partitions=8,
+               on=("b",), right_on=("doc_id",))
+    j = j.rename_columns({"n_grams": "nb"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = i / (na + nb - i)
+        keep = np.nonzero(jac >= threshold)[0]
+        sub = t.select(["a", "b"]).take(pa.array(keep))
+        return sub.append_column(
+            "jaccard", pa.array(np.round(jac[keep], 6), pa.float64())
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+NGRAM_JACCARD_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(
+               lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' +'),
+               x -> x <> '') AS ws
+    FROM documents
+), g AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+    FROM w WHERE len(ws) >= 3
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+), inter AS (
+    SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+    FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+    GROUP BY 1, 2
+)
+SELECT inter.a, inter.b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.a
+JOIN sizes sb ON sb.doc_id = inter.b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+"""

@@ -1,0 +1,621 @@
+"""Query layer: the reference's ``/graphrag`` retrieval path over the
+materialized KG tables.
+
+Reference flow (``main.py:221-400``): embed question -> hybrid
+vector+keyword candidates (``graphutil.py:401-447``) -> optional MMR
+(``graphutil.py:452-497``) -> cross-document diversification
+(``graphutil.py:512-542``) -> one seed per document (``main.py:316-333``)
+-> k-hop neighborhood expansion, hops clamped 1..3 (``main.py:335-338``,
+``graphutil.py:547-632``) -> "Graph Facts" formatting with read-time
+dedup by normalized (subject, type, object) (``graphutil.py:698-767``).
+
+Scale shape: the *scoring* passes run distributed —
+``map_batches(batch_format="pyarrow")`` over the full ``nodes`` table
+with per-batch numpy top-k partials, then ``sort + limit`` over the
+shrunken partials.  Everything after candidate selection operates on
+<= k rows (k ~ 12, mirroring the reference) and is driver-side by
+design, exactly like the reference.  The k-hop expansion broadcasts the
+(small) frontier id set into a distributed filter over the (huge)
+``edges`` table each round — no shuffle, bounded rounds.
+
+The keyword channel is a deterministic BM25 stand-in (Lucene isn't in
+scope; the reference's ``_extract_keywords`` LLM fallback degrades to
+``question.split()`` — ``graphutil.py:241-242`` — which is the behavior
+reproduced here): score = matched query tokens in the normalized node
+name, quoted phrases (anchor terms, ``graphutil.py:245-264``) weighted
+double.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from neo4j_document_pipeline_ray.config import PipelineConfig
+from neo4j_document_pipeline_ray.functions.textnorm import normalize_name_for_key
+from neo4j_document_pipeline_ray.stages.embed import HashEmbedder
+
+# quoted-phrase anchors (reference _ANCHOR_RE, graphutil.py:244)
+_ANCHOR_RE = re.compile(r'"([^"]+)"|“([^”]+)”|‘([^’]+)’|\'([^\']+)\'')
+_WORD_RE = re.compile(r"[A-Za-z][A-Za-z\-]+")
+
+
+def anchor_terms(question: str, max_terms: int = 3) -> List[str]:
+    """Quoted phrases, then Title-Case bigrams (graphutil.py:245-287)."""
+    anchors: List[str] = []
+    for g in _ANCHOR_RE.findall(question):
+        val = next((x for x in g if x), "").strip()
+        if val and val.lower() not in ("and", "or", "the"):
+            anchors.append(val)
+    if len(anchors) < max_terms:
+        words = _WORD_RE.findall(question)
+        for w1, w2 in zip(words, words[1:]):
+            if w1[0].isupper() and w2[0].isupper():
+                pair = f"{w1} {w2}"
+                if pair not in anchors:
+                    anchors.append(pair)
+                    if len(anchors) >= max_terms:
+                        break
+    seen: set = set()
+    out = []
+    for a in anchors:
+        if a not in seen:
+            out.append(a)
+            seen.add(a)
+    return out[:max_terms]
+
+
+def keyword_terms(question: str, max_terms: int = 8) -> List[str]:
+    """Deterministic keyword extraction (the reference's LLM-failure
+    fallback, graphutil.py:241-242)."""
+    return question.split()[:max_terms]
+
+
+def _query_terms(question: str) -> Tuple[List[str], List[str]]:
+    """(anchors, keywords) merged-dedup order as in fulltext_search
+    (graphutil.py:313-325)."""
+    anchors = anchor_terms(question, max_terms=3)
+    kws = keyword_terms(question, max_terms=8)
+    terms: List[str] = []
+    seen: set = set()
+    for t in anchors + kws:
+        t = (t or "").strip()
+        if t and t.lower() not in seen:
+            terms.append(t)
+            seen.add(t.lower())
+    return anchors, terms
+
+
+# ---------------------------------------------------------------------------
+# distributed scoring channels
+# ---------------------------------------------------------------------------
+
+
+def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ListArray) or isinstance(arr, pa.LargeListArray):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n = len(arr)
+        return flat.reshape(n, -1)
+    return np.stack(arr.to_numpy(zero_copy_only=False))
+
+
+def vector_topk(
+    nodes: "ray.data.Dataset", qvec: np.ndarray, k: int = 12
+) -> "ray.data.Dataset":
+    """Cosine top-k over the nodes table (the per-label vector index
+    queries merged with max-score dedup, graphutil.py:364-391; node ids
+    are already unique post-canonicalization so the dedup is a no-op).
+
+    Per-batch numpy scoring + per-batch top-k partial, then a tiny
+    global sort/limit over ``num_batches * k`` rows.
+    """
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    qref = ray.put(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        # float64 so the rounded score is batch-size independent
+        m = _emb_matrix(t["embedding"]).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m @ qv) / norms, 6)
+        ids = t["entity_id"].to_numpy(zero_copy_only=False)
+        # ties at the per-batch cutoff must break the same way as the
+        # global sort (score desc, entity_id asc) or the partial drops
+        # rows the global top-k would keep
+        order = np.lexsort((ids, -sims))[:k]
+        sub = t.select(["entity_id", "label", "name"]).take(pa.array(order))
+        return sub.append_column("score", pa.array(sims[order], pa.float64()))
+
+    partial = nodes.map_batches(score, batch_format="pyarrow")
+    return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
+
+
+def keyword_topk(
+    nodes: "ray.data.Dataset", question: str, k: int = 12
+) -> "ray.data.Dataset":
+    """Deterministic fulltext stand-in over node names.
+
+    score = |query tokens matched in the normalized name| + an extra
+    +1 per matched anchor *phrase* (anchors are force-included in the
+    reference's Lucene query and naturally score higher under BM25).
+    Rows with score 0 are dropped (no Lucene hit).  Retrieval limit is
+    ``max(k, 16)`` like fulltext_search (graphutil.py:329).
+    """
+    anchors, terms = _query_terms(question)
+    tok_set = frozenset(
+        tok for t in terms for tok in normalize_name_for_key(t).split()
+    )
+    phrase_set = frozenset(
+        normalize_name_for_key(a) for a in anchors if " " in a
+    )
+    lim = max(k, 16)
+
+    def score(t: pa.Table) -> pa.Table:
+        names = t["name"].to_pylist()
+        scores = np.zeros(len(names), dtype=np.float64)
+        for i, nm in enumerate(names):
+            norm = normalize_name_for_key(nm)
+            ntoks = set(norm.split())
+            s = float(len(ntoks & tok_set))
+            for p in phrase_set:
+                if p and p in norm:
+                    s += 1.0
+            scores[i] = s
+        keep = np.nonzero(scores > 0)[0]
+        if len(keep) > lim:
+            ids = t["entity_id"].to_numpy(zero_copy_only=False)[keep]
+            keep = keep[np.lexsort((ids, -scores[keep]))[:lim]]
+        sub = t.select(["entity_id", "label", "name"]).take(pa.array(keep))
+        return sub.append_column("score", pa.array(scores[keep], pa.float64()))
+
+    partial = nodes.map_batches(score, batch_format="pyarrow")
+    return partial.sort(["score", "entity_id"], descending=[True, False]).limit(lim)
+
+
+# ---------------------------------------------------------------------------
+# hybrid blend + driver-side selection (operates on <= k rows, like the
+# reference)
+# ---------------------------------------------------------------------------
+
+
+def _minmax(vals: List[float]) -> List[float]:
+    if not vals:
+        return []
+    lo, hi = min(vals), max(vals)
+    if hi - lo < 1e-12:
+        return [1.0 for _ in vals]
+    return [(v - lo) / (hi - lo) for v in vals]
+
+
+def hybrid_candidates(
+    nodes: "ray.data.Dataset",
+    question: str,
+    qvec: np.ndarray,
+    k_vec: int = 12,
+    k_kw: int = 12,
+    alpha_vec: float = 0.6,
+    beta_kw: float = 0.25,
+) -> List[Dict[str, Any]]:
+    """Blend the two channels exactly as graphutil.py:401-447: max-score
+    per entity within a channel, per-channel min-max normalization, then
+    a weighted sum with weights renormalized to 1."""
+    vec_hits = vector_topk(nodes, qvec, k=k_vec).take_all()
+    kw_hits = keyword_topk(nodes, question, k=k_kw).take_all()
+
+    raw: Dict[int, Dict[str, Any]] = {}
+    for h in vec_hits:
+        e = raw.setdefault(h["entity_id"], {**h, "vec": 0.0, "kw": 0.0})
+        e["vec"] = max(e["vec"], float(h["score"]))
+    for h in kw_hits:
+        e = raw.setdefault(h["entity_id"], {**h, "vec": 0.0, "kw": 0.0})
+        e["kw"] = max(e["kw"], float(h["score"]))
+
+    entries = sorted(raw.values(), key=lambda e: e["entity_id"])
+    vec_n = _minmax([e["vec"] for e in entries])
+    kw_n = _minmax([e["kw"] for e in entries])
+    w_sum = max(1e-12, alpha_vec + beta_kw)
+    w_vec, w_kw = alpha_vec / w_sum, beta_kw / w_sum
+    out = []
+    for e, vn, kn in zip(entries, vec_n, kw_n):
+        out.append(
+            {
+                "entity_id": e["entity_id"],
+                "label": e["label"],
+                "name": e["name"],
+                "score": round(w_vec * vn + w_kw * kn, 6),
+            }
+        )
+    out.sort(key=lambda d: (-d["score"], d["entity_id"]))
+    return out
+
+
+def mmr_select(
+    candidates: List[Dict[str, Any]],
+    embeddings: Dict[int, np.ndarray],
+    k: int,
+    lambda_mult: float = 0.7,
+) -> List[Dict[str, Any]]:
+    """Maximal Marginal Relevance (graphutil.py:452-497): greedy pick
+    maximizing ``lambda*relevance - (1-lambda)*max_sim_to_selected``."""
+    if not candidates:
+        return []
+
+    def unit(v: Optional[np.ndarray]) -> Optional[np.ndarray]:
+        if v is None:
+            return None
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    embs = [unit(embeddings.get(c["entity_id"])) for c in candidates]
+    rest = list(range(len(candidates)))
+    best0 = max(rest, key=lambda i: (candidates[i]["score"], -candidates[i]["entity_id"]))
+    selected = [best0]
+    rest.remove(best0)
+
+    def max_sim(j: int) -> float:
+        ej = embs[j]
+        if ej is None:
+            return 0.0
+        sims = [float(ej @ embs[i]) if embs[i] is not None else 0.0 for i in selected]
+        return max(sims) if sims else 0.0
+
+    while rest and len(selected) < min(k, len(candidates)):
+        best_j, best_val = None, -1e9
+        for j in rest:
+            val = lambda_mult * candidates[j]["score"] - (1 - lambda_mult) * max_sim(j)
+            if val > best_val:
+                best_val, best_j = val, j
+        selected.append(best_j)
+        rest.remove(best_j)
+    return [candidates[i] for i in selected]
+
+
+def diversify_by_document(
+    candidates: List[Dict[str, Any]],
+    titles: Dict[int, Optional[str]],
+    k: int,
+) -> List[Dict[str, Any]]:
+    """Round-robin across owning documents (graphutil.py:512-542):
+    buckets keyed by doc title, ordered by each bucket's best score."""
+    if not candidates:
+        return []
+    buckets: Dict[str, List[Dict[str, Any]]] = {}
+    for c in candidates:
+        t = titles.get(c["entity_id"]) or "__NO_DOC__"
+        buckets.setdefault(t, []).append(c)
+    for b in buckets.values():
+        b.sort(key=lambda c: (-c["score"], c["entity_id"]))
+    order = sorted(buckets, key=lambda key: (-buckets[key][0]["score"], key))
+    picked: List[Dict[str, Any]] = []
+    ptrs = {key: 0 for key in buckets}
+    while len(picked) < min(k, len(candidates)):
+        progressed = False
+        for key in order:
+            i = ptrs[key]
+            if i < len(buckets[key]):
+                picked.append(buckets[key][i])
+                ptrs[key] += 1
+                progressed = True
+                if len(picked) >= k:
+                    break
+        if not progressed:
+            break
+    return picked
+
+
+def one_seed_per_document(
+    candidates: List[Dict[str, Any]],
+    first_doc: Dict[int, Optional[str]],
+) -> List[int]:
+    """Keep the first candidate per owning document (main.py:316-333);
+    nodes without a document count as their own bucket."""
+    seen: set = set()
+    seeds: List[int] = []
+    for c in candidates:
+        doc = first_doc.get(c["entity_id"]) or str(c["entity_id"])
+        if doc in seen:
+            continue
+        seen.add(doc)
+        seeds.append(c["entity_id"])
+    return seeds
+
+
+# ---------------------------------------------------------------------------
+# provenance lookups (distributed semi-joins on the mentions/docs tables)
+# ---------------------------------------------------------------------------
+
+
+def _filter_by_ids(
+    ds: "ray.data.Dataset", ids: Sequence[int], col: str
+) -> "ray.data.Dataset":
+    """Broadcast-filter a big table down to rows whose ``col`` is in a
+    small id set — ``ray.put`` once, read per batch; no shuffle."""
+    ref = ray.put(frozenset(int(i) for i in ids))
+
+    def flt(t: pa.Table) -> pa.Table:
+        idset = ray.get(ref)
+        mask = pa.array([v in idset for v in t[col].to_pylist()], pa.bool_())
+        return t.filter(mask)
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def doc_titles_for_nodes(
+    mentions: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    entity_ids: Sequence[int],
+) -> Dict[int, Optional[str]]:
+    """{entity_id -> owning doc title} via mentions x docs
+    (graphutil.py:676-696; "first" doc = min doc_id, deterministic)."""
+    if not entity_ids:
+        return {}
+    hits = _filter_by_ids(mentions, entity_ids, "entity_id").take_all()
+    if not hits:
+        return {}
+    first: Dict[int, str] = {}
+    for h in hits:
+        e = int(h["entity_id"])
+        if e not in first or h["doc_id"] < first[e]:
+            first[e] = h["doc_id"]
+    doc_ids = sorted(set(first.values()))
+    ref = ray.put(frozenset(doc_ids))
+
+    def flt(t: pa.Table) -> pa.Table:
+        ids = ray.get(ref)
+        mask = pa.array([v in ids for v in t["doc_id"].to_pylist()], pa.bool_())
+        return t.filter(mask).select(["doc_id", "title"])
+
+    titles = {
+        r["doc_id"]: r["title"]
+        for r in docs.map_batches(flt, batch_format="pyarrow").take_all()
+    }
+    return {e: titles.get(d) for e, d in first.items()}
+
+
+def first_doc_for_nodes(
+    mentions: "ray.data.Dataset", entity_ids: Sequence[int]
+) -> Dict[int, Optional[str]]:
+    """{entity_id -> first (min) mentioning doc_id} (main.py:317-323)."""
+    if not entity_ids:
+        return {}
+    hits = _filter_by_ids(mentions, entity_ids, "entity_id").take_all()
+    first: Dict[int, str] = {}
+    for h in hits:
+        e = int(h["entity_id"])
+        if e not in first or h["doc_id"] < first[e]:
+            first[e] = h["doc_id"]
+    return {int(i): first.get(int(i)) for i in entity_ids}
+
+
+# ---------------------------------------------------------------------------
+# k-hop expansion
+# ---------------------------------------------------------------------------
+
+
+def traverse_neighbors(
+    edges: "ray.data.Dataset",
+    seed_ids: Sequence[int],
+    max_hops: int = 1,
+) -> Dict[str, Any]:
+    """BFS neighborhood expansion with NODE_GLOBAL uniqueness
+    (graphutil.py:547-632; hop clamp 1..3 from main.py:335-338).
+
+    Undirected like the reference's ``-[*1..h]-`` pattern.  Each round
+    broadcast-filters the edges table on the current frontier (small id
+    set against a huge table — no shuffle), collects the incident
+    edges, and advances the frontier to unvisited endpoints.  Rounds
+    are bounded by the hop clamp, so the whole expansion is <= 3
+    distributed filter passes.
+    """
+    hops = max(1, min(int(max_hops), 3))
+    if not seed_ids:
+        return {"node_ids": [], "rels": []}
+    visited = set(int(i) for i in seed_ids)
+    frontier = set(visited)
+    rels: List[Dict[str, Any]] = []
+    seen_edges: set = set()
+    for _ in range(hops):
+        if not frontier:
+            break
+        ref = ray.put(frozenset(frontier))
+
+        def flt(t: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            src = t["src_id"].to_pylist()
+            dst = t["dst_id"].to_pylist()
+            mask = pa.array(
+                [s in ids or d in ids for s, d in zip(src, dst)], pa.bool_()
+            )
+            return t.filter(mask)
+
+        batch_rows = edges.map_batches(flt, batch_format="pyarrow").take_all()
+        nxt: set = set()
+        for r in batch_rows:
+            key = (r["src_id"], r["rel_type"], r["dst_id"], r.get("term") or "")
+            if key in seen_edges:
+                continue
+            seen_edges.add(key)
+            rels.append(r)
+            for e in (int(r["src_id"]), int(r["dst_id"])):
+                if e not in visited:
+                    visited.add(e)
+                    nxt.add(e)
+        frontier = nxt
+    rels.sort(key=lambda r: (r["src_id"], r["rel_type"], r["dst_id"], r.get("term") or ""))
+    return {"node_ids": sorted(visited), "rels": rels}
+
+
+def khop_entity_ids(
+    edges: "ray.data.Dataset", seed_ids: Sequence[int], max_hops: int = 2
+) -> List[int]:
+    """Just the reachable entity-id set (used by the oracle-checked query)."""
+    return traverse_neighbors(edges, seed_ids, max_hops)["node_ids"]
+
+
+# ---------------------------------------------------------------------------
+# formatting
+# ---------------------------------------------------------------------------
+
+_SKIP_RELS = {"SOURCE", "MENTIONS"}
+
+
+def format_graph_context(
+    expanded: Dict[str, Any],
+    node_info: Dict[int, Dict[str, str]],
+    titles: Optional[Dict[int, Optional[str]]] = None,
+    max_lines: Optional[int] = None,
+    snippet_chars: Optional[int] = None,
+    include_source: bool = False,
+) -> str:
+    """Render "Graph Facts" lines (graphutil.py:698-767): skip
+    SOURCE/MENTIONS, dedup by (norm(subject), lower(type), norm(object))
+    keeping the first occurrence, optional snippet/source suffixes."""
+    rels = [r for r in expanded.get("rels", []) if r.get("rel_type") not in _SKIP_RELS]
+    seen: set = set()
+    deduped = []
+    for r in rels:
+        s = node_info.get(int(r["src_id"]), {})
+        t = node_info.get(int(r["dst_id"]), {})
+        key = (
+            normalize_name_for_key(s.get("name", "")),
+            (r.get("rel_type") or "").lower(),
+            normalize_name_for_key(t.get("name", "")),
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        deduped.append(r)
+    if not deduped:
+        return "Graph Facts: (no results)"
+    if isinstance(max_lines, int) and max_lines > 0:
+        deduped = deduped[:max_lines]
+    titles = titles or {}
+    lines = ["Graph Facts:"]
+    for r in deduped:
+        s = node_info.get(int(r["src_id"]), {})
+        t = node_info.get(int(r["dst_id"]), {})
+        s_name, t_name = s.get("name", "?"), t.get("name", "?")
+        s_label, t_label = s.get("label", "Entity"), t.get("label", "Entity")
+        raw = (r.get("source_text") or "").replace("\n", " ").strip()
+        if isinstance(snippet_chars, int) and 0 < snippet_chars < len(raw):
+            snip = raw[:snippet_chars].rstrip() + "..."
+        else:
+            snip = raw
+        snip_str = f' [snippet: "{snip}"]' if snip else ""
+        src_str = ""
+        if include_source:
+            ts = titles.get(int(r["src_id"]))
+            te = titles.get(int(r["dst_id"]))
+            if ts and te and ts != te:
+                src_str = f' [source: "{ts}" | "{te}"]'
+            elif ts or te:
+                src_str = f' [source: "{ts or te}"]'
+        lines.append(
+            f'- {s_label}("{s_name}") -[{r.get("rel_type")}]-> '
+            f'{t_label}("{t_name}"){snip_str}{src_str}'
+        )
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+
+
+def embed_question(question: str, cfg: Optional[PipelineConfig] = None) -> np.ndarray:
+    """Question embedding via the pipeline's embedder backend
+    (reference embeds with the same endpoint used at ingest,
+    main.py:262, graphutil.py:133-153)."""
+    cfg = cfg or PipelineConfig()
+    return HashEmbedder(dim=cfg.embed_dim).embed([question])[0]
+
+
+def graphrag(
+    tables: Dict[str, "ray.data.Dataset"],
+    question: str,
+    top_k: int = 5,
+    hops: int = 1,
+    use_mmr: bool = True,
+    use_cross_doc: bool = True,
+    include_source: bool = True,
+    cfg: Optional[PipelineConfig] = None,
+) -> Dict[str, Any]:
+    """The full /graphrag flow (main.py:221-400) over KG tables
+    ``{nodes, edges, mentions, docs}``; returns facts + seeds + per-step
+    timings like the reference's response payload."""
+    cfg = cfg or PipelineConfig()
+    timings: Dict[str, float] = {}
+    t = time.time()
+    qvec = embed_question(question, cfg)
+    timings["embed"] = time.time() - t
+
+    t = time.time()
+    cands = hybrid_candidates(tables["nodes"], question, qvec)
+    timings["hybrid"] = time.time() - t
+
+    if use_mmr and len(cands) > top_k:
+        t = time.time()
+        ids = [c["entity_id"] for c in cands]
+        emb_rows = _filter_by_ids(tables["nodes"], ids, "entity_id").select_columns(
+            ["entity_id", "embedding"]
+        ).take_all()
+        embs = {
+            int(r["entity_id"]): np.asarray(r["embedding"], dtype=np.float32)
+            for r in emb_rows
+        }
+        cands = mmr_select(cands, embs, k=top_k)
+        timings["mmr"] = time.time() - t
+    else:
+        cands = cands[:top_k]
+
+    if use_cross_doc and len(cands) > 1:
+        t = time.time()
+        titles = doc_titles_for_nodes(
+            tables["mentions"], tables["docs"], [c["entity_id"] for c in cands]
+        )
+        cands = diversify_by_document(cands, titles, k=len(cands))
+        timings["cross_doc"] = time.time() - t
+
+    t = time.time()
+    first_doc = first_doc_for_nodes(tables["mentions"], [c["entity_id"] for c in cands])
+    seeds = one_seed_per_document(cands, first_doc)
+    expanded = traverse_neighbors(tables["edges"], seeds, max_hops=hops)
+    timings["graph_traverse"] = time.time() - t
+
+    t = time.time()
+    node_ids = expanded["node_ids"]
+    info_rows = _filter_by_ids(tables["nodes"], node_ids, "entity_id").select_columns(
+        ["entity_id", "label", "name"]
+    ).take_all()
+    node_info = {
+        int(r["entity_id"]): {"label": r["label"], "name": r["name"]}
+        for r in info_rows
+    }
+    titles = (
+        doc_titles_for_nodes(tables["mentions"], tables["docs"], node_ids)
+        if include_source
+        else {}
+    )
+    facts = format_graph_context(
+        expanded, node_info, titles, include_source=include_source
+    )
+    timings["format"] = time.time() - t
+
+    return {
+        "facts": facts,
+        "seeds": seeds,
+        "candidates": cands,
+        "n_nodes": len(node_ids),
+        "n_rels": len(expanded["rels"]),
+        "timings_s": {k: round(v, 4) for k, v in timings.items()},
+    }

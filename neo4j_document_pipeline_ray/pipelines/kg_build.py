@@ -29,6 +29,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from neo4j_document_pipeline_ray.config import PipelineConfig
+from neo4j_document_pipeline_ray.stages.grouped import safe_join
 from neo4j_document_pipeline_ray.stages.chunker import chunk_docs
 from neo4j_document_pipeline_ray.stages.edge_agg import build_edges, decode_sources_batch
 from neo4j_document_pipeline_ray.stages.embed import (
@@ -99,7 +100,7 @@ def build_kg(
     if materialize_intermediates:
         norm = norm.materialize()
 
-    triples = norm.join(
+    triples = safe_join(norm, 
         membership,
         join_type="inner",
         num_partitions=cfg.join_partitions,
@@ -117,14 +118,14 @@ def build_kg(
         embeddings = build_embeddings(norm, cfg, backend=embed_backend)
         if materialize_intermediates:
             embeddings = embeddings.materialize()
-        nodes = nodes.join(
+        nodes = safe_join(nodes, 
             embeddings,
             join_type="inner",
             num_partitions=cfg.join_partitions,
             on=("node_key",),
             right_on=("text_key",),
         ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
-        edges = edges.join(
+        edges = safe_join(edges, 
             embeddings,
             join_type="inner",
             num_partitions=cfg.join_partitions,

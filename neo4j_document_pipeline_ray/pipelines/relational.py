@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from neo4j_document_pipeline_ray.stages.grouped import safe_join
+
 
 
 def _round_half_away(x):
@@ -117,9 +119,9 @@ def q_segment_revenue_topk(sf_dir: str) -> "ray.data.Dataset":
         })
 
     li_rev = li.map_batches(rev, batch_format="pyarrow")
-    o_b = orders.join(cust, join_type="inner", num_partitions=8,
+    o_b = safe_join(orders, cust, join_type="inner", num_partitions=8,
                       on=("o_custkey",), right_on=("c_custkey",))
-    joined = li_rev.join(o_b.select_columns(["o_orderkey"]), join_type="inner",
+    joined = safe_join(li_rev, o_b.select_columns(["o_orderkey"]), join_type="inner",
                          num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
     agg = joined.groupby("l_orderkey").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
     return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
@@ -149,9 +151,9 @@ def q_brand_supplier_stats(sf_dir: str) -> "ray.data.Dataset":
         return t.append_column("qty", pc.cast(t["l_quantity"], pa.int64())).drop_columns(["l_quantity"])
 
     li = li.map_batches(prep, batch_format="pyarrow")
-    j = li.join(part, join_type="inner", num_partitions=8,
+    j = safe_join(li, part, join_type="inner", num_partitions=8,
                 on=("l_partkey",), right_on=("p_partkey",))
-    j = j.join(supp, join_type="inner", num_partitions=8,
+    j = safe_join(j, supp, join_type="inner", num_partitions=8,
                on=("l_suppkey",), right_on=("s_suppkey",))
     return j.groupby(["p_brand", "s_name"]).aggregate(
         Sum("qty", alias_name="sum_qty"),

@@ -39,6 +39,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from neo4j_document_pipeline_ray.config import PipelineConfig
+from neo4j_document_pipeline_ray.stages.grouped import safe_join
 from neo4j_document_pipeline_ray.pipelines.kg_build import dedupe_docs
 from neo4j_document_pipeline_ray.stages.chunker import chunk_docs
 from neo4j_document_pipeline_ray.stages.edge_agg import build_edges, decode_sources_batch
@@ -140,7 +141,7 @@ def run_extraction_shard(
     uniq = chunks.groupby("chunk_id").aggregate(Min("text", alias_name="text"))
     raw = extract_triples(uniq, cfg, backend=extract_backend)
     norm = normalize_triples(raw, cfg)
-    triples = norm.join(
+    triples = safe_join(norm, 
         membership, join_type="inner",
         num_partitions=cfg.join_partitions, on=("chunk_id",),
     ).materialize()
@@ -242,11 +243,11 @@ def build_snapshot(
     if with_embeddings:
         embeddings = build_embeddings(triples, cfg, backend=embed_backend).materialize()
         mark("embeddings", tp)
-        nodes = nodes.join(
+        nodes = safe_join(nodes, 
             embeddings, join_type="inner", num_partitions=cfg.join_partitions,
             on=("node_key",), right_on=("text_key",),
         ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
-        edges = edges.join(
+        edges = safe_join(edges, 
             embeddings, join_type="inner", num_partitions=cfg.join_partitions,
             on=("rel_key",), right_on=("text_key",),
         ).map_batches(decode_embeddings_batch, batch_format="pyarrow")

@@ -126,6 +126,9 @@ def build_edges(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = Non
     partial = triples.map_batches(
         _partial_edges_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
     )
+    types = dict(_EDGE_COLS)
+    out_schema = pa.schema([(c, types[c]) for c in _OUT_COLS])
     return partitioned_group_map(
-        partial, "edge_key", _merge_edges_partition, cfg.shuffle_partitions
+        partial, "edge_key", _merge_edges_partition, cfg.shuffle_partitions,
+        out_schema=out_schema,
     )

@@ -18,9 +18,10 @@ not depend on P or the partitioning.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -30,6 +31,7 @@ def partitioned_group_map(
     key_col: str,
     partition_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_partitions: int = 16,
+    out_schema: Optional[pa.Schema] = None,
 ) -> "ray.data.Dataset":
     def add_pk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -44,3 +46,43 @@ def partitioned_group_map(
 
     with_pk = ds.map_batches(add_pk, batch_format="pandas")
     return with_pk.groupby("_pk").map_groups(run_partition, batch_format="pandas")
+
+
+def drop_empty_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Remove the SCHEMA-LESS zero-row blocks that Ray 2.49's hash
+    aggregates / ``map_groups`` emit for partitions that received no
+    rows — pyarrow hash joins abort on them ("No match for FieldRef").
+
+    A ``map_batches`` pass cannot fix this: the executor passes empty
+    blocks through *without invoking the UDF* (an acknowledged
+    workaround in ``plan_udf_map_op.py`` — "some all-to-all operators
+    output empty blocks with no schema").  So the drop is block-level:
+    an identity map first coerces every non-empty block to Arrow, then
+    the zero-row blocks are filtered out by *metadata* — only object
+    refs are touched, no block data moves to the driver.
+    """
+    import ray
+    import ray.data
+
+    mat = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+    refs, total = [], 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            total += 1
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    if not refs or len(refs) == total:
+        return mat  # fully empty, or nothing to drop
+    return ray.data.from_arrow_refs(refs)
+
+
+def safe_join(
+    left: "ray.data.Dataset", right: "ray.data.Dataset", **kwargs
+) -> "ray.data.Dataset":
+    """``Dataset.join`` with both sides sanitized via
+    :func:`drop_empty_blocks`.  Use this instead of raw ``join``
+    whenever either side may descend from a groupby/aggregate/map_groups
+    without an intervening materialization — at small data scales (and
+    with sparse hash partitions at any scale) those ops leave
+    schema-less empty blocks that abort the pyarrow hash join."""
+    return drop_empty_blocks(left).join(drop_empty_blocks(right), **kwargs)

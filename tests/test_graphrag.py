@@ -1,0 +1,194 @@
+"""Query layer: retrieval semantics vs direct Python oracles.
+
+Covers SURVEY.md §2.6 (T1 vector top-k, T3 hybrid blend, T4 MMR, T5
+round-robin diversification), §2.4 J6 (k-hop expansion), §2.2 M13
+(fact formatting with read-time dedup, graphutil.py:698-767)."""
+
+import numpy as np
+import pytest
+
+from neo4j_document_pipeline_ray.functions.textnorm import normalize_name_for_key
+from neo4j_document_pipeline_ray.pipelines import graphrag as gr
+
+
+QUESTION = 'How does the "National Broadband Plan" support the Six Pillars rollout?'
+
+
+class TestTermExtraction:
+    def test_quoted_anchor(self):
+        assert gr.anchor_terms(QUESTION)[0] == "National Broadband Plan"
+
+    def test_titlecase_bigram_anchor(self):
+        # bigram scan includes words inside the quoted phrase, like the
+        # reference (graphutil.py:262-274 scans the whole question)
+        assert gr.anchor_terms(QUESTION) == [
+            "National Broadband Plan", "National Broadband", "Broadband Plan",
+        ]
+        assert gr.anchor_terms("the Six Pillars rollout") == ["Six Pillars"]
+
+    def test_excluded_stopword_quotes(self):
+        assert gr.anchor_terms('is "the" answer') == []
+
+    def test_keyword_fallback_is_split(self):
+        assert gr.keyword_terms("a b c d", max_terms=2) == ["a", "b"]
+
+
+class TestMinmaxAndBlend:
+    def test_minmax_degenerate_all_equal(self):
+        assert gr._minmax([2.0, 2.0]) == [1.0, 1.0]
+
+    def test_minmax_range(self):
+        assert gr._minmax([1.0, 3.0, 2.0]) == [0.0, 1.0, 0.5]
+
+
+class TestMMR:
+    def test_mmr_prefers_diverse(self):
+        # two near-identical top candidates + one diverse: MMR picks the
+        # diverse one second (lambda=0.7, sim penalty 0.3)
+        cands = [
+            {"entity_id": 1, "score": 1.0},
+            {"entity_id": 2, "score": 0.99},
+            {"entity_id": 3, "score": 0.80},
+        ]
+        embs = {
+            1: np.array([1.0, 0.0], dtype=np.float32),
+            2: np.array([1.0, 0.01], dtype=np.float32),
+            3: np.array([0.0, 1.0], dtype=np.float32),
+        }
+        out = gr.mmr_select(cands, embs, k=2)
+        assert [c["entity_id"] for c in out] == [1, 3]
+
+    def test_mmr_score_only_without_embeddings(self):
+        cands = [{"entity_id": i, "score": 1.0 - i / 10} for i in range(4)]
+        out = gr.mmr_select(cands, {}, k=3)
+        assert [c["entity_id"] for c in out] == [0, 1, 2]
+
+
+class TestDiversify:
+    def test_round_robin_by_doc(self):
+        cands = [
+            {"entity_id": 1, "score": 0.9},
+            {"entity_id": 2, "score": 0.8},
+            {"entity_id": 3, "score": 0.7},
+            {"entity_id": 4, "score": 0.6},
+        ]
+        titles = {1: "A", 2: "A", 3: "B", 4: None}
+        out = gr.diversify_by_document(cands, titles, k=4)
+        # round 1: best of A (1), best of B (3), best of NO_DOC (4); round 2: 2
+        assert [c["entity_id"] for c in out] == [1, 3, 4, 2]
+
+    def test_one_seed_per_document(self):
+        cands = [{"entity_id": i, "score": 1.0} for i in (1, 2, 3)]
+        first = {1: "d1", 2: "d1", 3: None}
+        assert gr.one_seed_per_document(cands, first) == [1, 3]
+
+
+class TestFormat:
+    def test_dedup_by_normalized_key_and_skip(self):
+        node_info = {
+            1: {"label": "Entity", "name": "Six Pillars"},
+            2: {"label": "Entity", "name": "six pillars"},
+            3: {"label": "Policy", "name": "Plan"},
+        }
+        rels = [
+            {"src_id": 1, "dst_id": 3, "rel_type": "FUNDS", "source_text": "x"},
+            {"src_id": 2, "dst_id": 3, "rel_type": "funds", "source_text": "y"},
+            {"src_id": 1, "dst_id": 3, "rel_type": "MENTIONS"},
+        ]
+        txt = gr.format_graph_context({"rels": rels}, node_info)
+        lines = txt.splitlines()
+        assert lines[0] == "Graph Facts:"
+        assert len(lines) == 2  # normalized dup + MENTIONS dropped
+        assert 'Entity("Six Pillars") -[FUNDS]-> Policy("Plan")' in lines[1]
+        assert '[snippet: "x"]' in lines[1]
+
+    def test_snippet_truncation(self):
+        node_info = {1: {"label": "A", "name": "a"}, 2: {"label": "B", "name": "b"}}
+        rels = [{"src_id": 1, "dst_id": 2, "rel_type": "R", "source_text": "z" * 50}]
+        txt = gr.format_graph_context({"rels": rels}, node_info, snippet_chars=10)
+        assert '[snippet: "zzzzzzzzzz..."]' in txt
+
+    def test_empty(self):
+        assert gr.format_graph_context({"rels": []}, {}) == "Graph Facts: (no results)"
+
+
+@pytest.fixture(scope="module")
+def tables(kg_result):
+    return kg_result
+
+
+class TestDistributedChannels:
+    def test_vector_topk_matches_numpy_oracle(self, ray_session, tables):
+        qvec = gr.embed_question(QUESTION)
+        got = gr.vector_topk(tables["nodes"], qvec, k=8).take_all()
+        rows = tables["nodes"].select_columns(["entity_id", "embedding"]).take_all()
+        q = np.asarray(qvec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        sims = []
+        for r in rows:
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            sims.append((round(float(v @ q / (np.linalg.norm(v) or 1.0)), 6),
+                         r["entity_id"]))
+        want = sorted(sims, key=lambda t: (-t[0], t[1]))[:8]
+        assert [(g["score"], g["entity_id"]) for g in got] == want
+
+    def test_keyword_topk_scores(self, ray_session, tables):
+        got = gr.keyword_topk(tables["nodes"], QUESTION, k=12).take_all()
+        assert got, "expected keyword hits on corpus entity names"
+        # verify each returned score against a direct recompute
+        anchors, terms = gr._query_terms(QUESTION)
+        toks = {t for term in terms for t in normalize_name_for_key(term).split()}
+        phrases = {normalize_name_for_key(a) for a in anchors if " " in a}
+        for h in got:
+            norm = normalize_name_for_key(h["name"])
+            want = float(len(set(norm.split()) & toks)) + sum(
+                1.0 for p in phrases if p and p in norm
+            )
+            assert h["score"] == want
+        scores = [h["score"] for h in got]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_traverse_matches_python_bfs(self, ray_session, tables):
+        edges = tables["edges"].select_columns(
+            ["src_id", "dst_id", "rel_type", "term"]
+        ).take_all()
+        adj: dict = {}
+        for e in edges:
+            adj.setdefault(e["src_id"], set()).add(e["dst_id"])
+            adj.setdefault(e["dst_id"], set()).add(e["src_id"])
+        seeds = sorted(adj)[:2]
+        for hops in (1, 2):
+            got = gr.traverse_neighbors(tables["edges"], seeds, max_hops=hops)
+            visited = set(seeds)
+            frontier = set(seeds)
+            for _ in range(hops):
+                nxt = set()
+                for u in frontier:
+                    for v in adj.get(u, ()):
+                        if v not in visited:
+                            visited.add(v)
+                            nxt.add(v)
+                frontier = nxt
+            assert got["node_ids"] == sorted(visited), hops
+
+    def test_traverse_hop_clamp(self, ray_session, tables):
+        seeds = [tables["edges"].take(1)[0]["src_id"]]
+        a = gr.traverse_neighbors(tables["edges"], seeds, max_hops=3)
+        b = gr.traverse_neighbors(tables["edges"], seeds, max_hops=9)
+        assert a["node_ids"] == b["node_ids"]
+
+
+class TestEndToEnd:
+    def test_graphrag_deterministic(self, ray_session, tables):
+        r1 = gr.graphrag(tables, QUESTION, top_k=4, hops=1)
+        r2 = gr.graphrag(tables, QUESTION, top_k=4, hops=1)
+        assert r1["facts"] == r2["facts"]
+        assert r1["seeds"] == r2["seeds"]
+        assert r1["facts"].startswith("Graph Facts:")
+        assert r1["n_rels"] > 0
+
+    def test_seed_docs_distinct(self, ray_session, tables):
+        res = gr.graphrag(tables, QUESTION, top_k=5, hops=1)
+        first = gr.first_doc_for_nodes(tables["mentions"], res["seeds"])
+        docs = [first[s] or str(s) for s in res["seeds"]]
+        assert len(docs) == len(set(docs))
