@@ -316,6 +316,21 @@ def _q_kg_graphrag(sf_dir: str):
     return pd.DataFrame({"fact": res["facts"].splitlines()})
 
 
+def _q_kg_label_counts(sf_dir: str):
+    """Per-label node counts (the reference's stats/graph-schema
+    endpoints, main.py:600-623, 656-726)."""
+    from ray.data.aggregate import Count
+
+    return _kg(sf_dir)["nodes"].groupby("label").aggregate(Count(alias_name="n"))
+
+
+def _q_kg_rel_counts(sf_dir: str):
+    """Per-rel-type edge counts (main.py:600-623)."""
+    from ray.data.aggregate import Count
+
+    return _kg(sf_dir)["edges"].groupby("rel_type").aggregate(Count(alias_name="n"))
+
+
 def _q_ngram_jaccard(sf_dir: str):
     import os
 
@@ -359,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_vector_topk": _q_kg_vector_topk,
         "kg_keyword_topk": _q_kg_keyword_topk,
         "kg_khop": _q_kg_khop,
+        "kg_label_counts": _q_kg_label_counts,
+        "kg_rel_counts": _q_kg_rel_counts,
         "kg_graphrag": _q_kg_graphrag,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
@@ -532,6 +549,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_keyword_topk": _keyword_topk_sql(nname),
         "kg_khop": _khop_sql(nsub, nobj),
+        "kg_label_counts": f"""
+            WITH m AS (
+                SELECT subject AS name, subject_type AS label
+                FROM read_parquet('{_TRUTH_001}')
+                UNION ALL
+                SELECT object, object_type FROM read_parquet('{_TRUTH_001}')
+            ), k AS (
+                SELECT name, label, {nname} AS norm_key FROM m
+            ), g AS (
+                SELECT norm_key, min(name || chr(31) || label) AS rep
+                FROM k GROUP BY norm_key
+            )
+            SELECT split_part(rep, chr(31), 2) AS label, count(*) AS n
+            FROM g GROUP BY 1
+        """,
+        "kg_rel_counts": f"""
+            WITH e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, rel_type,
+                       {_eid_sql(nobj)} AS d, coalesce(term, '') AS term_key
+                FROM read_parquet('{_TRUTH_001}')
+            )
+            SELECT rel_type, count(*) AS n FROM e GROUP BY 1
+        """,
         "rel_lineitem_agg": rel.Q_LINEITEM_AGG_SQL,
         "rel_segment_topk": rel.Q_SEGMENT_REVENUE_TOPK_SQL,
         "rel_brand_supplier": rel.Q_BRAND_SUPPLIER_STATS_SQL,

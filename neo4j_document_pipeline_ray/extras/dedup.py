@@ -81,10 +81,20 @@ _PERM_A = (_rng.integers(1, _MERSENNE, size=_N_PERM, dtype=np.int64)).astype(np.
 _PERM_B = (_rng.integers(0, _MERSENNE, size=_N_PERM, dtype=np.int64)).astype(np.uint64)
 
 
+_FNV_CACHE: dict = {}
+
+
 def _fnv64(w: str) -> int:
+    # word distributions are Zipfian: a per-process vocab cache removes
+    # nearly all of the per-byte Python loop in the sketch hot path
+    h = _FNV_CACHE.get(w)
+    if h is not None:
+        return h
     h = 14695981039346656037
     for b in w.encode("utf-8"):
         h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    if len(_FNV_CACHE) < 1_000_000:  # bounded per worker process
+        _FNV_CACHE[w] = h
     return h
 
 
@@ -309,18 +319,29 @@ def connected_components(
 
 # --- simhash --------------------------------------------------------------
 
+_SIMHASH_WORD_CACHE: dict = {}
+
+
+def _simhash_word(w: str) -> int:
+    h = _SIMHASH_WORD_CACHE.get(w)
+    if h is None:
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                           "little")
+        if len(_SIMHASH_WORD_CACHE) < 1_000_000:
+            _SIMHASH_WORD_CACHE[w] = h
+    return h
+
+
 def simhash64(text: str) -> int:
     words = text.lower().split()
     if not words:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
+    # vectorized: unpack all word-hash bits in one numpy pass
+    hs = np.array([_simhash_word(w) for w in words], dtype=np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
-    for w in words:
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << shifts).sum())
 
 
 def _simhash_batch(t: pa.Table) -> pa.Table:

@@ -46,6 +46,33 @@ from neo4j_document_pipeline_ray.stages.embed import HashEmbedder
 _ANCHOR_RE = re.compile(r'"([^"]+)"|“([^”]+)”|‘([^’]+)’|\'([^\']+)\'')
 _WORD_RE = re.compile(r"[A-Za-z][A-Za-z\-]+")
 
+# Lucene escaping (graphutil.py:199-209) — kept for parity with the
+# reference's fulltext query construction; a future Lucene-backed query
+# layer plugs these into the same keyword channel.
+_LUCENE_ESC_RE = re.compile(r'([+\-!(){}[\]^"~*?:\\/])')
+_BOOL_RE = re.compile(r"\b(AND|OR|NOT)\b", flags=re.IGNORECASE)
+
+
+def sanitize_term_for_lucene(term: str) -> str:
+    """Escape Lucene specials and neutralize accidental boolean
+    operators inside a single term (graphutil.py:202-209)."""
+    s = _LUCENE_ESC_RE.sub(r"\\\1", term)
+    s = _BOOL_RE.sub(r"\\\1", s)
+    return s
+
+
+def fulltext_query_string(terms: List[str]) -> str:
+    """Lucene-safe OR-joined query; multi-word terms are quoted
+    (graphutil.py:289-304)."""
+    toks = []
+    for t in terms:
+        t = str(t).strip()
+        if not t:
+            continue
+        t_safe = sanitize_term_for_lucene(t)
+        toks.append(f'"{t_safe}"' if " " in t else t_safe)
+    return " OR ".join(toks) if toks else ""
+
 
 def anchor_terms(question: str, max_terms: int = 3) -> List[str]:
     """Quoted phrases, then Title-Case bigrams (graphutil.py:245-287)."""
@@ -189,11 +216,13 @@ def keyword_topk(
 
 
 def _minmax(vals: List[float]) -> List[float]:
+    """Per-channel min-max normalization (graphutil.py:186-193;
+    degenerate all-equal case maps to 0.5 like the reference)."""
     if not vals:
         return []
     lo, hi = min(vals), max(vals)
     if hi - lo < 1e-12:
-        return [1.0 for _ in vals]
+        return [0.5 for _ in vals]
     return [(v - lo) / (hi - lo) for v in vals]
 
 

@@ -29,7 +29,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from neo4j_document_pipeline_ray.config import PipelineConfig
-from neo4j_document_pipeline_ray.stages.grouped import safe_join
+from neo4j_document_pipeline_ray.stages.grouped import broadcast_join, min_by_key, safe_join
 from neo4j_document_pipeline_ray.stages.chunker import chunk_docs
 from neo4j_document_pipeline_ray.stages.edge_agg import build_edges, decode_sources_batch
 from neo4j_document_pipeline_ray.stages.embed import (
@@ -62,10 +62,7 @@ def dedupe_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """One row per doc_id; representative url = min(url) (the reference
     MERGEs Documents on doc_id and keeps first-seen title/path via
     coalesce, ``ingestMD.py:344-350`` — made deterministic here)."""
-    agg = docs.groupby("doc_id").aggregate(
-        Min("url", alias_name="url"),
-        Min("text", alias_name="text"),
-    )
+    agg = min_by_key(docs.select_columns(["doc_id", "url", "text"]), "doc_id")
     return agg.map_batches(_retitle_batch, batch_format="pyarrow")
 
 
@@ -93,7 +90,10 @@ def build_kg(
         chunks = chunks.materialize()
 
     membership = chunks.select_columns(["doc_id", "chunk_idx", "chunk_id"])
-    uniq_chunks = chunks.groupby("chunk_id").aggregate(Min("text", alias_name="text"))
+    uniq_chunks = min_by_key(
+        chunks.select_columns(["chunk_id", "text"]), "chunk_id",
+        num_partitions=cfg.shuffle_partitions,
+    )
 
     raw = extract_triples(uniq_chunks, cfg, backend=extract_backend)
     norm = normalize_triples(raw, cfg)  # chunk-level
@@ -118,19 +118,13 @@ def build_kg(
         embeddings = build_embeddings(norm, cfg, backend=embed_backend)
         if materialize_intermediates:
             embeddings = embeddings.materialize()
-        nodes = safe_join(nodes, 
-            embeddings,
-            join_type="inner",
+        nodes = broadcast_join(
+            nodes, embeddings, on=("node_key",), right_on=("text_key",),
             num_partitions=cfg.join_partitions,
-            on=("node_key",),
-            right_on=("text_key",),
         ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
-        edges = safe_join(edges, 
-            embeddings,
-            join_type="inner",
+        edges = broadcast_join(
+            edges, embeddings, on=("rel_key",), right_on=("text_key",),
             num_partitions=cfg.join_partitions,
-            on=("rel_key",),
-            right_on=("text_key",),
         ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
     edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
 

@@ -39,7 +39,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from neo4j_document_pipeline_ray.config import PipelineConfig
-from neo4j_document_pipeline_ray.stages.grouped import safe_join
+from neo4j_document_pipeline_ray.stages.grouped import broadcast_join, min_by_key, safe_join
 from neo4j_document_pipeline_ray.pipelines.kg_build import dedupe_docs
 from neo4j_document_pipeline_ray.stages.chunker import chunk_docs
 from neo4j_document_pipeline_ray.stages.edge_agg import build_edges, decode_sources_batch
@@ -128,8 +128,6 @@ def run_extraction_shard(
     files: List[str], out_dir: str, shard: int, cfg: PipelineConfig,
     extract_backend=None,
 ) -> Dict:
-    from ray.data.aggregate import Max
-
     t0 = time.time()
     pages = ray.data.read_parquet(
         files, columns=["url", "html"],
@@ -138,13 +136,14 @@ def run_extraction_shard(
     docs = dedupe_docs(extract_docs(pages, cfg)).materialize()
     chunks = chunk_docs(docs, cfg).materialize()
     membership = chunks.select_columns(["doc_id", "chunk_idx", "chunk_id"])
-    uniq = chunks.groupby("chunk_id").aggregate(Min("text", alias_name="text"))
+    uniq = min_by_key(chunks.select_columns(["chunk_id", "text"]), "chunk_id",
+                      num_partitions=cfg.shuffle_partitions)
     raw = extract_triples(uniq, cfg, backend=extract_backend)
     norm = normalize_triples(raw, cfg)
-    triples = safe_join(norm, 
+    triples = safe_join(norm,
         membership, join_type="inner",
         num_partitions=cfg.join_partitions, on=("chunk_id",),
-    ).materialize()
+    )
 
     docs_dir = os.path.join(out_dir, "docs", f"shard={shard:05d}")
     trip_dir = os.path.join(out_dir, "triples", f"shard={shard:05d}")
@@ -152,19 +151,54 @@ def run_extraction_shard(
         if os.path.isdir(d):
             shutil.rmtree(d)  # uncommitted leftovers from a killed run
     docs.write_parquet(docs_dir)
-    triples.write_parquet(trip_dir)
+    triples.write_parquet(trip_dir)  # extraction streams into the write
 
-    url_range = docs.aggregate(Min("url", alias_name="lo"), Max("url", alias_name="hi"))
+    # lineage from parquet footers — no extra Ray jobs
     stats = {
         "input_files": [os.path.basename(f) for f in files],
-        "url_range": [url_range.get("lo"), url_range.get("hi")],
-        "n_docs": docs.count(),
+        "url_range": list(_parquet_col_range(docs_dir, "url")),
+        "n_docs": _parquet_rows(docs_dir),
         "n_chunks": chunks.count(),
-        "n_triples": triples.count(),
+        "n_triples": _parquet_rows(trip_dir),
         "wall_s": round(time.time() - t0, 3),
     }
     mf.commit_shard(out_dir, shard, stats)
     return stats
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Ray job, no data read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def _parquet_col_range(path: str, col: str):
+    """(min, max) of a column from parquet footer statistics."""
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            sch_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if col not in sch_idx:
+                continue
+            ci = sch_idx[col]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+    return lo, hi
 
 
 def _write_bucketed(ds, out_dir: str, name: str, cfg: PipelineConfig,
@@ -228,44 +262,68 @@ def build_snapshot(
     t_extract = time.time()
     timings: Dict[str, float] = {}
 
-    def mark(name: str, t_prev: List[float]) -> None:
-        now = time.time()
-        timings[name] = round(now - t_prev[0], 3)
-        t_prev[0] = now
+    def timed(name: str, fn):
+        t = time.time()
+        res = fn()
+        timings[name] = round(time.time() - t, 3)
+        return res
 
-    tp = [time.time()]
-    triples = ray.data.read_parquet(os.path.join(out_dir, "triples")).materialize()
-    mark("read_triples", tp)
+    triples = timed(
+        "read_triples",
+        lambda: ray.data.read_parquet(os.path.join(out_dir, "triples")).materialize(),
+    )
 
-    nodes = build_nodes(triples, cfg)
-    mentions = build_mentions(triples, cfg)
-    edges = build_edges(triples, cfg)
-    if with_embeddings:
-        embeddings = build_embeddings(triples, cfg, backend=embed_backend).materialize()
-        mark("embeddings", tp)
-        nodes = safe_join(nodes, 
-            embeddings, join_type="inner", num_partitions=cfg.join_partitions,
-            on=("node_key",), right_on=("text_key",),
-        ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
-        edges = safe_join(edges, 
-            embeddings, join_type="inner", num_partitions=cfg.join_partitions,
-            on=("rel_key",), right_on=("text_key",),
-        ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
-    edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
+    # The four graph shuffles are independent consumers of the
+    # materialized triples; run them concurrently so their all-to-all
+    # barriers overlap (each thread drives its own streaming execution
+    # over the shared CPU pool).  Dependency: the node/edge writers wait
+    # on the embeddings table.
+    from concurrent.futures import ThreadPoolExecutor
 
-    _write_bucketed(nodes, out_dir, "nodes", cfg, "entity_id")
-    mark("nodes", tp)
-    _write_bucketed(edges, out_dir, "edges", cfg, "src_id")
-    mark("edges", tp)
-    _write_bucketed(mentions, out_dir, "mentions", cfg, None)
-    mark("mentions", tp)
+    _patch_fsspec_http_for_threads()
+
+    def run_mentions():
+        mentions = build_mentions(triples, cfg)
+        _write_bucketed(mentions, out_dir, "mentions", cfg, None)
+
+    def run_nodes(embeddings):
+        nodes = build_nodes(triples, cfg)
+        if embeddings is not None:
+            nodes = broadcast_join(
+                nodes, embeddings, on=("node_key",), right_on=("text_key",),
+                num_partitions=cfg.join_partitions,
+            ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
+        _write_bucketed(nodes, out_dir, "nodes", cfg, "entity_id")
+
+    def run_edges(embeddings):
+        edges = build_edges(triples, cfg)
+        if embeddings is not None:
+            edges = broadcast_join(
+                edges, embeddings, on=("rel_key",), right_on=("text_key",),
+                num_partitions=cfg.join_partitions,
+            ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
+        edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
+        _write_bucketed(edges, out_dir, "edges", cfg, "src_id")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_mentions = pool.submit(lambda: timed("mentions", run_mentions))
+        embeddings = None
+        if with_embeddings:
+            embeddings = timed(
+                "embeddings",
+                lambda: build_embeddings(triples, cfg, backend=embed_backend).materialize(),
+            )
+        f_nodes = pool.submit(lambda e=embeddings: timed("nodes", lambda: run_nodes(e)))
+        f_edges = pool.submit(lambda e=embeddings: timed("edges", lambda: run_edges(e)))
+        for f in (f_mentions, f_nodes, f_edges):
+            f.result()
     t_done = time.time()
 
     counts = {
         "n_triples": triples.count(),
-        "n_nodes": ray.data.read_parquet(os.path.join(out_dir, "nodes")).count(),
-        "n_edges": ray.data.read_parquet(os.path.join(out_dir, "edges")).count(),
-        "n_mentions": ray.data.read_parquet(os.path.join(out_dir, "mentions")).count(),
+        "n_nodes": _parquet_rows(os.path.join(out_dir, "nodes")),
+        "n_edges": _parquet_rows(os.path.join(out_dir, "edges")),
+        "n_mentions": _parquet_rows(os.path.join(out_dir, "mentions")),
         "n_docs": sum(
             (mf.read_json(mf.shard_manifest_path(out_dir, s)) or {}).get("n_docs", 0)
             for s in mf.committed_shards(out_dir)

@@ -15,14 +15,21 @@ Reference semantics (``ingestMD.py:513-546``):
 
 Two-phase aggregation: a stateless ``map_batches`` partial pass folds
 each batch down to one row per edge key (hub edges collapse before the
-exchange — the skew mitigation), then a ``groupby(edge_key).map_groups``
-merge unions source lists and applies the deterministic-last rule.
+exchange — the skew mitigation), then a partition-wise vectorized merge
+unions source lists and applies the deterministic-last rule.
+
+The provenance snippet (``source_text``, <=1 KB) rides the exchange
+inline: the in-batch partial keeps one row per edge key per batch, so
+the exchanged volume is bounded by distinct edges x batches, not by
+mentions.  (A content-hash + snippet-table join variant was measured
+~60% slower end-to-end at bench scale — the extra distinct + join
+barriers cost more than the text bytes; revisit if snippets grow.)
 """
 
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import pandas as pd
 import pyarrow as pa
@@ -31,71 +38,27 @@ import ray.data
 
 from neo4j_document_pipeline_ray.config import PipelineConfig
 
-_EDGE_COLS = [
-    ("edge_key", pa.string()),
-    ("src_id", pa.int64()), ("dst_id", pa.int64()), ("rel_type", pa.string()),
-    ("term", pa.string()), ("object_kind", pa.string()),
-    ("src_norm_key", pa.string()), ("dst_norm_key", pa.string()),
-    ("sources_json", pa.string()),   # partial: sorted distinct doc_ids as JSON
-    ("ord", pa.string()),            # partial: max (doc_id, chunk_idx) seen
-    ("source_text", pa.string()), ("count", pa.int64()),
-    ("rel_key", pa.string()), ("start", pa.string()), ("end", pa.string()),
-]
+_EXCHANGE_COLS = ["src_id", "dst_id", "rel_type", "term", "object_kind",
+                  "src_norm_key", "dst_norm_key", "sources_json", "source_text",
+                  "count", "rel_key", "start", "end"]
+
+_EXCHANGE_TYPES = {
+    "edge_key": pa.string(), "src_id": pa.int64(), "dst_id": pa.int64(),
+    "rel_type": pa.string(), "term": pa.string(), "object_kind": pa.string(),
+    "src_norm_key": pa.string(), "dst_norm_key": pa.string(),
+    "sources_json": pa.string(), "source_text": pa.string(), "ord": pa.string(),
+    "count": pa.int64(), "rel_key": pa.string(),
+    "start": pa.string(), "end": pa.string(),
+}
 
 
-def _partial_edges_batch(batch: pa.Table) -> pa.Table:
-    d = batch.to_pydict()
-    acc: Dict[str, dict] = {}
-    for i in range(batch.num_rows):
-        term = d["term"][i] or ""
-        key = f"{d['src_id'][i]}|{d['rel_type'][i]}|{d['dst_id'][i]}|{term}"
-        ordv = f"{d['doc_id'][i]}:{d['chunk_idx'][i]:06d}"
-        ent = acc.get(key)
-        if ent is None:
-            acc[key] = {
-                "src_id": d["src_id"][i], "dst_id": d["dst_id"][i],
-                "rel_type": d["rel_type"][i], "term": d["term"][i],
-                "object_kind": d["object_kind"][i],
-                "src_norm_key": d["src_norm_key"][i],
-                "dst_norm_key": d["dst_norm_key"][i],
-                "sources": {d["doc_id"][i]}, "ord": ordv,
-                "source_text": d["src_text"][i], "count": d["count"][i],
-                "rel_key": d["rel_key"][i],
-                "start": d["start"][i], "end": d["end"][i],
-            }
-        else:
-            ent["sources"].add(d["doc_id"][i])
-            if ordv > ent["ord"]:
-                ent["ord"] = ordv
-                ent["source_text"] = d["src_text"][i]
-                ent["count"] = d["count"][i]
-                ent["rel_key"] = d["rel_key"][i]
-                ent["object_kind"] = d["object_kind"][i]
-                ent["start"] = d["start"][i]
-                ent["end"] = d["end"][i]
-    cols: Dict[str, List] = {name: [] for name, _ in _EDGE_COLS}
-    for key, ent in acc.items():
-        cols["edge_key"].append(key)
-        cols["sources_json"].append(json.dumps(sorted(ent["sources"])))
-        for name in ("src_id", "dst_id", "rel_type", "term", "object_kind",
-                     "src_norm_key", "dst_norm_key", "ord", "source_text",
-                     "count", "rel_key", "start", "end"):
-            cols[name].append(ent[name])
-    return pa.table({name: pa.array(cols[name], typ) for name, typ in _EDGE_COLS})
+def _merge_edges_df(df: pd.DataFrame, out_cols: List[str]) -> pd.DataFrame:
+    """Vectorized merge of ALL edge groups in one frame.
 
-
-_OUT_COLS = ["src_id", "dst_id", "rel_type", "term", "object_kind",
-             "src_norm_key", "dst_norm_key", "sources_json", "source_text",
-             "count", "rel_key", "start", "end"]
-
-
-def _merge_edges_partition(df: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized merge of ALL edge groups within one hash partition.
-
-    last-wins fields come from the max-``ord`` partial row per edge key;
-    ``sources`` is the sorted union of the partials' doc-id lists.
-    ``sources_json`` stays JSON-serialized until after the embedding
-    join (Arrow's hash join cannot carry list-typed payload columns).
+    last-wins fields come from the max-``ord`` row per edge key;
+    ``sources`` is the sorted union of the rows' doc-id lists.
+    ``sources_json`` stays JSON-serialized until after the joins
+    (Arrow's hash join cannot carry list-typed payload columns).
     """
     df = df.sort_values(["edge_key", "ord"], kind="mergesort")
     last = df.groupby("edge_key", sort=False).tail(1).set_index("edge_key")
@@ -106,7 +69,30 @@ def _merge_edges_partition(df: pd.DataFrame) -> pd.DataFrame:
 
     last = last.copy()
     last["sources_json"] = srcs
-    return last.reset_index()[_OUT_COLS]
+    return last.reset_index()[out_cols]
+
+
+def _partial_edges_batch(batch: pa.Table) -> pd.DataFrame:
+    """In-batch partial aggregation (vectorized): one row per edge key
+    leaves the batch, so hub edges collapse before the exchange."""
+    df = batch.to_pandas()
+    df = df.rename(columns={"src_text": "source_text"})
+    df["count"] = df["count"].astype("Int64")
+    # str() of None is "None" in the scalar path; astype(str) matches
+    df["edge_key"] = (
+        df["src_id"].astype("int64").astype(str) + "|"
+        + df["rel_type"].astype(str) + "|"
+        + df["dst_id"].astype("int64").astype(str) + "|"
+        + df["term"].fillna("")
+    )
+    df["ord"] = df["doc_id"] + ":" + df["chunk_idx"].astype("int64").map("{:06d}".format)
+    df["sources_json"] = '["' + df["doc_id"] + '"]'  # doc_id is hex: JSON-safe
+    return _merge_edges_df(df, ["edge_key"] + _EXCHANGE_COLS + ["ord"])
+
+
+def _merge_edges_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Final merge of the partial rows of one hash partition."""
+    return _merge_edges_df(df, _EXCHANGE_COLS)
 
 
 def decode_sources_batch(batch: pa.Table) -> pa.Table:
@@ -119,15 +105,14 @@ def decode_sources_batch(batch: pa.Table) -> pa.Table:
 
 
 def build_edges(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
-    """Doc-level triples -> aggregated edges table."""
+    """Doc-level triples -> aggregated edges table (with ``source_text``)."""
     from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
 
     cfg = cfg or PipelineConfig()
     partial = triples.map_batches(
         _partial_edges_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
     )
-    types = dict(_EDGE_COLS)
-    out_schema = pa.schema([(c, types[c]) for c in _OUT_COLS])
+    out_schema = pa.schema([(c, _EXCHANGE_TYPES[c]) for c in _EXCHANGE_COLS])
     return partitioned_group_map(
         partial, "edge_key", _merge_edges_partition, cfg.shuffle_partitions,
         out_schema=out_schema,

@@ -82,6 +82,9 @@ class Embedder:
         )
 
 
+_DEFAULT_EMBEDDER: "Embedder | None" = None
+
+
 def decode_embeddings_batch(batch: pa.Table) -> pa.Table:
     """binary float32 payload -> list<float32> column (post-join restore)."""
     vecs = [
@@ -110,20 +113,34 @@ def build_embeddings(
     backend: Optional[EmbedderBackend] = None,
 ) -> "ray.data.Dataset":
     """Chunk-level triples -> embeddings(text_key, embedding), one row per distinct key."""
+    from neo4j_document_pipeline_ray.stages.grouped import distinct_by
+
     cfg = cfg or PipelineConfig()
-    keys = triples.map_batches(
+    keys = triples.select_columns(["sub_key", "obj_key", "rel_key"]).map_batches(
         _keys_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
     )
-    distinct = keys.groupby("text_key").aggregate(Count(alias_name="_n")).drop_columns(["_n"])
-    kwargs = {}
-    if backend is not None:
-        kwargs["fn_constructor_kwargs"] = {"backend": backend}
-    else:
-        kwargs["fn_constructor_kwargs"] = {"dim": cfg.embed_dim}
+    distinct = distinct_by(keys, "text_key", num_partitions=cfg.shuffle_partitions)
+    if backend is None:
+        # stateless hash backend: plain tasks on the warm worker pool
+        # (no actor-process spawn per run); real model/HTTP backends
+        # take the actor-pool path below
+        dim = cfg.embed_dim
+
+        def embed_batch(batch: pa.Table) -> pa.Table:
+            global _DEFAULT_EMBEDDER
+            if _DEFAULT_EMBEDDER is None or _DEFAULT_EMBEDDER._backend.dim != dim:
+                _DEFAULT_EMBEDDER = Embedder(dim=dim)
+            return _DEFAULT_EMBEDDER(batch)
+
+        return distinct.map_batches(
+            embed_batch,
+            batch_format="pyarrow",
+            batch_size=cfg.embed_batch_size,
+        )
     return distinct.map_batches(
         Embedder,
         batch_format="pyarrow",
         batch_size=cfg.embed_batch_size,
         concurrency=cfg.embed_concurrency,
-        **kwargs,
+        fn_constructor_kwargs={"backend": backend},
     )

@@ -43,32 +43,22 @@ from neo4j_document_pipeline_ray.config import PipelineConfig
 _SEP = "\x1f"
 
 
-def _candidates_batch(batch: pa.Table) -> pa.Table:
-    """Both triple endpoints -> deduped (entity_id, norm_key, rep_key) candidates."""
-    ids, keys, reps = [], [], []
-    seen = set()
+def _candidates_batch(batch: pa.Table) -> "pd.DataFrame":
+    """Both triple endpoints -> deduped (entity_id, norm_key, rep_key)
+    candidates — vectorized in-batch partial dedup."""
+    import pandas as pd
+
     d = batch.to_pydict()
-    for eid, nk, name, label in zip(
-        d["src_id"] + d["dst_id"],
-        d["src_norm_key"] + d["dst_norm_key"],
-        d["subject"] + d["object"],
-        d["subject_type"] + d["object_type"],
-    ):
-        rep = f"{name}{_SEP}{label}"
-        k = (eid, rep)
-        if k in seen:
-            continue
-        seen.add(k)
-        ids.append(eid)
-        keys.append(nk)
-        reps.append(rep)
-    return pa.table(
-        {
-            "entity_id": pa.array(ids, pa.int64()),
-            "norm_key": pa.array(keys, pa.string()),
-            "rep_key": pa.array(reps, pa.string()),
-        }
-    )
+    df = pd.DataFrame({
+        "entity_id": pd.Series(d["src_id"] + d["dst_id"], dtype="int64"),
+        "norm_key": d["src_norm_key"] + d["dst_norm_key"],
+        # str() of None is "None" in the scalar path; astype(str) matches
+        "_name": pd.Series(d["subject"] + d["object"]).astype(str),
+        "_label": pd.Series(d["subject_type"] + d["object_type"]).astype(str),
+    })
+    df["rep_key"] = df["_name"] + _SEP + df["_label"]
+    out = df.drop_duplicates(["entity_id", "rep_key"])
+    return out[["entity_id", "norm_key", "rep_key"]]
 
 
 def _finish_batch(batch: pa.Table) -> pa.Table:
@@ -92,45 +82,43 @@ def _finish_batch(batch: pa.Table) -> pa.Table:
 
 def build_nodes(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
     """triples (chunk-level ok) -> nodes(entity_id, label, name, norm_key, node_key)."""
+    from neo4j_document_pipeline_ray.stages.grouped import min_by_key
+
     cfg = cfg or PipelineConfig()
-    cands = triples.map_batches(
+    slim = triples.select_columns([
+        "src_id", "dst_id", "src_norm_key", "dst_norm_key",
+        "subject", "object", "subject_type", "object_type",
+    ])  # drop src_text before the Python-side conversion
+    cands = slim.map_batches(
         _candidates_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
     )
-    agg = cands.groupby("entity_id").aggregate(
-        Min("rep_key", alias_name="rep_key"),
-        Min("norm_key", alias_name="norm_key"),
-    )
+    agg = min_by_key(cands, "entity_id", num_partitions=cfg.shuffle_partitions)
     return agg.map_batches(_finish_batch, batch_format="pyarrow")
 
 
-def _mention_pairs_batch(batch: pa.Table) -> pa.Table:
-    """Doc-level triples -> deduped (doc_id, entity_id) pairs (both endpoints)."""
-    docs, ids = [], []
-    seen = set()
+def _mention_pairs_batch(batch: pa.Table) -> "pd.DataFrame":
+    """Doc-level triples -> deduped (doc_id, entity_id) pairs (both
+    endpoints) — vectorized in-batch partial dedup."""
+    import pandas as pd
+
     d = batch.to_pydict()
-    for doc_id, eid in zip(d["doc_id"] + d["doc_id"], d["src_id"] + d["dst_id"]):
-        k = (doc_id, eid)
-        if k in seen:
-            continue
-        seen.add(k)
-        docs.append(doc_id)
-        ids.append(eid)
-    return pa.table(
-        {
-            "doc_id": pa.array(docs, pa.string()),
-            "entity_id": pa.array(ids, pa.int64()),
-        }
-    )
+    df = pd.DataFrame({
+        "doc_id": d["doc_id"] + d["doc_id"],
+        "entity_id": pd.Series(d["src_id"] + d["dst_id"], dtype="int64"),
+    })
+    return df.drop_duplicates(["doc_id", "entity_id"])
 
 
 def build_mentions(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
     """Distinct (doc_id, entity_id) — the MENTIONS/SOURCE provenance edges
     (reference ``ingestMD.py:538-541``), idempotent per pair like MERGE."""
+    from neo4j_document_pipeline_ray.stages.grouped import distinct_by
+
     cfg = cfg or PipelineConfig()
-    pairs = triples.map_batches(
+    slim = triples.select_columns(["doc_id", "src_id", "dst_id"])
+    pairs = slim.map_batches(
         _mention_pairs_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
     )
-    from ray.data.aggregate import Count
-
-    deduped = pairs.groupby(["doc_id", "entity_id"]).aggregate(Count(alias_name="_n"))
-    return deduped.drop_columns(["_n"])
+    # partitioned by entity_id; every (doc, entity) pair lands whole
+    return distinct_by(pairs, "entity_id", subset=["doc_id", "entity_id"],
+                       num_partitions=cfg.shuffle_partitions)

@@ -48,6 +48,38 @@ def partitioned_group_map(
     return with_pk.groupby("_pk").map_groups(run_partition, batch_format="pandas")
 
 
+def distinct_by(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    subset: "list[str] | None" = None,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Global DISTINCT on ``subset`` (default ``[key_col]``), hash-
+    partitioned by ``key_col`` — every column in ``subset`` must be a
+    pure function of rows sharing ``key_col``'s partition.  ~5x faster
+    than ``groupby().aggregate(Count)`` (Ray 2.49's sort-based
+    aggregate costs ~100 CPU-us/row; pandas ``drop_duplicates`` is
+    vectorized)."""
+    cols = subset or [key_col]
+    return partitioned_group_map(
+        ds, key_col, lambda df: df.drop_duplicates(cols), num_partitions
+    )
+
+
+def min_by_key(
+    ds: "ray.data.Dataset", key_col: str, num_partitions: int = 16
+) -> "ray.data.Dataset":
+    """Per-key minimum of every other column (vectorized replacement
+    for ``groupby(key).aggregate(Min(...), ...)``).  String minima are
+    byte-order, identical to Arrow's Min (UTF-8 preserves code-point
+    order)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_col, as_index=False, sort=False).min()
+
+    return partitioned_group_map(ds, key_col, fn, num_partitions)
+
+
 def drop_empty_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Remove the SCHEMA-LESS zero-row blocks that Ray 2.49's hash
     aggregates / ``map_groups`` emit for partitions that received no
@@ -63,6 +95,16 @@ def drop_empty_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """
     import ray
     import ray.data
+    from ray.data.dataset import MaterializedDataset
+
+    if isinstance(ds, MaterializedDataset):
+        # Already-materialized input: inspect block metadata directly; if
+        # clean, return it untouched — no identity pass, no extra copy.
+        metas = [
+            m for b in ds.iter_internal_ref_bundles() for (_r, m) in b.blocks
+        ]
+        if all(m.num_rows is None or m.num_rows > 0 for m in metas):
+            return ds
 
     mat = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
     refs, total = [], 0
@@ -86,3 +128,68 @@ def safe_join(
     with sparse hash partitions at any scale) those ops leave
     schema-less empty blocks that abort the pyarrow hash join."""
     return drop_empty_blocks(left).join(drop_empty_blocks(right), **kwargs)
+
+
+# default ceiling for broadcasting a join side (fits comfortably in a
+# worker heap next to a batch; above this fall back to the hash join)
+BROADCAST_MAX_BYTES = 256 << 20
+
+
+def broadcast_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: tuple,
+    right_on: "tuple | None" = None,
+    join_type: str = "inner",
+    num_partitions: int = 8,
+    broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
+) -> "ray.data.Dataset":
+    """Join with a broadcast small side when it fits, else hash join.
+
+    The small side is ``ray.put`` once (one object-store copy per node,
+    zero-copy reads in every task) and each left batch runs a local
+    pyarrow hash join against it — no all-to-all exchange and no
+    barrier for the left side, which keeps streaming.  Falls back to
+    the shuffle-based :func:`safe_join` when the right side exceeds
+    ``broadcast_max_bytes`` (e.g. at full corpus scale).
+    """
+    import ray
+
+    right = drop_empty_blocks(right)
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(right, MaterializedDataset):
+        right = right.materialize()
+    size = right.size_bytes() or 0
+    if size > broadcast_max_bytes:
+        return safe_join(
+            left, right, join_type=join_type, num_partitions=num_partitions,
+            on=on, right_on=right_on,
+        )
+
+    refs = right.to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _concat(*tables):
+        non_empty = [t for t in tables if t.num_rows and t.schema.names]
+        if not non_empty:
+            return tables[0]
+        return pa.concat_tables(non_empty).combine_chunks()
+
+    right_ref = _concat.remote(*refs)
+    left_keys = list(on)
+    right_keys = list(right_on) if right_on is not None else left_keys
+    pa_join_type = {"inner": "inner", "left_outer": "left outer"}[join_type]
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        small = ray.get(right_ref)  # zero-copy from local object store
+        return t.join(small, keys=left_keys, right_keys=right_keys,
+                      join_type=pa_join_type)
+
+    # Sanitize/materialize the left side: fusing the probe map into an
+    # upstream sort pipeline measured ~3x slower than staging it, and
+    # post-aggregation left sides are small relative to their inputs.
+    left = drop_empty_blocks(left)
+    # batch_size=None: one pyarrow join per BLOCK — the Acero plan setup
+    # is the per-call fixed cost, so batching small would dominate
+    return left.map_batches(join_batch, batch_format="pyarrow", batch_size=None)

@@ -122,20 +122,41 @@ def _as_str(x: Any) -> str | None:
     return x if isinstance(x, str) else str(x)
 
 
+_DEFAULT_EXTRACTOR: TripleExtractor | None = None
+
+
+def _extract_batch_default(batch: pa.Table) -> pa.Table:
+    """Stateless task path: one module-level extractor per worker
+    process (reused across tasks — no per-run actor spawn)."""
+    global _DEFAULT_EXTRACTOR
+    if _DEFAULT_EXTRACTOR is None:
+        _DEFAULT_EXTRACTOR = TripleExtractor()
+    return _DEFAULT_EXTRACTOR(batch)
+
+
 def extract_triples(
     distinct_chunks: "ray.data.Dataset",
     cfg: PipelineConfig | None = None,
     backend: TripleExtractorBackend | None = None,
 ) -> "ray.data.Dataset":
-    """Run the extractor pool over distinct chunks ``(chunk_id, text)``."""
+    """Run the extractor over distinct chunks ``(chunk_id, text)``.
+
+    A custom ``backend`` (a warm model, an HTTP client) runs as an
+    ACTOR POOL — loaded once per actor in ``__init__``.  The default
+    rule extractor is a stateless pure function, so it runs as plain
+    tasks on the warm worker pool (no actor-process spawn per run);
+    Ray's streaming executor autoscales task parallelism."""
     cfg = cfg or PipelineConfig()
-    kwargs: Dict[str, Any] = {}
-    if backend is not None:
-        kwargs["fn_constructor_kwargs"] = {"backend": backend}
+    if backend is None:
+        return distinct_chunks.map_batches(
+            _extract_batch_default,
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+        )
     return distinct_chunks.map_batches(
         TripleExtractor,
         batch_format="pyarrow",
         batch_size=cfg.extract_batch_size,
         concurrency=cfg.extract_concurrency,
-        **kwargs,
+        fn_constructor_kwargs={"backend": backend},
     )

@@ -35,10 +35,28 @@ class TestTermExtraction:
 
 class TestMinmaxAndBlend:
     def test_minmax_degenerate_all_equal(self):
-        assert gr._minmax([2.0, 2.0]) == [1.0, 1.0]
+        # graphutil.py:192: degenerate channel maps to 0.5
+        assert gr._minmax([2.0, 2.0]) == [0.5, 0.5]
 
     def test_minmax_range(self):
         assert gr._minmax([1.0, 3.0, 2.0]) == [0.0, 1.0, 0.5]
+
+
+class TestLucene:
+    def test_escape_specials(self):
+        assert gr.sanitize_term_for_lucene("a+b") == "a\\+b"
+        assert gr.sanitize_term_for_lucene('say "hi"') == 'say \\"hi\\"'
+        assert gr.sanitize_term_for_lucene("path/to") == "path\\/to"
+
+    def test_neutralize_booleans(self):
+        assert gr.sanitize_term_for_lucene("cats AND dogs") == "cats \\AND dogs"
+        assert gr.sanitize_term_for_lucene("sand") == "sand"  # word-boundary only
+
+    def test_query_string(self):
+        assert gr.fulltext_query_string(["Six Pillars", "plan"]) == (
+            '"Six Pillars" OR plan'
+        )
+        assert gr.fulltext_query_string(["", "  "]) == ""
 
 
 class TestMMR:

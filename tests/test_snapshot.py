@@ -26,7 +26,9 @@ def _table_signature(path, sort_cols, drop=()):
         if df[c].dtype == object:
             df[c] = df[c].map(lambda x: str(x))
     df = df[sorted(df.columns)]
-    return df.sort_values(sort_cols).reset_index(drop=True)
+    # row order out of a hash join is scheduling-dependent; sort by the
+    # full row so the signature is order-insensitive
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 @pytest.fixture(scope="module")
