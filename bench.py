@@ -87,7 +87,11 @@ def run_bench() -> dict:
         embed_concurrency=(1, max(2, NUM_CPUS // 4)),
         join_partitions=max(4, NUM_CPUS // 4),
         shuffle_partitions=max(8, NUM_CPUS),
-        shard_parallelism=max(2, NUM_CPUS // 4),
+        shard_parallelism=max(2, NUM_CPUS // 2),
+        # rule extraction is a cheap pure function: extract per
+        # (doc, chunk) and stream into the write (distinct-chunk shuffle
+        # + join-back only pays off for model-priced backends)
+        dedupe_chunks_before_extract=False,
     )
     out_dir = f"/tmp/bench_snapshot_{NUM_CPUS}"
     if os.path.isdir(out_dir):

@@ -42,6 +42,23 @@ class PipelineConfig:
     shard_parallelism: int = 4           # concurrent shard pipelines in stage A
     read_blocks_per_file: int = 8        # block-split hint per input file
 
+    # --- extraction dedup strategy ---
+    # Extract once per DISTINCT chunk (shuffle + join-back, the
+    # reference's chunk-cache semantics, ingestMD.py:744-752) — pays off
+    # when extraction is expensive (LLM/model backends).  With the cheap
+    # deterministic rule extractor the two extra barriers cost more than
+    # the duplicate extractions, and results are identical because
+    # extraction is a pure function of chunk text.
+    dedupe_chunks_before_extract: bool = True
+
+    # --- edge provenance exchange strategy ---
+    # "inline": ship source_text through the edge exchange (fastest when
+    #   the triples table is small); "ref": ship a 16-hex content hash and
+    #   join the distinct snippet table onto the winners (wins when text
+    #   dominates the exchange); "auto": pick by materialized input size.
+    edge_text_exchange: str = "auto"
+    edge_ref_threshold_bytes: int = 2 << 30
+
     # --- misc ---
     src_text_max_chars: int = 1000       # normal-triple provenance truncation
     #                                      (reference ingestMD.py:494)

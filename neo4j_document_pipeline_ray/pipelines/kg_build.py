@@ -36,6 +36,7 @@ from neo4j_document_pipeline_ray.stages.embed import (
     EmbedderBackend,
     build_embeddings,
     decode_embeddings_batch,
+    embed_column,
 )
 from neo4j_document_pipeline_ray.stages.entity_link import build_mentions, build_nodes
 from neo4j_document_pipeline_ray.stages.extract_text import extract_docs, title_from_url
@@ -115,17 +116,13 @@ def build_kg(
 
     embeddings = None
     if with_embeddings:
+        # nodes/edges carry each key exactly once post-aggregation, so
+        # embeddings attach directly (zero-shuffle); the distinct-key
+        # embeddings TABLE (the reference's _emb_cache as data) is
+        # produced independently for consumers that want it.
+        nodes = embed_column(nodes, "node_key", cfg, backend=embed_backend)
+        edges = embed_column(edges, "rel_key", cfg, backend=embed_backend)
         embeddings = build_embeddings(norm, cfg, backend=embed_backend)
-        if materialize_intermediates:
-            embeddings = embeddings.materialize()
-        nodes = broadcast_join(
-            nodes, embeddings, on=("node_key",), right_on=("text_key",),
-            num_partitions=cfg.join_partitions,
-        ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
-        edges = broadcast_join(
-            edges, embeddings, on=("rel_key",), right_on=("text_key",),
-            num_partitions=cfg.join_partitions,
-        ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
     edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
 
     out: Dict[str, "ray.data.Dataset"] = {

@@ -43,10 +43,7 @@ from neo4j_document_pipeline_ray.stages.grouped import broadcast_join, min_by_ke
 from neo4j_document_pipeline_ray.pipelines.kg_build import dedupe_docs
 from neo4j_document_pipeline_ray.stages.chunker import chunk_docs
 from neo4j_document_pipeline_ray.stages.edge_agg import build_edges, decode_sources_batch
-from neo4j_document_pipeline_ray.stages.embed import (
-    build_embeddings,
-    decode_embeddings_batch,
-)
+from neo4j_document_pipeline_ray.stages.embed import embed_column
 from neo4j_document_pipeline_ray.stages.entity_link import build_mentions, build_nodes
 from neo4j_document_pipeline_ray.stages.extract_text import extract_docs
 from neo4j_document_pipeline_ray.stages.normalize import normalize_triples
@@ -134,16 +131,30 @@ def run_extraction_shard(
         override_num_blocks=max(2, len(files) * cfg.read_blocks_per_file),
     )
     docs = dedupe_docs(extract_docs(pages, cfg)).materialize()
-    chunks = chunk_docs(docs, cfg).materialize()
-    membership = chunks.select_columns(["doc_id", "chunk_idx", "chunk_id"])
-    uniq = min_by_key(chunks.select_columns(["chunk_id", "text"]), "chunk_id",
-                      num_partitions=cfg.shuffle_partitions)
-    raw = extract_triples(uniq, cfg, backend=extract_backend)
-    norm = normalize_triples(raw, cfg)
-    triples = safe_join(norm,
-        membership, join_type="inner",
-        num_partitions=cfg.join_partitions, on=("chunk_id",),
-    )
+    chunks = chunk_docs(docs, cfg)
+    if cfg.dedupe_chunks_before_extract:
+        # extract once per DISTINCT chunk, join results back onto every
+        # (doc, chunk) pair — the reference's chunk-cache semantics;
+        # right when extraction is model-priced
+        chunks = chunks.materialize()
+        membership = chunks.select_columns(["doc_id", "chunk_idx", "chunk_id"])
+        uniq = min_by_key(chunks.select_columns(["chunk_id", "text"]), "chunk_id",
+                          num_partitions=cfg.shuffle_partitions)
+        raw = extract_triples(uniq, cfg, backend=extract_backend)
+        norm = normalize_triples(raw, cfg)
+        triples = safe_join(norm,
+            membership, join_type="inner",
+            num_partitions=cfg.join_partitions, on=("chunk_id",),
+        )
+    else:
+        # extraction is a cheap pure function: run it per (doc, chunk)
+        # and stream straight into the write — no distinct shuffle, no
+        # join-back, identical output
+        raw = extract_triples(
+            chunks.select_columns(["doc_id", "chunk_idx", "chunk_id", "text"]),
+            cfg, backend=extract_backend,
+        )
+        triples = normalize_triples(raw, cfg)
 
     docs_dir = os.path.join(out_dir, "docs", f"shard={shard:05d}")
     trip_dir = os.path.join(out_dir, "triples", f"shard={shard:05d}")
@@ -158,7 +169,7 @@ def run_extraction_shard(
         "input_files": [os.path.basename(f) for f in files],
         "url_range": list(_parquet_col_range(docs_dir, "url")),
         "n_docs": _parquet_rows(docs_dir),
-        "n_chunks": chunks.count(),
+        "n_chunks": chunks.count() if cfg.dedupe_chunks_before_extract else None,
         "n_triples": _parquet_rows(trip_dir),
         "wall_s": round(time.time() - t0, 3),
     }
@@ -273,11 +284,13 @@ def build_snapshot(
         lambda: ray.data.read_parquet(os.path.join(out_dir, "triples")).materialize(),
     )
 
-    # The four graph shuffles are independent consumers of the
+    # The three graph shuffles are independent consumers of the
     # materialized triples; run them concurrently so their all-to-all
     # barriers overlap (each thread drives its own streaming execution
-    # over the shared CPU pool).  Dependency: the node/edge writers wait
-    # on the embeddings table.
+    # over the shared CPU pool).  Embeddings attach directly to the
+    # post-aggregation rows (zero-shuffle ``embed_column`` — each key
+    # appears exactly once there), so nothing waits on an embeddings
+    # table.
     from concurrent.futures import ThreadPoolExecutor
 
     _patch_fsspec_http_for_threads()
@@ -286,36 +299,26 @@ def build_snapshot(
         mentions = build_mentions(triples, cfg)
         _write_bucketed(mentions, out_dir, "mentions", cfg, None)
 
-    def run_nodes(embeddings):
+    def run_nodes():
         nodes = build_nodes(triples, cfg)
-        if embeddings is not None:
-            nodes = broadcast_join(
-                nodes, embeddings, on=("node_key",), right_on=("text_key",),
-                num_partitions=cfg.join_partitions,
-            ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
+        if with_embeddings:
+            nodes = embed_column(nodes, "node_key", cfg, backend=embed_backend)
         _write_bucketed(nodes, out_dir, "nodes", cfg, "entity_id")
 
-    def run_edges(embeddings):
+    def run_edges():
         edges = build_edges(triples, cfg)
-        if embeddings is not None:
-            edges = broadcast_join(
-                edges, embeddings, on=("rel_key",), right_on=("text_key",),
-                num_partitions=cfg.join_partitions,
-            ).map_batches(decode_embeddings_batch, batch_format="pyarrow")
+        if with_embeddings:
+            edges = embed_column(edges, "rel_key", cfg, backend=embed_backend)
         edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
         _write_bucketed(edges, out_dir, "edges", cfg, "src_id")
 
     with ThreadPoolExecutor(max_workers=3) as pool:
-        f_mentions = pool.submit(lambda: timed("mentions", run_mentions))
-        embeddings = None
-        if with_embeddings:
-            embeddings = timed(
-                "embeddings",
-                lambda: build_embeddings(triples, cfg, backend=embed_backend).materialize(),
-            )
-        f_nodes = pool.submit(lambda e=embeddings: timed("nodes", lambda: run_nodes(e)))
-        f_edges = pool.submit(lambda e=embeddings: timed("edges", lambda: run_edges(e)))
-        for f in (f_mentions, f_nodes, f_edges):
+        futs = [
+            pool.submit(lambda: timed("mentions", run_mentions)),
+            pool.submit(lambda: timed("nodes", run_nodes)),
+            pool.submit(lambda: timed("edges", run_edges)),
+        ]
+        for f in futs:
             f.result()
     t_done = time.time()
 

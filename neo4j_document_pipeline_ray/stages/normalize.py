@@ -63,6 +63,12 @@ def make_normalize_batch(cfg: PipelineConfig):
 
     def normalize_batch(batch: pa.Table) -> pa.Table:
         cols: Dict[str, List] = {name: [] for name, _ in _COLS}
+        d = batch.to_pydict()
+        # passthrough provenance columns (present when extraction ran
+        # per (doc, chunk) without the distinct-chunk shuffle)
+        passthrough = [c for c in ("doc_id", "chunk_idx") if c in d]
+        extra: Dict[str, List] = {c: [] for c in passthrough}
+        cur: Dict[str, Any] = {}
 
         def emit(chunk_id, s, p, rel_type, obj, st, ot,
                  kind, start, end, term, count, src_text, sub_key, obj_key, rel_key):
@@ -73,10 +79,13 @@ def make_normalize_batch(cfg: PipelineConfig):
                    rel_key, src_nk, dst_nk, stable_id(src_nk), stable_id(dst_nk))
             for (name, _), val in zip(_COLS, row):
                 cols[name].append(val)
+            for c in passthrough:
+                extra[c].append(cur[c])
 
-        d = batch.to_pydict()
         n = batch.num_rows
         for i in range(n):
+            for c in passthrough:
+                cur[c] = d[c][i]
             s = d["subject"][i]
             p = d["predicate"][i]
             if not (s and p):
@@ -144,8 +153,12 @@ def make_normalize_batch(cfg: PipelineConfig):
                  "normal", None, None, None, None, src_text[:max_chars],
                  sub_key, f"{ot}:{o_name}", f"{s} {p} {o_name}")
 
-        return pa.table({name: pa.array(vals, typ) for (name, typ), vals
-                         in ((c, cols[c[0]]) for c in _COLS)})
+        out = {name: pa.array(cols[name], typ) for name, typ in _COLS}
+        for c in passthrough:
+            out[c] = pa.array(
+                extra[c], pa.int64() if c == "chunk_idx" else pa.string()
+            )
+        return pa.table(out)
 
     return normalize_batch
 

@@ -75,12 +75,19 @@ class TripleExtractor:
         self._backend = backend or rule_backend
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # provenance columns pass through when extraction runs per
+        # (doc, chunk) without the distinct-chunk shuffle
+        passthrough = [c for c in ("doc_id", "chunk_idx") if c in batch.schema.names]
         out: Dict[str, List] = {
             "chunk_id": [], "subject": [], "predicate": [], "object": [],
             "object_is_json": [], "subject_type": [], "object_type": [],
             "used_fallback": [], "src_text": [],
+            **{c: [] for c in passthrough},
         }
-        for chunk_id, text in zip(batch["chunk_id"].to_pylist(), batch["text"].to_pylist()):
+        pt_cols = {c: batch[c].to_pylist() for c in passthrough}
+        for i, (chunk_id, text) in enumerate(
+            zip(batch["chunk_id"].to_pylist(), batch["text"].to_pylist())
+        ):
             triples = self._backend(text)
             used_fallback = False
             if not triples:
@@ -101,19 +108,24 @@ class TripleExtractor:
                 out["object_type"].append(_as_str(t.get("object_type")))
                 out["used_fallback"].append(used_fallback)
                 out["src_text"].append(text)
-        return pa.table(
-            {
-                "chunk_id": pa.array(out["chunk_id"], pa.string()),
-                "subject": pa.array(out["subject"], pa.string()),
-                "predicate": pa.array(out["predicate"], pa.string()),
-                "object": pa.array(out["object"], pa.string()),
-                "object_is_json": pa.array(out["object_is_json"], pa.bool_()),
-                "subject_type": pa.array(out["subject_type"], pa.string()),
-                "object_type": pa.array(out["object_type"], pa.string()),
-                "used_fallback": pa.array(out["used_fallback"], pa.bool_()),
-                "src_text": pa.array(out["src_text"], pa.string()),
-            }
-        )
+                for c in passthrough:
+                    out[c].append(pt_cols[c][i])
+        res = {
+            "chunk_id": pa.array(out["chunk_id"], pa.string()),
+            "subject": pa.array(out["subject"], pa.string()),
+            "predicate": pa.array(out["predicate"], pa.string()),
+            "object": pa.array(out["object"], pa.string()),
+            "object_is_json": pa.array(out["object_is_json"], pa.bool_()),
+            "subject_type": pa.array(out["subject_type"], pa.string()),
+            "object_type": pa.array(out["object_type"], pa.string()),
+            "used_fallback": pa.array(out["used_fallback"], pa.bool_()),
+            "src_text": pa.array(out["src_text"], pa.string()),
+        }
+        for c in passthrough:
+            res[c] = pa.array(
+                out[c], pa.int64() if c == "chunk_idx" else pa.string()
+            )
+        return pa.table(res)
 
 
 def _as_str(x: Any) -> str | None:
