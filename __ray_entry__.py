@@ -316,6 +316,35 @@ def _q_kg_graphrag(sf_dir: str):
     return pd.DataFrame({"fact": res["facts"].splitlines()})
 
 
+def _q_pages_lang_stats(sf_dir: str):
+    """Language distribution + crawl-time range over the raw pages table
+    (the curation pre-filter a web corpus runs before extraction; uses
+    the input_hint's lang/warc_ts columns)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    paths = _corpus(sf_dir)
+    pages = rd.read_parquet(paths["pages"], columns=["lang", "warc_ts"])
+    out = pages.groupby("lang").aggregate(
+        Count(alias_name="n"),
+        Min("warc_ts", alias_name="first_ts"),
+        Max("warc_ts", alias_name="last_ts"),
+    )
+
+    def fmt(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "lang": t["lang"],
+            "n": t["n"],
+            "first_ts": pc.cast(t["first_ts"], pa.string()),
+            "last_ts": pc.cast(t["last_ts"], pa.string()),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
 def _q_kg_label_counts(sf_dir: str):
     """Per-label node counts (the reference's stats/graph-schema
     endpoints, main.py:600-623, 656-726)."""
@@ -374,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_vector_topk": _q_kg_vector_topk,
         "kg_keyword_topk": _q_kg_keyword_topk,
         "kg_khop": _q_kg_khop,
+        "pages_lang_stats": _q_pages_lang_stats,
         "kg_label_counts": _q_kg_label_counts,
         "kg_rel_counts": _q_kg_rel_counts,
         "kg_graphrag": _q_kg_graphrag,
@@ -549,6 +579,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_keyword_topk": _keyword_topk_sql(nname),
         "kg_khop": _khop_sql(nsub, nobj),
+        "pages_lang_stats": f"""
+            SELECT lang, count(*) AS n,
+                   strftime(min(warc_ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                   strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM read_parquet('{_PAGES_001}')
+            GROUP BY lang
+        """,
         "kg_label_counts": f"""
             WITH m AS (
                 SELECT subject AS name, subject_type AS label

@@ -1,0 +1,151 @@
+"""Command-line entry points (the ``ray job submit`` surface).
+
+Replaces the reference's FastAPI/Celery operational surface
+(``main.py:479-495`` upload+enqueue, ``main.py:221-400`` /graphrag,
+``main.py:600-726`` stats, ``clean.py`` wipe) with batch commands:
+
+    python -m neo4j_document_pipeline_ray.cli build --pages DIR --out DIR
+    python -m neo4j_document_pipeline_ray.cli query --snapshot DIR "question"
+    python -m neo4j_document_pipeline_ray.cli stats --snapshot DIR
+    python -m neo4j_document_pipeline_ray.cli wipe --out DIR
+
+``build`` resumes from committed shards by default (pass ``--no-resume``
+to redo everything); ``query`` runs the full /graphrag retrieval flow
+over a materialized snapshot.  The module owns its Ray session (guarded
+init), per the repo convention that only CLIs, bench and the test
+fixture call ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _load_tables(snapshot_dir: str):
+    import ray.data as rd
+
+    return {
+        "nodes": rd.read_parquet(os.path.join(snapshot_dir, "nodes")),
+        "edges": rd.read_parquet(os.path.join(snapshot_dir, "edges")),
+        "mentions": rd.read_parquet(os.path.join(snapshot_dir, "mentions")),
+        "docs": rd.read_parquet(os.path.join(snapshot_dir, "docs")),
+    }
+
+
+def cmd_build(args: argparse.Namespace) -> int:
+    from neo4j_document_pipeline_ray.config import PipelineConfig
+    from neo4j_document_pipeline_ray.pipelines.snapshot import build_snapshot
+
+    _init_ray(args.num_cpus)
+    cfg = PipelineConfig()
+    root = build_snapshot(
+        args.pages, args.out, cfg,
+        resume=not args.no_resume, shard_files=args.shard_files,
+    )
+    print(json.dumps(root, indent=2))
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from neo4j_document_pipeline_ray.pipelines.graphrag import graphrag
+
+    _init_ray(args.num_cpus)
+    tables = {k: v.materialize() for k, v in _load_tables(args.snapshot).items()}
+    res = graphrag(
+        tables, args.question, top_k=args.top_k, hops=args.hops,
+        use_mmr=not args.no_mmr, use_cross_doc=not args.no_cross_doc,
+    )
+    print(res["facts"])
+    print(json.dumps({"seeds": res["seeds"], "n_nodes": res["n_nodes"],
+                      "n_rels": res["n_rels"], "timings_s": res["timings_s"]}),
+          file=sys.stderr)
+    return 0
+
+
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Counts per label / rel type + root manifest (main.py:600-726)."""
+    from ray.data.aggregate import Count
+
+    from neo4j_document_pipeline_ray.state import manifest as mf
+
+    _init_ray(args.num_cpus)
+    t = _load_tables(args.snapshot)
+    out = {
+        "root_manifest": mf.read_json(mf.root_manifest_path(args.snapshot)),
+        "labels": {r["label"]: r["n"] for r in
+                   t["nodes"].groupby("label").aggregate(Count(alias_name="n")).take_all()},
+        "rel_types": {r["rel_type"]: r["n"] for r in
+                      t["edges"].groupby("rel_type").aggregate(Count(alias_name="n")).take_all()},
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_wipe(args: argparse.Namespace) -> int:
+    from neo4j_document_pipeline_ray.pipelines.snapshot import wipe_snapshot
+
+    wipe_snapshot(args.out)
+    print(f"wiped {args.out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="neo4j_document_pipeline_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) a KG snapshot")
+    b.add_argument("--pages", required=True, help="pages parquet dir/file")
+    b.add_argument("--out", required=True, help="snapshot output dir")
+    b.add_argument("--shard-files", type=int, default=4)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="GraphRAG retrieval over a snapshot")
+    q.add_argument("question")
+    q.add_argument("--snapshot", required=True)
+    q.add_argument("--top-k", type=int, default=5)
+    q.add_argument("--hops", type=int, default=1)
+    q.add_argument("--no-mmr", action="store_true")
+    q.add_argument("--no-cross-doc", action="store_true")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("stats", help="label/rel-type counts + manifest")
+    s.add_argument("--snapshot", required=True)
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_stats)
+
+    w = sub.add_parser("wipe", help="destructively reset a snapshot dir")
+    w.add_argument("--out", required=True)
+    w.set_defaults(fn=cmd_wipe)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

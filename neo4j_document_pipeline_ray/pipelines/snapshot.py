@@ -226,13 +226,29 @@ def _write_bucketed(ds, out_dir: str, name: str, cfg: PipelineConfig,
         def add_bucket(t: pa.Table) -> pa.Table:
             ids = t[bucket_col].to_pylist()
             b = [(i * buckets) >> 60 for i in ids]  # entity ids are 60-bit
-            return t.append_column("bucket", pa.array(b, pa.int32()))
+            t = t.append_column("bucket", pa.array(b, pa.int32()))
+            # sort within the block so parquet row-group min/max stats on
+            # the id column are range-informative (the reader can prune
+            # row groups) without paying a global sort barrier — the
+            # replacement for the reference's per-label b-tree indexes
+            # (ingestMD.py:669-690)
+            return t.sort_by(bucket_col)
 
         ds = ds.map_batches(add_bucket, batch_format="pyarrow")
         ds.write_parquet(tmp_dir, partition_cols=["bucket"])
     else:
         ds.write_parquet(tmp_dir)
     os.replace(tmp_dir, final_dir)
+
+
+def wipe_snapshot(out_dir: str) -> None:
+    """Destructive reset of a snapshot directory (the analog of the
+    reference's batched full-DB wipe, ``clean.py:4-72``): removes every
+    table and all manifests so the next run starts from nothing.
+    ``build_snapshot(resume=False)`` already overwrites table-by-table;
+    this is the explicit clean-slate tool."""
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
 
 
 def build_snapshot(
