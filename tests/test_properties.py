@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the deterministic kernels.
+
+SURVEY.md §5: the reference ships no tests, so the conformance suite is
+ours — these pin the algebraic invariants the example-based tests can't
+sweep: idempotence, budget bounds, stability, content preservation.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from neo4j_document_pipeline_ray.functions import tokenizer
+from neo4j_document_pipeline_ray.functions.chunking import chunk_text
+from neo4j_document_pipeline_ray.functions.textnorm import (
+    canonicalize_text,
+    normalize_name_for_key,
+    safe_label,
+    stable_id,
+)
+
+text_st = st.text(
+    alphabet=string.ascii_letters + string.digits + " \t\n.,;:!?#*|-–“”'\"&<>/",
+    max_size=800,
+)
+name_st = st.text(max_size=80)
+
+
+class TestCanonicalize:
+    @given(text_st)
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent(self, t):
+        once = canonicalize_text(t)
+        assert canonicalize_text(once) == once
+
+    @given(text_st)
+    @settings(max_examples=200, deadline=None)
+    def test_invariants(self, t):
+        c = canonicalize_text(t)
+        assert "\r" not in c
+        assert "\n\n\n" not in c
+        assert c == c.strip()
+        import re
+        for line in c.split("\n"):
+            assert line == line.rstrip()
+            # single tabs survive; only RUNS of 2+ spaces/tabs collapse
+            # (reference ingestMD.py:65)
+            assert not re.search(r"[ \t]{2,}", line)
+
+
+class TestNormalizeKey:
+    @given(name_st)
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent_and_charset(self, s):
+        k = normalize_name_for_key(s)
+        assert normalize_name_for_key(k) == k
+        assert all(ch.islower() or ch.isdigit() or ch == " " for ch in k)
+        assert "  " not in k
+
+    @given(name_st)
+    @settings(max_examples=200, deadline=None)
+    def test_stable_id_range_and_determinism(self, s):
+        k = normalize_name_for_key(s)
+        i = stable_id(k)
+        assert 0 <= i < (1 << 60)
+        assert i == stable_id(k)
+
+
+class TestSafeLabel:
+    @given(name_st)
+    @settings(max_examples=200, deadline=None)
+    def test_charset_and_length(self, s):
+        lbl = safe_label(s)
+        # reference quirk (documented in textnorm.safe_label): truthy
+        # whitespace-only input sanitizes to "" — otherwise non-empty
+        if s and not s.strip():
+            assert lbl == ""
+        else:
+            assert lbl
+        assert len(lbl) <= 64
+        assert all(ch.isalnum() or ch == "_" for ch in lbl)
+
+
+class TestChunker:
+    @given(text_st, st.integers(min_value=8, max_value=64))
+    @settings(max_examples=150, deadline=None)
+    def test_budget_and_content(self, t, budget):
+        c = canonicalize_text(t)
+        chunks = chunk_text(c, max_tokens=budget)
+        joined_tokens = []
+        for ch in chunks:
+            n = tokenizer.count_tokens(ch)
+            assert n <= budget, (n, budget)
+            # drop the "\n\n" paragraph-join separators the chunker
+            # inserts (paragraph content cannot contain them)
+            joined_tokens.extend(t for t in tokenizer.encode(ch) if t != "\n\n")
+        # every token of every paragraph survives chunking, in order
+        want = []
+        for p in c.split("\n\n"):
+            p = p.strip()
+            if p:
+                want.extend(tokenizer.encode(p))
+        assert joined_tokens == want
+
+    @given(text_st)
+    @settings(max_examples=100, deadline=None)
+    def test_deterministic(self, t):
+        c = canonicalize_text(t)
+        assert chunk_text(c, 32) == chunk_text(c, 32)
