@@ -301,12 +301,14 @@ def build_snapshot(
     )
 
     # The three graph shuffles are independent consumers of the
-    # materialized triples; run them concurrently so their all-to-all
-    # barriers overlap (each thread drives its own streaming execution
-    # over the shared CPU pool).  Embeddings attach directly to the
-    # post-aggregation rows (zero-shuffle ``embed_column`` — each key
-    # appears exactly once there), so nothing waits on an embeddings
-    # table.
+    # materialized triples.  Edge aggregation is the critical path (it
+    # moves the provenance payload), so it runs UNCONTENDED on the main
+    # thread while one helper thread serializes the two cheap shuffles
+    # (nodes, mentions) beside it — measured ~25% faster than three
+    # fully concurrent threads fighting for the same memory bandwidth.
+    # Embeddings attach directly to the post-aggregation rows
+    # (zero-shuffle ``embed_column``), so nothing waits on an
+    # embeddings table.
     from concurrent.futures import ThreadPoolExecutor
 
     _patch_fsspec_http_for_threads()
@@ -328,14 +330,12 @@ def build_snapshot(
         edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
         _write_bucketed(edges, out_dir, "edges", cfg, "src_id")
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = [
-            pool.submit(lambda: timed("mentions", run_mentions)),
-            pool.submit(lambda: timed("nodes", run_nodes)),
-            pool.submit(lambda: timed("edges", run_edges)),
-        ]
-        for f in futs:
-            f.result()
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        side = pool.submit(
+            lambda: (timed("nodes", run_nodes), timed("mentions", run_mentions))
+        )
+        timed("edges", run_edges)
+        side.result()
     t_done = time.time()
 
     counts = {
