@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from neo4j_document_pipeline_ray.stages.grouped import safe_join
+from neo4j_document_pipeline_ray.stages.grouped import broadcast_join, safe_join
 
 # --- exact dedup ----------------------------------------------------------
 
@@ -197,12 +197,12 @@ def minhash_dedup_pairs(
     sigs, pairs = minhash_candidate_pairs(docs)
     if pairs.count() == 0:
         return pairs
-    j = safe_join(pairs, sigs, join_type="inner", num_partitions=8,
-                   on=("a",), right_on=("doc_id",), right_suffix="_a")
-    sig_col = "sig" if "sig" in j.schema().names else "sig_a"
-    j = j.rename_columns({sig_col: "siga"}) if sig_col != "siga" else j
-    j = safe_join(j, sigs, join_type="inner", num_partitions=8,
-               on=("b",), right_on=("doc_id",), right_suffix="_b")
+    # signatures are tiny (8 B/doc-perm) -> broadcast lookups, no shuffle
+    j = broadcast_join(pairs, sigs, on=("a",), right_on=("doc_id",),
+                       num_partitions=8)
+    j = j.rename_columns({"sig": "siga"})
+    j = broadcast_join(j, sigs, on=("b",), right_on=("doc_id",),
+                       num_partitions=8)
 
     def verify(t: pa.Table) -> pa.Table:
         names = t.schema.names

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from neo4j_document_pipeline_ray.stages.grouped import safe_join
+from neo4j_document_pipeline_ray.stages.grouped import broadcast_join, safe_join
 
 
 
@@ -119,10 +119,13 @@ def q_segment_revenue_topk(sf_dir: str) -> "ray.data.Dataset":
         })
 
     li_rev = li.map_batches(rev, batch_format="pyarrow")
-    o_b = safe_join(orders, cust, join_type="inner", num_partitions=8,
-                      on=("o_custkey",), right_on=("c_custkey",))
-    joined = safe_join(li_rev, o_b.select_columns(["o_orderkey"]), join_type="inner",
-                         num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    # both right sides are small (filtered segment keys) -> broadcast
+    # semi-joins: no all-to-all until the final aggregate
+    o_b = broadcast_join(orders, cust, on=("o_custkey",),
+                         right_on=("c_custkey",), num_partitions=8)
+    joined = broadcast_join(li_rev, o_b.select_columns(["o_orderkey"]),
+                            on=("l_orderkey",), right_on=("o_orderkey",),
+                            num_partitions=8)
     agg = joined.groupby("l_orderkey").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
     return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
 
@@ -151,10 +154,12 @@ def q_brand_supplier_stats(sf_dir: str) -> "ray.data.Dataset":
         return t.append_column("qty", pc.cast(t["l_quantity"], pa.int64())).drop_columns(["l_quantity"])
 
     li = li.map_batches(prep, batch_format="pyarrow")
-    j = safe_join(li, part, join_type="inner", num_partitions=8,
-                on=("l_partkey",), right_on=("p_partkey",))
-    j = safe_join(j, supp, join_type="inner", num_partitions=8,
-               on=("l_suppkey",), right_on=("s_suppkey",))
+    # part/supplier are dimension tables -> broadcast lookups, so the
+    # fact table streams straight into the grouped aggregate
+    j = broadcast_join(li, part, on=("l_partkey",), right_on=("p_partkey",),
+                       num_partitions=8)
+    j = broadcast_join(j, supp, on=("l_suppkey",), right_on=("s_suppkey",),
+                       num_partitions=8)
     return j.groupby(["p_brand", "s_name"]).aggregate(
         Sum("qty", alias_name="sum_qty"),
         Count(alias_name="n_lines"),
