@@ -472,7 +472,7 @@ def _keyword_topk_sql(nname: str) -> str:
         SELECT entity_id, label, name, score FROM scored
         WHERE score > 0
         ORDER BY score DESC, entity_id
-        LIMIT 16
+        LIMIT 12
     """
 
 

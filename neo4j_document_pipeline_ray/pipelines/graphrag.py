@@ -34,6 +34,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -176,7 +177,9 @@ def keyword_topk(
     +1 per matched anchor *phrase* (anchors are force-included in the
     reference's Lucene query and naturally score higher under BM25).
     Rows with score 0 are dropped (no Lucene hit).  Retrieval limit is
-    ``max(k, 16)`` like fulltext_search (graphutil.py:329).
+    ``max(k, 16)`` like fulltext_search (graphutil.py:329), but the
+    returned set is truncated to ``k`` exactly as the reference slices
+    ``hits[:limit]`` (graphutil.py:354).
     """
     anchors, terms = _query_terms(question)
     tok_set = frozenset(
@@ -206,7 +209,7 @@ def keyword_topk(
         return sub.append_column("score", pa.array(scores[keep], pa.float64()))
 
     partial = nodes.map_batches(score, batch_format="pyarrow")
-    return partial.sort(["score", "entity_id"], descending=[True, False]).limit(lim)
+    return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
 
 
 # ---------------------------------------------------------------------------
@@ -369,12 +372,11 @@ def _filter_by_ids(
 ) -> "ray.data.Dataset":
     """Broadcast-filter a big table down to rows whose ``col`` is in a
     small id set — ``ray.put`` once, read per batch; no shuffle."""
-    ref = ray.put(frozenset(int(i) for i in ids))
+    ref = ray.put(pa.array(sorted({int(i) for i in ids}), pa.int64()))
 
     def flt(t: pa.Table) -> pa.Table:
         idset = ray.get(ref)
-        mask = pa.array([v in idset for v in t[col].to_pylist()], pa.bool_())
-        return t.filter(mask)
+        return t.filter(pc.is_in(t[col], value_set=idset))
 
     return ds.map_batches(flt, batch_format="pyarrow")
 
@@ -397,11 +399,11 @@ def doc_titles_for_nodes(
         if e not in first or h["doc_id"] < first[e]:
             first[e] = h["doc_id"]
     doc_ids = sorted(set(first.values()))
-    ref = ray.put(frozenset(doc_ids))
+    ref = ray.put(pa.array(doc_ids))
 
     def flt(t: pa.Table) -> pa.Table:
         ids = ray.get(ref)
-        mask = pa.array([v in ids for v in t["doc_id"].to_pylist()], pa.bool_())
+        mask = pc.is_in(t["doc_id"], value_set=ids)
         return t.filter(mask).select(["doc_id", "title"])
 
     titles = {
@@ -456,14 +458,13 @@ def traverse_neighbors(
     for _ in range(hops):
         if not frontier:
             break
-        ref = ray.put(frozenset(frontier))
+        ref = ray.put(pa.array(sorted(frontier), pa.int64()))
 
         def flt(t: pa.Table) -> pa.Table:
             ids = ray.get(ref)
-            src = t["src_id"].to_pylist()
-            dst = t["dst_id"].to_pylist()
-            mask = pa.array(
-                [s in ids or d in ids for s, d in zip(src, dst)], pa.bool_()
+            mask = pc.or_(
+                pc.is_in(t["src_id"], value_set=ids),
+                pc.is_in(t["dst_id"], value_set=ids),
             )
             return t.filter(mask)
 
@@ -577,11 +578,17 @@ def graphrag(
     use_mmr: bool = True,
     use_cross_doc: bool = True,
     include_source: bool = True,
+    alpha_vec: float = 0.6,
+    beta_kw: float = 0.4,
     cfg: Optional[PipelineConfig] = None,
 ) -> Dict[str, Any]:
     """The full /graphrag flow (main.py:221-400) over KG tables
     ``{nodes, edges, mentions, docs}``; returns facts + seeds + per-step
-    timings like the reference's response payload."""
+    timings like the reference's response payload.
+
+    Channel depths follow the endpoint: ``k_vec = k_kw = max(12, top_k)``
+    and the blend weights default to the RagBody defaults
+    ``alpha_vec=0.6 / beta_kw=0.4`` (main.py:268-272)."""
     cfg = cfg or PipelineConfig()
     timings: Dict[str, float] = {}
     t = time.time()
@@ -589,7 +596,11 @@ def graphrag(
     timings["embed"] = time.time() - t
 
     t = time.time()
-    cands = hybrid_candidates(tables["nodes"], question, qvec)
+    k_ch = max(12, top_k)
+    cands = hybrid_candidates(
+        tables["nodes"], question, qvec,
+        k_vec=k_ch, k_kw=k_ch, alpha_vec=alpha_vec, beta_kw=beta_kw,
+    )
     timings["hybrid"] = time.time() - t
 
     if use_mmr and len(cands) > top_k:

@@ -87,9 +87,9 @@ def q_lineitem_agg(sf_dir: str) -> "ray.data.Dataset":
 Q_LINEITEM_AGG_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-       sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS sum_disc_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)) AS BIGINT)) AS BIGINT) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -132,7 +132,7 @@ def q_segment_revenue_topk(sf_dir: str) -> "ray.data.Dataset":
 
 Q_SEGMENT_REVENUE_TOPK_SQL = """
 SELECT l_orderkey,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -168,7 +168,7 @@ def q_brand_supplier_stats(sf_dir: str) -> "ray.data.Dataset":
 
 Q_BRAND_SUPPLIER_STATS_SQL = """
 SELECT p_brand, s_name,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        count(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -207,7 +207,7 @@ Q_EVENTS_HOURLY_SQL = """
 SELECT event_type,
        CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS win,
        count(*) AS n,
-       sum(CAST(round(value * 1000) AS BIGINT)) AS sum_value_milli,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
        min(CAST(round(value * 1000) AS BIGINT)) AS min_value_milli,
        max(CAST(round(value * 1000) AS BIGINT)) AS max_value_milli
 FROM events

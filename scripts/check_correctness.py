@@ -96,18 +96,27 @@ def main():
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
             failed.append(name)
             continue
-        want2 = want.astype(got.dtypes.to_dict(), errors="ignore")
-        eq = got.equals(want2)
-        if not eq:
-            # tolerate dtype mismatches, compare as strings
-            eq = got.astype(str).equals(want2.astype(str))
-        if eq:
+        # dtype-strict, mirroring the driver's value hash: a Ray int64
+        # column vs an oracle float64/object column is a FAIL even when
+        # the printed values are equal.
+        got_dt = [str(d) for d in got.dtypes]
+        want_dt = [str(d) for d in want.dtypes]
+        if got_dt != want_dt:
+            mism = [
+                f"{c}: ray={g} oracle={w}"
+                for c, g, w in zip(got.columns, got_dt, want_dt)
+                if g != w
+            ]
+            print(f"FAIL {name}: dtype mismatch ({'; '.join(mism)})")
+            failed.append(name)
+            continue
+        if got.equals(want):
             print(f"ok   {name}: {len(got)} rows match ({dt:.1f}s)")
         else:
-            diff = (got.astype(str) != want2.astype(str)).any(axis=1)
+            diff = (got.astype(str) != want.astype(str)).any(axis=1)
             print(f"FAIL {name}: values differ in {int(diff.sum())}/{len(got)} rows")
             print("  got :", got[diff].head(3).to_dict("records"))
-            print("  want:", want2[diff].head(3).to_dict("records"))
+            print("  want:", want[diff].head(3).to_dict("records"))
             failed.append(name)
 
     print("\n==", "ALL OK" if not failed else f"FAILED: {failed}")
