@@ -8,15 +8,17 @@ file group; here ``shard_files`` per shard).  Each shard runs
 read -> text extraction -> chunk -> distinct-chunk -> triple extraction
 -> normalize -> membership join, then writes doc-level triples and the
 docs table under ``out/triples/shard=K/`` / ``out/docs/shard=K/`` and
-commits a lineage manifest.  A rerun skips committed shards — this is
-the resume point, because extraction (the model stage) dominates cost.
+commits a lineage manifest.  A rerun skips committed shards whose
+recorded input file group matches the current plan — this is the
+resume point, because extraction (the model stage) dominates cost.
 Chunk dedup is shard-scoped here (the reference's cache is likewise
 run-scoped, ``tasks.py:19-20``); the in-memory pipeline in
 ``kg_build.py`` demonstrates the cluster-global variant.
 
 **Stage B — graph shuffles (cheap, idempotent, atomic).**
-Reads all checkpointed triples and runs the entity/edge/mention/
-embedding shuffles, writing ``nodes`` and ``edges`` partitioned by
+Reads the checkpointed triples of the current plan's shards and runs
+the entity/edge/mention/embedding shuffles, writing ``nodes`` and
+``edges`` partitioned by
 entity-id range (``bucket = entity_id * B >> 60``) — the bulk-loadable
 replacement for the reference's Neo4j ``MERGE`` write layer.  Each
 table lands in a temp dir that is atomically renamed, and a root
@@ -34,6 +36,7 @@ import time
 from typing import Dict, List, Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Min
@@ -224,9 +227,22 @@ def _write_bucketed(ds, out_dir: str, name: str, cfg: PipelineConfig,
         buckets = cfg.entity_buckets
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            ids = t[bucket_col].to_pylist()
-            b = [(i * buckets) >> 60 for i in ids]  # entity ids are 60-bit
-            t = t.append_column("bucket", pa.array(b, pa.int32()))
+            # bucket = (id * B) >> 60 with 60-bit entity ids, computed in
+            # uint64 (no wrap possible for B <= 16: (2^60-1)*16 < 2^64);
+            # power-of-two B reduces to a plain shift with no multiply
+            ids = pc.cast(t[bucket_col], pa.uint64())
+            if buckets & (buckets - 1) == 0:
+                b = pc.shift_right(ids, 60 - (buckets.bit_length() - 1))
+            elif buckets <= 16:
+                b = pc.shift_right(
+                    pc.multiply(ids, pa.scalar(buckets, pa.uint64())), 60
+                )
+            else:
+                raise ValueError(
+                    "entity_buckets must be a power of two or <= 16 "
+                    f"(got {buckets})"
+                )
+            t = t.append_column("bucket", pc.cast(b, pa.int32()))
             # sort within the block so parquet row-group min/max stats on
             # the id column are range-informative (the reader can prune
             # row groups) without paying a global sort barrier — the
@@ -239,6 +255,27 @@ def _write_bucketed(ds, out_dir: str, name: str, cfg: PipelineConfig,
     else:
         ds.write_parquet(tmp_dir)
     os.replace(tmp_dir, final_dir)
+
+
+def _shard_reusable(out_dir: str, shard: int, files: List[str]) -> bool:
+    """A committed shard is reusable on resume only if its recorded
+    input file group matches the CURRENT plan's group for this index.
+
+    Without this check, changing the input file set (or ``shard_files``)
+    between a partial run and a resume silently mixes old and new
+    inputs: shard i would map to a different file group yet be skipped
+    as committed.  The manifest already records ``input_files``; compare
+    and re-run on mismatch.
+    """
+    man = mf.read_json(mf.shard_manifest_path(out_dir, shard))
+    if not man:
+        return False
+    if man.get("input_files") != [os.path.basename(f) for f in files]:
+        return False
+    for name in ("docs", "triples"):
+        if not os.path.isdir(os.path.join(out_dir, name, f"shard={shard:05d}")):
+            return False
+    return True
 
 
 def wipe_snapshot(out_dir: str) -> None:
@@ -268,7 +305,7 @@ def build_snapshot(
 
     shards = _shard_groups(_list_input_files(pages_path), shard_files)
     todo = [(i, files) for i, files in enumerate(shards)
-            if not (resume and mf.shard_committed(out_dir, i))]
+            if not (resume and _shard_reusable(out_dir, i, files))]
     skipped = len(shards) - len(todo)
     if todo:
         # Shard pipelines are independent; run a few concurrently so one
@@ -295,23 +332,42 @@ def build_snapshot(
         timings[name] = round(time.time() - t, 3)
         return res
 
-    triples = timed(
-        "read_triples",
-        lambda: ray.data.read_parquet(os.path.join(out_dir, "triples")).materialize(),
-    )
+    # Stage-B reads are restricted to the CURRENT plan's shard dirs so
+    # stale leftovers from a previous larger run are invisible.
+    plan_ids = list(range(len(shards)))
 
-    # The three graph shuffles are independent consumers of the
-    # materialized triples.  Edge aggregation is the critical path (it
-    # moves the provenance payload), so it runs UNCONTENDED on the main
-    # thread while one helper thread serializes the two cheap shuffles
-    # (nodes, mentions) beside it — measured ~25% faster than three
-    # fully concurrent threads fighting for the same memory bandwidth.
-    # Embeddings attach directly to the post-aggregation rows
-    # (zero-shuffle ``embed_column``), so nothing waits on an
-    # embeddings table.
+    def _plan_dirs(name: str) -> List[str]:
+        return [os.path.join(out_dir, name, f"shard={i:05d}") for i in plan_ids]
+
+    def _plan_files(name: str) -> List[str]:
+        # read_parquet expands a single directory but not a LIST of
+        # directories — enumerate the shard files explicitly
+        out = []
+        for d in _plan_dirs(name):
+            out.extend(
+                sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            )
+        return out
+
+    # Edge aggregation is the critical path (it moves the provenance
+    # payload), so it runs UNCONTENDED on the main thread while one
+    # helper thread serializes the two cheap shuffles (nodes, mentions)
+    # beside it — measured ~25% faster than three fully concurrent
+    # threads fighting for the same memory bandwidth.  Embeddings attach
+    # directly to the post-aggregation rows (zero-shuffle
+    # ``embed_column``), so nothing waits on an embeddings table.
     from concurrent.futures import ThreadPoolExecutor
 
     _patch_fsspec_http_for_threads()
+
+    triples = timed(
+        "read_triples",
+        lambda: ray.data.read_parquet(_plan_files("triples")).materialize(),
+    )
 
     def run_mentions():
         mentions = build_mentions(triples, cfg)
@@ -345,7 +401,7 @@ def build_snapshot(
         "n_mentions": _parquet_rows(os.path.join(out_dir, "mentions")),
         "n_docs": sum(
             (mf.read_json(mf.shard_manifest_path(out_dir, s)) or {}).get("n_docs", 0)
-            for s in mf.committed_shards(out_dir)
+            for s in plan_ids
         ),
     }
     root = {

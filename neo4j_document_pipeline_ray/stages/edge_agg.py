@@ -119,9 +119,9 @@ def _merge_edges_partition(df: pd.DataFrame) -> pd.DataFrame:
     return _merge_edges_df(df, cols)
 
 
-def _prov_pairs_batch(batch: pa.Table) -> pa.Table:
-    """(src_ref, src_text) pairs, deduped within batch."""
-    texts = batch["src_text"].to_pylist()
+def _prov_pairs_batch(batch: pa.Table, text_col: str = "src_text") -> pa.Table:
+    """(src_ref, source_text) pairs, deduped within batch."""
+    texts = batch[text_col].to_pylist()
     seen = {}
     for t in texts:
         if t is None:

@@ -80,20 +80,41 @@ def _finish_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_nodes(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
-    """triples (chunk-level ok) -> nodes(entity_id, label, name, norm_key, node_key)."""
+# columns the candidate partial pass actually reads (pruned at the read)
+NODE_INPUT_COLS = [
+    "src_id", "dst_id", "src_norm_key", "dst_norm_key",
+    "subject", "object", "subject_type", "object_type",
+]
+
+
+def shard_node_candidates(
+    triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None
+) -> "ray.data.Dataset":
+    """Per-batch deduped (entity_id, norm_key, rep_key) candidate rows —
+    the associative partial of the node aggregation, writable per shard
+    in stage A so stage B never re-reads raw triples."""
+    cfg = cfg or PipelineConfig()
+    slim = triples.select_columns(NODE_INPUT_COLS)
+    return slim.map_batches(
+        _candidates_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
+    )
+
+
+def finalize_nodes(
+    cands: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None
+) -> "ray.data.Dataset":
+    """Candidate partials -> final nodes table (global min per entity)."""
     from neo4j_document_pipeline_ray.stages.grouped import min_by_key
 
     cfg = cfg or PipelineConfig()
-    slim = triples.select_columns([
-        "src_id", "dst_id", "src_norm_key", "dst_norm_key",
-        "subject", "object", "subject_type", "object_type",
-    ])  # drop src_text before the Python-side conversion
-    cands = slim.map_batches(
-        _candidates_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
-    )
     agg = min_by_key(cands, "entity_id", num_partitions=cfg.shuffle_partitions)
     return agg.map_batches(_finish_batch, batch_format="pyarrow")
+
+
+def build_nodes(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
+    """triples (chunk-level ok) -> nodes(entity_id, label, name, norm_key, node_key)."""
+    cfg = cfg or PipelineConfig()
+    return finalize_nodes(shard_node_candidates(triples, cfg), cfg)
 
 
 def _mention_pairs_batch(batch: pa.Table) -> "pd.DataFrame":
@@ -109,16 +130,34 @@ def _mention_pairs_batch(batch: pa.Table) -> "pd.DataFrame":
     return df.drop_duplicates(["doc_id", "entity_id"])
 
 
-def build_mentions(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
-    """Distinct (doc_id, entity_id) — the MENTIONS/SOURCE provenance edges
-    (reference ``ingestMD.py:538-541``), idempotent per pair like MERGE."""
+MENTION_INPUT_COLS = ["doc_id", "src_id", "dst_id"]
+
+
+def shard_mention_pairs(
+    triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None
+) -> "ray.data.Dataset":
+    """Per-batch deduped (doc_id, entity_id) pairs — the associative
+    partial of the mention dedup, writable per shard in stage A."""
+    cfg = cfg or PipelineConfig()
+    slim = triples.select_columns(MENTION_INPUT_COLS)
+    return slim.map_batches(
+        _mention_pairs_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
+    )
+
+
+def finalize_mentions(
+    pairs: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None
+) -> "ray.data.Dataset":
     from neo4j_document_pipeline_ray.stages.grouped import distinct_by
 
     cfg = cfg or PipelineConfig()
-    slim = triples.select_columns(["doc_id", "src_id", "dst_id"])
-    pairs = slim.map_batches(
-        _mention_pairs_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
-    )
     # partitioned by entity_id; every (doc, entity) pair lands whole
     return distinct_by(pairs, "entity_id", subset=["doc_id", "entity_id"],
                        num_partitions=cfg.shuffle_partitions)
+
+
+def build_mentions(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
+    """Distinct (doc_id, entity_id) — the MENTIONS/SOURCE provenance edges
+    (reference ``ingestMD.py:538-541``), idempotent per pair like MERGE."""
+    cfg = cfg or PipelineConfig()
+    return finalize_mentions(shard_mention_pairs(triples, cfg), cfg)
