@@ -289,6 +289,12 @@ def _q_kg_keyword_topk(sf_dir: str):
     return keyword_topk(_kg(sf_dir)["nodes"], _QUESTION, k=12)
 
 
+def _q_kg_bm25_topk(sf_dir: str):
+    from neo4j_document_pipeline_ray.pipelines.graphrag import bm25_topk
+
+    return bm25_topk(_kg(sf_dir)["nodes"], _QUESTION, k=12)
+
+
 def _khop_seeds() -> list[int]:
     from neo4j_document_pipeline_ray.functions.textnorm import (
         normalize_name_for_key,
@@ -402,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- query layer over the KG (graphutil.py retrieval semantics) ---
         "kg_vector_topk": _q_kg_vector_topk,
         "kg_keyword_topk": _q_kg_keyword_topk,
+        "kg_bm25_topk": _q_kg_bm25_topk,
         "kg_khop": _q_kg_khop,
         "pages_lang_stats": _q_pages_lang_stats,
         "kg_label_counts": _q_kg_label_counts,
@@ -468,6 +475,83 @@ def _keyword_topk_sql(nname: str) -> str:
                    split_part(rep, chr(31), 1) AS name,
                    CAST(({tok_score}) + ({phrase_score}) AS DOUBLE) AS score
             FROM g
+        )
+        SELECT entity_id, label, name, score FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, entity_id
+        LIMIT 12
+    """
+
+
+def _bm25_topk_sql(nname: str) -> str:
+    """Oracle for the BM25 fulltext channel: Lucene-default BM25
+    (k1=1.2, b=0.75) over the truth-derived node-name corpus, with the
+    float expression tree mirrored operation-for-operation from
+    ``pipelines.graphrag._bm25_score`` (literals written as the same
+    compound constants, e.g. ``1.2 + 1.0``, left-associative sums in
+    the same sorted term order) so the rounded doubles hash-match."""
+    from neo4j_document_pipeline_ray.pipelines.graphrag import _bm25_query
+
+    toks, phrases = _bm25_query(_QUESTION)
+
+    df_cols = []
+    for i, t in enumerate(toks):
+        df_cols.append(
+            "(SELECT count(*) FROM docs WHERE "
+            f"list_contains(string_split(norm_key, ' '), '{t}')) AS df_t{i}"
+        )
+    for i, p in enumerate(phrases):
+        df_cols.append(
+            "(SELECT count(*) FROM docs WHERE "
+            f"instr(' ' || norm_key || ' ', ' {p} ') > 0) AS df_p{i}"
+        )
+
+    norm = "1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)"
+    terms = []
+    for i, t in enumerate(toks):
+        tf = f"len(list_filter(string_split(norm_key, ' '), x -> x = '{t}'))"
+        idf = f"ln(1.0 + (n - df_t{i} + 0.5) / (df_t{i} + 0.5))"
+        terms.append(
+            f"CASE WHEN {tf} > 0 THEN {idf} * ({tf} * (1.2 + 1.0)) / "
+            f"({tf} + {norm}) ELSE 0.0 END"
+        )
+    for i, p in enumerate(phrases):
+        idf = f"ln(1.0 + (n - df_p{i} + 0.5) / (df_p{i} + 0.5))"
+        terms.append(
+            f"CASE WHEN instr(' ' || norm_key || ' ', ' {p} ') > 0 THEN "
+            f"{idf} * (1.2 + 1.0) / (1.0 + {norm}) ELSE 0.0 END"
+        )
+    score = " + ".join(terms) or "0.0"
+
+    return f"""
+        WITH m AS (
+            SELECT subject AS name, subject_type AS label
+            FROM read_parquet('{_TRUTH_001}')
+            UNION ALL
+            SELECT object, object_type FROM read_parquet('{_TRUTH_001}')
+        ), k AS (
+            SELECT name, label, {nname} AS norm_key FROM m
+        ), g AS (
+            SELECT norm_key, min(name || chr(31) || label) AS rep
+            FROM k GROUP BY norm_key
+        ), docs AS (
+            SELECT {_eid_sql('norm_key')} AS entity_id,
+                   split_part(rep, chr(31), 2) AS label,
+                   split_part(rep, chr(31), 1) AS name,
+                   norm_key,
+                   CASE WHEN norm_key = '' THEN 0
+                        ELSE len(string_split(norm_key, ' ')) END AS dl
+            FROM g
+        ), stats AS (
+            SELECT count(*) AS n,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM docs
+        ), dfs AS (
+            SELECT {', '.join(df_cols)}
+        ), scored AS (
+            SELECT entity_id, label, name,
+                   round(0.0 + {score}, 6) AS score
+            FROM docs, stats, dfs
         )
         SELECT entity_id, label, name, score FROM scored
         WHERE score > 0
@@ -578,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, {_eid_sql(nname)} AS entity_id FROM m
         """,
         "kg_keyword_topk": _keyword_topk_sql(nname),
+        "kg_bm25_topk": _bm25_topk_sql(nname),
         "kg_khop": _khop_sql(nsub, nobj),
         "pages_lang_stats": f"""
             SELECT lang, count(*) AS n,

@@ -212,6 +212,158 @@ def keyword_topk(
     return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
 
 
+# BM25 constants — Lucene's defaults, which score the reference's
+# fulltext index (graphutil.py:211-217 CREATE FULLTEXT INDEX;
+# queried at graphutil.py:306-359)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_query(question: str) -> Tuple[List[str], List[str]]:
+    """(tokens, phrases) of the Lucene query fulltext_search builds
+    (graphutil.py:313-328): every merged term contributes its tokens;
+    multi-word anchors additionally contribute a quoted phrase."""
+    anchors, terms = _query_terms(question)
+    toks = sorted({
+        tok for t in terms for tok in normalize_name_for_key(t).split()
+    })
+    phrases = sorted({
+        normalize_name_for_key(a) for a in anchors
+        if " " in normalize_name_for_key(a)
+    })
+    return toks, phrases
+
+
+def _bm25_corpus_stats(
+    nodes: "ray.data.Dataset", toks: List[str], phrases: List[str]
+) -> Dict[str, Any]:
+    """One distributed pass -> {n, dl_sum, df per token/phrase}.
+
+    Document = a node's normalized name (the unit the reference's
+    fulltext index stores).  Per batch the pass emits ONE tiny partial
+    row; the driver folds #batches rows — no shuffle.  At 100 TB scale
+    this is the query-time half of an inverted index; the df of the
+    handful of query terms is the only statistic needed, so a full
+    postings index is not required.
+    """
+    tok_arr = list(toks)
+    phr_arr = list(phrases)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        keys = df["norm_key"].fillna("")
+        padded = " " + keys + " "
+        row = {
+            "n": len(df),
+            "dl_sum": int(keys.str.count(" ").where(keys != "", -1).sum())
+            + len(df),  # tokens = spaces+1 for non-empty, 0 for empty
+        }
+        for i, t in enumerate(tok_arr):
+            row[f"t{i}"] = int(
+                padded.str.contains(f" {t} ", regex=False).sum()
+            )
+        for i, p in enumerate(phr_arr):
+            row[f"p{i}"] = int(
+                padded.str.contains(f" {p} ", regex=False).sum()
+            )
+        return pd.DataFrame([row])
+
+    parts = nodes.select_columns(["norm_key"]).map_batches(
+        partial, batch_format="pandas"
+    ).take_all()
+    stats = {
+        "n": sum(r["n"] for r in parts),
+        "dl_sum": sum(r["dl_sum"] for r in parts),
+        "df_tok": {
+            t: sum(r[f"t{i}"] for r in parts) for i, t in enumerate(tok_arr)
+        },
+        "df_phr": {
+            p: sum(r[f"p{i}"] for r in parts) for i, p in enumerate(phr_arr)
+        },
+    }
+    return stats
+
+
+def _bm25_idf(df: int, n: int) -> float:
+    """Lucene's BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+
+
+def bm25_topk(
+    nodes: "ray.data.Dataset", question: str, k: int = 12
+) -> "ray.data.Dataset":
+    """Real BM25 over node names — the reference's Lucene fulltext
+    channel (graphutil.py:306-359) re-expressed in two Ray passes.
+
+    Pass 1 collects corpus stats (N, avgdl, df of each query token and
+    anchor phrase); pass 2 scores every name with Lucene's BM25
+    (k1=1.2, b=0.75) — token tf from exact token occurrences, each
+    matched anchor phrase contributing as a tf=1 term of its own df —
+    then per-batch top-k partials feed one tiny global sort.
+
+    Mirrors the reference's retry: if the full query yields no hits,
+    re-score with the anchor terms alone (graphutil.py:330-344), and
+    slice the final result to ``k`` like ``hits[:limit]``
+    (graphutil.py:354).  Note the retry is defensive parity: the
+    reference reaches it when Lucene rejects a malformed main query,
+    whereas this deterministic scorer's main query subsumes the anchor
+    terms, so the retry fires only when the anchors also miss.
+    """
+    toks, phrases = _bm25_query(question)
+    res = _bm25_score(nodes, toks, phrases, k)
+    if res.count() == 0 and phrases:
+        # anchors-only retry: anchor tokens + anchor phrases
+        anchors, _terms = _query_terms(question)
+        a_toks = sorted({
+            tok for a in anchors for tok in normalize_name_for_key(a).split()
+        })
+        res = _bm25_score(nodes, a_toks, phrases, k)
+    return res
+
+
+def _bm25_score(
+    nodes: "ray.data.Dataset", toks: List[str], phrases: List[str], k: int
+) -> "ray.data.Dataset":
+    stats = _bm25_corpus_stats(nodes, toks, phrases)
+    n = max(1, stats["n"])
+    avgdl = max(1e-9, stats["dl_sum"] / n)
+    tok_w = [(t, _bm25_idf(stats["df_tok"][t], n)) for t in toks
+             if stats["df_tok"][t] > 0]
+    phr_w = [(p, _bm25_idf(stats["df_phr"][p], n)) for p in phrases
+             if stats["df_phr"][p] > 0]
+    lim = max(k, 16)
+    k1, b = _BM25_K1, _BM25_B
+
+    def score(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        import re as _re
+
+        keys = pd.Series(t["norm_key"].to_pylist()).fillna("")
+        padded = " " + keys + " "
+        dl = (keys.str.count(" ") + 1).where(keys != "", 0).to_numpy(float)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        scores = np.zeros(len(keys), dtype=np.float64)
+        for tok, idf in tok_w:
+            # overlapping token-occurrence count via lookahead so
+            # " a a " counts tf=2 (adjacent matches share a space)
+            tf = padded.str.count(f"(?= {_re.escape(tok)} )").to_numpy(float)
+            scores += idf * (tf * (k1 + 1.0)) / np.where(tf > 0, tf + norm, 1.0) * (tf > 0)
+        for phr, idf in phr_w:
+            hit = padded.str.contains(f" {phr} ", regex=False).to_numpy()
+            scores += np.where(hit, idf * (k1 + 1.0) / (1.0 + norm), 0.0)
+        scores = np.round(scores, 6)
+        keep = np.nonzero(scores > 0)[0]
+        if len(keep) > lim:
+            ids = t["entity_id"].to_numpy(zero_copy_only=False)[keep]
+            keep = keep[np.lexsort((ids, -scores[keep]))[:lim]]
+        sub = t.select(["entity_id", "label", "name"]).take(pa.array(keep))
+        return sub.append_column("score", pa.array(scores[keep], pa.float64()))
+
+    partial = nodes.map_batches(score, batch_format="pyarrow")
+    return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
+
+
 # ---------------------------------------------------------------------------
 # hybrid blend + driver-side selection (operates on <= k rows, like the
 # reference)
@@ -240,9 +392,12 @@ def hybrid_candidates(
 ) -> List[Dict[str, Any]]:
     """Blend the two channels exactly as graphutil.py:401-447: max-score
     per entity within a channel, per-channel min-max normalization, then
-    a weighted sum with weights renormalized to 1."""
+    a weighted sum with weights renormalized to 1.
+
+    The keyword channel is BM25 (:func:`bm25_topk`) — the reference's
+    fulltext channel is Lucene, which scores with BM25."""
     vec_hits = vector_topk(nodes, qvec, k=k_vec).take_all()
-    kw_hits = keyword_topk(nodes, question, k=k_kw).take_all()
+    kw_hits = bm25_topk(nodes, question, k=k_kw).take_all()
 
     raw: Dict[int, Dict[str, Any]] = {}
     for h in vec_hits:

@@ -166,6 +166,65 @@ class TestDistributedChannels:
         scores = [h["score"] for h in got]
         assert scores == sorted(scores, reverse=True)
 
+    def test_bm25_topk_matches_python_oracle(self, ray_session, tables):
+        """Recompute Lucene-default BM25 over all node names in plain
+        Python and compare the distributed top-k exactly."""
+        got = gr.bm25_topk(tables["nodes"], QUESTION, k=12).take_all()
+        assert got, "expected BM25 hits on corpus entity names"
+        toks, phrases = gr._bm25_query(QUESTION)
+        rows = tables["nodes"].select_columns(
+            ["entity_id", "norm_key"]).take_all()
+        n = len(rows)
+        dls = {r["entity_id"]: len((r["norm_key"] or "").split())
+               for r in rows}
+        avgdl = sum(dls.values()) / n
+        df_tok = {t: sum(1 for r in rows if t in (r["norm_key"] or "").split())
+                  for t in toks}
+        df_phr = {p: sum(1 for r in rows
+                         if f" {p} " in f" {r['norm_key']} ")
+                  for p in phrases}
+        k1, b = 1.2, 0.75
+
+        def idf(df):
+            return float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+
+        scores = {}
+        for r in rows:
+            key = r["norm_key"] or ""
+            dl = dls[r["entity_id"]]
+            norm = k1 * (1.0 - b + b * dl / avgdl)
+            s = 0.0
+            for t in toks:
+                if df_tok[t] == 0:
+                    continue
+                tf = key.split().count(t)
+                if tf:
+                    s += idf(df_tok[t]) * (tf * (k1 + 1.0)) / (tf + norm)
+            for p in phrases:
+                if df_phr[p] and f" {p} " in f" {key} ":
+                    s += idf(df_phr[p]) * (k1 + 1.0) / (1.0 + norm)
+            if s > 0:
+                scores[r["entity_id"]] = round(s, 6)
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+        assert [(h["entity_id"], h["score"]) for h in got] == want
+
+    def test_bm25_anchor_still_hits_with_junk_keywords(self, ray_session, tables):
+        """Degenerate keywords must not mask a matching quoted anchor —
+        the reference reaches this via the anchors-only retry
+        (graphutil.py:330-344); here the main query subsumes the anchor
+        terms, so the same question succeeds on the first pass."""
+        q = 'zzqx wvut kjhg "Six Pillars" qqyyzz'
+        got = gr.bm25_topk(tables["nodes"], q, k=5).take_all()
+        assert got, "anchor tokens should produce hits"
+        names = {normalize_name_for_key(h["name"]) for h in got}
+        assert any("6 pillars" in nm for nm in names)
+
+    def test_bm25_all_miss_returns_empty(self, ray_session, tables):
+        """Full miss (keywords AND quoted anchor unknown): the retry
+        path executes and still yields an empty result, not an error."""
+        q = 'zzqx wvut "qqyyzz aabbcc" kjhg'
+        assert gr.bm25_topk(tables["nodes"], q, k=5).count() == 0
+
     def test_traverse_matches_python_bfs(self, ray_session, tables):
         edges = tables["edges"].select_columns(
             ["src_id", "dst_id", "rel_type", "term"]
