@@ -188,14 +188,24 @@ def _q_ann_label_topk(sf_dir: str):
 
 
 def _q_ann_lsh_topk(sf_dir: str):
+    """LSH top-k through the PRUNED index path: bucket-partitioned
+    parquet built once per sf, query reads only probed partitions."""
     import os
 
     import ray.data as rd
 
-    from neo4j_document_pipeline_ray.extras.similarity import lsh_topk, query_vector
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        build_ann_index,
+        lsh_index_topk,
+        query_vector,
+    )
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return lsh_topk(emb, query_vector(sf_dir), k=10, multiprobe=2)
+    idx = os.path.join("/tmp/graft_ann_index", os.path.basename(
+        os.path.normpath(sf_dir)))
+    if not os.path.isdir(idx):
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        build_ann_index(emb, idx)
+    return lsh_index_topk(idx, query_vector(sf_dir), k=10, multiprobe=2)
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -244,14 +254,43 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_emb_near_dup(sf_dir: str):
+    """Near-dup detection over the embeddings table AUGMENTED with one
+    deterministic scaled copy per vector (vec_id + 1,000,000; embedding
+    doubled — scaling is exact in fp, preserves every hyperplane sign,
+    and gives cosine exactly 1.0).  The raw synthetic embeddings contain
+    no pair above 0.52 cosine, so without planting, a threshold-0.95
+    near-dup check can never return a row — the planted copies make the
+    check discriminative (the operator must find exactly them) and
+    SQL-expressible (all-pairs cosine in DuckDB)."""
     import os
 
+    import numpy as np
+    import pyarrow as pa
     import ray.data as rd
 
-    from neo4j_document_pipeline_ray.extras.similarity import embedding_near_dup_pairs
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        embedding_near_dup_pairs,
+    )
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dup_pairs(emb, threshold=0.95)
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in t["embedding"].to_pylist()])
+        pert = mat * 2.0
+        return pa.table({
+            "vec_id": pa.array(
+                np.concatenate([ids, ids + 1_000_000]), pa.int64()),
+            "embedding": pa.array(
+                list(np.concatenate([mat, pert])),
+                pa.list_(pa.float64())),
+        })
+
+    aug = emb.map_batches(augment, batch_format="pyarrow")
+    out = embedding_near_dup_pairs(aug, threshold=0.95)
+    return out.sort(["a", "b"])
 
 
 def _q_lang_id(sf_dir: str):
@@ -589,7 +628,12 @@ def oracle_sql() -> dict[str, str]:
         EXACT_DEDUP_SQL,
         NGRAM_JACCARD_SQL,
     )
-    from neo4j_document_pipeline_ray.extras.textstats import QUALITY_SQL, TOKEN_COUNT_SQL
+    from neo4j_document_pipeline_ray.extras.textstats import (
+        FINGERPRINT_SQL,
+        LANG_ID_SQL,
+        QUALITY_SQL,
+        TOKEN_COUNT_SQL,
+    )
     from neo4j_document_pipeline_ray.pipelines import relational as rel
 
     _corpus(_SF001)
@@ -702,6 +746,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_union_distinct": rel.Q_NATION_REGION_UNION_SQL,
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_quality": QUALITY_SQL,
+        "docs_lang_id": LANG_ID_SQL,
+        "docs_fingerprint": FINGERPRINT_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
         "ann_topk": """
@@ -728,9 +774,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ) WHERE rn <= 5
         """,
+        # The LSH bucketing only narrows WHICH pairs are compared; the
+        # kept pairs must equal the exact all-pairs result because every
+        # planted copy shares its original's bucket (scaling preserves
+        # hyperplane signs), so brute-force SQL is a valid oracle.
+        "emb_near_dup": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings
+            ), aug AS (
+                SELECT vec_id, emb FROM base
+                UNION ALL
+                SELECT vec_id + 1000000, list_transform(emb, x -> x * 2.0)
+                FROM base
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(x.emb, y.emb), 6) AS sim
+            FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.emb, y.emb) >= 0.95
+            ORDER BY a, b
+        """,
         # kg_chunks / kg_embeddings: token-based chunk boundaries and the
         # hash-projection embedder are not SQL-expressible -> rows-only.
-        # docs_lang_id / docs_fingerprint / minhash / simhash / lsh /
-        # emb_near_dup / mm_features: iterative or sketch-based -> rows-only,
-        # verified against exact oracles in pytest instead.
+        # minhash / simhash / lsh / mm_features: sketch-based or stubbed
+        # -> rows-only, verified against exact oracles in pytest instead.
     }

@@ -7,6 +7,7 @@ Replaces the reference's FastAPI/Celery operational surface
     python -m neo4j_document_pipeline_ray.cli build --pages DIR --out DIR
     python -m neo4j_document_pipeline_ray.cli query --snapshot DIR "question"
     python -m neo4j_document_pipeline_ray.cli stats --snapshot DIR
+    python -m neo4j_document_pipeline_ray.cli status --out DIR
     python -m neo4j_document_pipeline_ray.cli wipe --out DIR
 
 ``build`` resumes from committed shards by default (pass ``--no-resume``
@@ -98,6 +99,50 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_status(args: argparse.Namespace) -> int:
+    """Per-shard build progress from the manifests alone — NO Ray
+    session, safe to run while a build is in flight (the batch analog of
+    the reference's ``GET /ingest/status`` + ``/queue_stats``,
+    ``main.py:497-588``)."""
+    from neo4j_document_pipeline_ray.state import manifest as mf
+
+    out_dir = args.out
+    committed = mf.committed_shards(out_dir)
+    shards = []
+    totals = {"n_docs": 0, "n_triples": 0, "wall_s": 0.0}
+    for s in committed:
+        man = mf.read_json(mf.shard_manifest_path(out_dir, s)) or {}
+        shards.append({
+            "shard": s,
+            "n_docs": man.get("n_docs"),
+            "n_triples": man.get("n_triples"),
+            "wall_s": man.get("wall_s"),
+            "input_files": man.get("input_files"),
+        })
+        totals["n_docs"] += man.get("n_docs") or 0
+        totals["n_triples"] += man.get("n_triples") or 0
+        totals["wall_s"] += man.get("wall_s") or 0.0
+    # shard dirs that exist but are not committed = in flight / crashed
+    trip_root = os.path.join(out_dir, "triples")
+    seen_dirs = set()
+    if os.path.isdir(trip_root):
+        for name in os.listdir(trip_root):
+            if name.startswith("shard="):
+                seen_dirs.add(int(name.split("=", 1)[1]))
+    in_flight = sorted(seen_dirs - set(committed))
+    root = mf.read_json(mf.root_manifest_path(out_dir))
+    status = {
+        "committed_shards": len(committed),
+        "in_flight_shards": in_flight,
+        "totals": totals,
+        "snapshot_committed": root is not None,
+        "stage_timings_s": (root or {}).get("stage_timings_s"),
+        "shards": shards if args.verbose else shards[:10],
+    }
+    print(json.dumps(status, indent=2))
+    return 0
+
+
 def cmd_wipe(args: argparse.Namespace) -> int:
     from neo4j_document_pipeline_ray.pipelines.snapshot import wipe_snapshot
 
@@ -132,6 +177,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--snapshot", required=True)
     s.add_argument("--num-cpus", type=int, default=None)
     s.set_defaults(fn=cmd_stats)
+
+    st = sub.add_parser(
+        "status", help="per-shard build progress (manifest-only, no Ray)")
+    st.add_argument("--out", required=True, help="snapshot output dir")
+    st.add_argument("--verbose", action="store_true",
+                    help="list every shard, not just the first 10")
+    st.set_defaults(fn=cmd_status)
 
     w = sub.add_parser("wipe", help="destructively reset a snapshot dir")
     w.add_argument("--out", required=True)

@@ -148,38 +148,57 @@ def _bands_batch(t: pa.Table) -> pa.Table:
     })
 
 
-def _pairs_partition(df) -> "pa.Table":
+def _make_pairs_partition(bucket_cap: int):
     """All LSH buckets of one hash partition -> candidate pairs.
 
     Pathological buckets (boilerplate floods) are capped: all-pairs on
-    the first 50 members, chain the rest — keeps connectivity while
-    bounding the O(n^2) blow-up."""
-    import pandas as pd
+    the first ``bucket_cap`` members, chain the rest to the bucket's
+    min doc — keeps connectivity while bounding the O(n^2) blow-up.
+    Every capped bucket is LOGGED with its size (no silent cap)."""
 
-    out_a, out_b = [], []
-    multi = df.groupby("bucket", sort=False)["doc_id"]
-    for _, ids_s in multi:
-        ids = sorted(set(ids_s))
-        if len(ids) < 2:
-            continue
-        cap = 50
-        head = ids[:cap]
-        for i in range(len(head)):
-            for j in range(i + 1, len(head)):
-                out_a.append(head[i]); out_b.append(head[j])
-        for i in range(cap, len(ids)):
-            out_a.append(ids[0]); out_b.append(ids[i])
-    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                         "b": pd.Series(out_b, dtype="int64")})
+    def _pairs_partition(df) -> "pd.DataFrame":
+        import logging
+
+        import pandas as pd
+
+        out_a, out_b = [], []
+        capped = 0
+        multi = df.groupby("bucket", sort=False)["doc_id"]
+        for _, ids_s in multi:
+            ids = sorted(set(ids_s))
+            if len(ids) < 2:
+                continue
+            if len(ids) > bucket_cap:
+                capped += 1
+            head = ids[:bucket_cap]
+            for i in range(len(head)):
+                for j in range(i + 1, len(head)):
+                    out_a.append(head[i]); out_b.append(head[j])
+            for i in range(bucket_cap, len(ids)):
+                out_a.append(ids[0]); out_b.append(ids[i])
+        if capped:
+            logging.getLogger(__name__).warning(
+                "minhash LSH: %d bucket(s) exceeded bucket_cap=%d; "
+                "overflow members chained to the bucket head instead of "
+                "all-pairs", capped, bucket_cap,
+            )
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    return _pairs_partition
 
 
-def minhash_candidate_pairs(docs: "ray.data.Dataset") -> Tuple["ray.data.Dataset", "ray.data.Dataset"]:
+def minhash_candidate_pairs(
+    docs: "ray.data.Dataset", bucket_cap: int = 50
+) -> Tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Returns (signatures, candidate pairs) datasets."""
     from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
 
     sigs = docs.map_batches(_minhash_batch, batch_format="pyarrow").materialize()
     bands = sigs.map_batches(_bands_batch, batch_format="pyarrow")
-    pairs = partitioned_group_map(bands, "bucket", _pairs_partition, 16).materialize()
+    pairs = partitioned_group_map(
+        bands, "bucket", _make_pairs_partition(bucket_cap), 16
+    ).materialize()
     if pairs.count() == 0:
         return sigs, pairs
     uniq = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
@@ -191,10 +210,10 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 def minhash_dedup_pairs(
-    docs: "ray.data.Dataset", threshold: float = 0.8
+    docs: "ray.data.Dataset", threshold: float = 0.8, bucket_cap: int = 50
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (a < b) with signature-estimated Jaccard >= threshold."""
-    sigs, pairs = minhash_candidate_pairs(docs)
+    sigs, pairs = minhash_candidate_pairs(docs, bucket_cap=bucket_cap)
     if pairs.count() == 0:
         return pairs
     # signatures are tiny (8 B/doc-perm) -> broadcast lookups, no shuffle

@@ -161,11 +161,135 @@ def lsh_topk(
     return scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def build_ann_index(
+    embeddings: "ray.data.Dataset", index_dir: str, n_planes: int = _N_PLANES
+) -> dict:
+    """Materialize the LSH index: embeddings written as parquet
+    PARTITIONED by the hyperplane-sign bucket, so a query reads only its
+    probed partitions — the role of the reference's persistent per-label
+    vector indexes (``ingestMD.py:692-702``), expressed as data layout.
+
+    The planes are a pure function of ``(seed, dim)``; the tiny meta
+    manifest records dim/planes/rows so queries re-derive them.
+    """
+    import json
+    import shutil
+
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        planes = _planes(m.shape[1])
+        b = _bucket_of(m, planes).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    first = embeddings.limit(1).take_all()
+    dim = len(first[0]["embedding"])
+    ds = embeddings.map_batches(with_bucket, batch_format="pyarrow")
+    ds.write_parquet(index_dir, partition_cols=["bucket"])
+    meta = {"dim": dim, "n_planes": n_planes, "n_rows": None}
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _probe_buckets(query: np.ndarray, multiprobe: int) -> list:
+    planes = _planes(len(query))
+    qb = int(_bucket_of(query[None, :], planes)[0])
+    probe = {qb}
+    for _ in range(multiprobe):
+        for b in list(probe):
+            for i in range(_N_PLANES):
+                probe.add(b ^ (1 << i))
+    return sorted(probe)
+
+
+def lsh_index_topk(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    multiprobe: int = 1,
+) -> "ray.data.Dataset":
+    """Approximate top-k against a :func:`build_ann_index` layout: read
+    ONLY the partitions of the probed buckets (multiprobe=1 probes 9 of
+    256 — a few percent of rows leave storage), then score and merge
+    partial top-ks.  Produces results identical to :func:`lsh_topk`
+    with the same ``multiprobe`` (pinned in the suite), without the
+    full scan."""
+    probe = set(_probe_buckets(query, multiprobe))
+    files = []
+    for name in sorted(os.listdir(index_dir)):
+        if not name.startswith("bucket="):
+            continue
+        if int(name.split("=", 1)[1]) not in probe:
+            continue
+        d = os.path.join(index_dir, name)
+        files.extend(
+            sorted(os.path.join(d, f) for f in os.listdir(d)
+                   if f.endswith(".parquet"))
+        )
+    if not files:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }))
+    q_ref = ray.put(query)
+
+    def score(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _batch_matrix(t)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        qn = q / np.linalg.norm(q)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qn) / norms
+        if len(sims) > k:
+            part = np.argpartition(-sims, k)[:k]
+            ids, sims = ids[part], sims[part]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "sim": pa.array(np.round(sims, 6), pa.float64()),
+        })
+
+    scored = ray.data.read_parquet(files, columns=["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow")
+    return scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def index_scan_fraction(index_dir: str, query: np.ndarray,
+                        multiprobe: int = 1) -> float:
+    """Fraction of indexed rows a query would read (footer counts only)."""
+    import pyarrow.parquet as pq
+
+    probe = set(_probe_buckets(query, multiprobe))
+    total = read = 0
+    for name in os.listdir(index_dir):
+        if not name.startswith("bucket="):
+            continue
+        d = os.path.join(index_dir, name)
+        rows = sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        total += rows
+        if int(name.split("=", 1)[1]) in probe:
+            read += rows
+    return read / total if total else 0.0
+
+
 def embedding_near_dup_pairs(
-    embeddings: "ray.data.Dataset", threshold: float = 0.95
+    embeddings: "ray.data.Dataset",
+    threshold: float = 0.95,
+    bucket_cap: int = 200,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-dup: bucket by hyperplane signs, pairwise
-    cosine within buckets, keep pairs >= threshold."""
+    cosine within buckets, keep pairs >= threshold.
+
+    A bucket larger than ``bucket_cap`` is truncated to its
+    ``bucket_cap`` lowest vec_ids before the O(n^2) compare (boilerplate
+    embeddings can flood one bucket); every truncation is LOGGED with
+    the dropped count — no silent cap."""
     def with_bucket(t: pa.Table) -> pa.Table:
         m = _batch_matrix(t)
         planes = _planes(m.shape[1])
@@ -176,21 +300,31 @@ def embedding_near_dup_pairs(
         })
 
     def bucket_pairs(g):
+        import logging
+
         import pandas as pd
 
+        g = g.sort_values("vec_id", kind="mergesort")
         ids = g["vec_id"].to_numpy()
-        mat = np.stack(g["embedding"].to_numpy())[:200].astype(np.float64)
-        ids = ids[:200]
+        if len(ids) > bucket_cap:
+            logging.getLogger(__name__).warning(
+                "near-dup bucket %s truncated: %d of %d members dropped "
+                "(bucket_cap=%d)", int(g["bucket"].iloc[0]),
+                len(ids) - bucket_cap, len(ids), bucket_cap,
+            )
+        mat = np.stack(g["embedding"].to_numpy())[:bucket_cap].astype(np.float64)
+        ids = ids[:bucket_cap]
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         sims = (mat @ mat.T) / np.outer(norms, norms)
-        a, b, s = [], [], []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    a.append(int(ids[i])); b.append(int(ids[j])); s.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({"a": a, "b": b, "sim": s})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        return pd.DataFrame({
+            "a": pd.Series(ids[iu], dtype="int64"),
+            "b": pd.Series(ids[ju], dtype="int64"),
+            "sim": np.round(sims[iu, ju], 6),
+        })
 
     bucketed = embeddings.map_batches(with_bucket, batch_format="pyarrow")
     return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

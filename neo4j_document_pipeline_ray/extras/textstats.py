@@ -110,6 +110,19 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(lang_id_batch, batch_format="pyarrow")
 
 
+LANG_ID_SQL = f"""
+SELECT doc_id,
+       CASE WHEN en >= ms THEN 'en' ELSE 'ms' END AS pred_lang,
+       en AS en_hits, ms AS ms_hits
+FROM (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_EN_STOPS}')) AS BIGINT) AS en,
+           CAST(len(regexp_extract_all(lower(text), '{_MS_STOPS}')) AS BIGINT) AS ms
+    FROM documents
+)
+"""
+
+
 # --- document fingerprinting (rolling-hash winnowing) ---------------------
 
 _FP_BASE = np.uint64(1_000_003)
@@ -144,7 +157,8 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
             fp = int(grams.min())  # winnowing-style minimum gram hash
             ng = len(grams)
         elif len(hs) > 0:
-            fp = int(hs.min())
+            # masked to 61 bits like the gram path so it fits int64
+            fp = int(hs.min() & _FP_MOD_MASK)
             ng = 1
         else:
             fp, ng = 0, 0
@@ -161,3 +175,59 @@ def fingerprint_batch(t: pa.Table) -> pa.Table:
 def fingerprints(sf_dir: str) -> "ray.data.Dataset":
     ds = _read_documents(sf_dir, ["doc_id", "text"])
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _fingerprint_sql() -> str:
+    """DuckDB mirror of :func:`fingerprint_batch`: FNV-1a 64 per word
+    folded with ``list_reduce`` (HUGEINT arithmetic emulating the
+    engine's uint64 wrap), then the window-5 polynomial gram hashes and
+    the winnowing minimum.  Valid for ASCII corpora (the synthetic
+    documents table is ASCII; Python hashes utf-8 bytes, SQL hashes
+    code points — identical for ASCII)."""
+    m64 = 1 << 64
+    m61 = 1 << 61
+    weights = [pow(int(_FP_BASE), _WINDOW - 1 - i, m61) for i in range(_WINDOW)]
+    gram = " + ".join(
+        f"(hs[j + {i}] * {w}) % {m64}" for i, w in enumerate(weights)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS words
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               list_transform(words, w ->
+                   list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                               i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))),
+                       (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                             CAST(b AS UBIGINT)) AS HUGEINT)
+                                    * 1099511628211) % {m64}
+                   )
+               ) AS hs
+        FROM d
+    ), g AS (
+        SELECT doc_id, hs, len(hs) AS nw,
+               CASE WHEN len(hs) >= {_WINDOW} THEN
+                   list_transform(range(1, len(hs) - {_WINDOW - 2}),
+                       j -> (({gram}) % {m64}) % {m61})
+               ELSE NULL END AS grams
+        FROM h
+    )
+    SELECT doc_id,
+           CASE WHEN nw >= {_WINDOW}
+                     THEN CAST(list_aggregate(grams, 'min') AS BIGINT)
+                WHEN nw > 0
+                     THEN CAST(list_aggregate(hs, 'min') % {m61} AS BIGINT)
+                ELSE 0 END AS fingerprint,
+           CAST(CASE WHEN nw >= {_WINDOW} THEN len(grams)
+                     WHEN nw > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_grams
+    FROM g
+    """
+
+
+FINGERPRINT_SQL = _fingerprint_sql()

@@ -49,22 +49,86 @@ def rule_backend(text: str) -> List[Dict[str, Any]]:
     return extract_rule_triples(text)
 
 
-def make_llm_backend(client_factory: Callable[[], Any]) -> TripleExtractorBackend:
-    """Slot for a real model/endpoint backend.
+LLM_SYSTEM_PROMPT = (
+    "You are a graph ontology extractor. From the given policy text, "
+    "extract structured triples as JSON. Each triple must contain: "
+    "subject, predicate, object, subject_type, object_type. Output only "
+    "a valid JSON list."
+)
 
-    Mirrors the reference's chat-completion extraction contract
-    (``ingestMD.py:123-156``): the callable must return a list of dicts.
-    No network exists in this environment, so constructing one here
-    raises until a client_factory is supplied by the deployment.
+
+def parse_llm_triples(content: str) -> List[Dict[str, Any]]:
+    """The reference's response-parse hardening (``ingestMD.py:140-156``):
+    strip a leading code fence (and an immediately following ``json``
+    language tag), strip a trailing fence, slice to the outermost
+    ``[`` ... ``]``, tolerate surrounding prose, and return ``[]`` on
+    anything that still fails to parse — a malformed model response
+    must never poison the batch."""
+    import json
+
+    try:
+        content = (content or "").strip()
+        if content.startswith("```"):
+            content = content.split("```", 1)[-1]
+        if content.startswith("json"):
+            content = content[4:]
+        if content.endswith("```"):
+            content = content[:-3]
+        start, end = content.find("["), content.rfind("]")
+        if start != -1 and end != -1:
+            content = content[start:end + 1]
+        triples = json.loads(content)
+        if not isinstance(triples, list):
+            return []
+        return [t for t in triples if isinstance(t, dict)]
+    except Exception:
+        return []
+
+
+class LLMTripleBackend:
+    """Chat-completion extraction backend (``ingestMD.py:123-156``).
+
+    ``client_factory`` builds the HTTP/SDK client; it is called LAZILY
+    on first use, i.e. once per extraction actor process — the analog
+    of the reference's module-global Azure client (``ingestMD.py:21-26``)
+    — never on the driver, so credentials/connections live where the
+    work runs.  The client must expose the OpenAI-style
+    ``chat.completions.create`` surface.  A request failure returns
+    ``[]`` for that chunk, exactly like the reference's
+    ``except -> []``.
     """
 
-    def backend(text: str) -> List[Dict[str, Any]]:
-        raise NotImplementedError(
-            "LLM extraction backend requires an external endpoint; "
-            "wire a client_factory in your deployment config."
-        )
+    def __init__(self, client_factory: Callable[[], Any],
+                 model: str = "extraction-model", temperature: float = 0.0):
+        self._factory = client_factory
+        self._model = model
+        self._temperature = temperature
+        self._client = None
 
-    return backend
+    def __call__(self, text: str) -> List[Dict[str, Any]]:
+        if self._client is None:
+            self._client = self._factory()
+        try:
+            resp = self._client.chat.completions.create(
+                model=self._model,
+                messages=[
+                    {"role": "system", "content": LLM_SYSTEM_PROMPT},
+                    {"role": "user", "content": f"Text:\n{text}"},
+                ],
+                temperature=self._temperature,
+            )
+            content = (resp.choices[0].message.content or "")
+        except Exception:
+            return []
+        return parse_llm_triples(content)
+
+
+def make_llm_backend(
+    client_factory: Callable[[], Any], **kwargs: Any
+) -> TripleExtractorBackend:
+    """Build the chat-completion backend; pass to
+    :func:`extract_triples` (it runs as an actor pool)."""
+    return LLMTripleBackend(client_factory, **kwargs)
 
 
 class TripleExtractor:

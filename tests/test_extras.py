@@ -104,6 +104,29 @@ class TestSimhash:
         assert hamming64(0b1011, 0b1001) == 1
         assert hamming64(0, (1 << 64) - 1) == 64
 
+    def test_minhash_hot_bucket_cap_logged_and_chained(self, caplog):
+        """A bucket above bucket_cap must emit all-pairs on the capped
+        head, chain the overflow to the head doc, and LOG the cap."""
+        import logging
+
+        import pandas as pd
+
+        from neo4j_document_pipeline_ray.extras.dedup import (
+            _make_pairs_partition,
+        )
+
+        fn = _make_pairs_partition(bucket_cap=4)
+        df = pd.DataFrame({"bucket": ["hot"] * 10 + ["cold"] * 2,
+                           "doc_id": list(range(10)) + [100, 101]})
+        with caplog.at_level(logging.WARNING):
+            out = fn(df)
+        assert "bucket_cap=4" in caplog.text and "1 bucket(s)" in caplog.text
+        hot = out[out["a"] < 100]
+        # C(4,2)=6 all-pairs + 6 chained overflow docs
+        assert len(hot) == 12
+        assert (hot[hot["b"] >= 4]["a"] == 0).all()  # chained to head
+        assert len(out[out["a"] >= 100]) == 1  # cold bucket untouched
+
 
 class TestSimilarity:
     @pytest.fixture()
@@ -144,6 +167,49 @@ class TestSimilarity:
         exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).take_all()}
         approx = {r["vec_id"] for r in lsh_topk(emb, q, k=10, multiprobe=2).take_all()}
         assert len(exact & approx) >= 5  # recall@10 >= 0.5 with multiprobe 2
+
+    def test_near_dup_bucket_cap_bounds_pairs(self, ray_session):
+        """With bucket_cap=2, a bucket of 3 identical vectors yields only
+        the single capped pair instead of all three."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            embedding_near_dup_pairs,
+        )
+
+        v = [1.0, 2.0, 3.0, 4.0]
+        t = pa.table({
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([v, v, v], pa.list_(pa.float64())),
+        })
+        full = embedding_near_dup_pairs(rd.from_arrow(t), 0.95).take_all()
+        capped = embedding_near_dup_pairs(
+            rd.from_arrow(t), 0.95, bucket_cap=2).take_all()
+        assert len(full) == 3
+        assert [(r["a"], r["b"]) for r in capped] == [(1, 2)]
+
+    def test_lsh_index_pruned_read_matches_scan(self, ray_session, emb, tmp_path):
+        """The bucket-partitioned index must (a) return exactly what the
+        full-scan LSH filter returns and (b) read well under 20% of rows."""
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            build_ann_index,
+            index_scan_fraction,
+            lsh_index_topk,
+            lsh_topk,
+            query_vector,
+        )
+
+        q = query_vector("/root/testdata/sf0.001")
+        idx = str(tmp_path / "ann_index")
+        build_ann_index(emb, idx)
+        got = lsh_index_topk(idx, q, k=10, multiprobe=2).take_all()
+        want = lsh_topk(emb, q, k=10, multiprobe=2).take_all()
+        assert [(r["vec_id"], r["sim"]) for r in got] == [
+            (r["vec_id"], r["sim"]) for r in want
+        ]
+        frac = index_scan_fraction(idx, q, multiprobe=2)
+        assert 0 < frac < 0.20, f"index scan fraction {frac:.2%}"
 
     def test_label_topk_per_group(self, ray_session, emb):
         from neo4j_document_pipeline_ray.extras.similarity import (

@@ -83,6 +83,37 @@ class TestSnapshot:
                                  ["src_id", "rel_type", "dst_id"], drop=("bucket",))
         assert before.equals(after)
 
+    def test_resume_reruns_on_input_drift(self, snap, small_corpus):
+        """A committed shard whose recorded input_files no longer match
+        the current plan must be re-extracted, not silently skipped."""
+        from neo4j_document_pipeline_ray.pipelines.snapshot import build_snapshot
+
+        out, _ = snap
+        p0 = mf.shard_manifest_path(out, 0)
+        man = mf.read_json(p0)
+        orig = man["input_files"]
+        man["input_files"] = ["someone-elses-file.parquet"]
+        mf.write_json_atomic(p0, man)
+        root2 = build_snapshot(small_corpus["pages"], out, _cfg(), shard_files=1)
+        assert root2["shards_skipped_on_resume"] == 2  # only shard 0 redone
+        assert mf.read_json(p0)["input_files"] == orig  # re-commit restored
+
+    def test_status_command(self, snap, capsys):
+        import argparse
+        import json
+
+        from neo4j_document_pipeline_ray.cli import cmd_status
+
+        out, _ = snap
+        assert cmd_status(argparse.Namespace(out=out, verbose=True)) == 0
+        data = json.loads(capsys.readouterr().out)
+        assert data["committed_shards"] == 3
+        assert data["snapshot_committed"] is True
+        assert data["in_flight_shards"] == []
+        assert data["totals"]["n_docs"] == sum(
+            s["n_docs"] for s in data["shards"])
+        assert all(s["n_triples"] > 0 for s in data["shards"])
+
     def test_fresh_rerun_identical(self, snap, small_corpus, tmp_path_factory):
         from neo4j_document_pipeline_ray.pipelines.snapshot import build_snapshot
 
