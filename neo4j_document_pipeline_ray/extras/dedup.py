@@ -46,12 +46,25 @@ def _text_hash_batch(t: pa.Table) -> pa.Table:
 
 
 def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(text_hash, keeper doc_id, group size) — first (=min doc_id) wins."""
+    """(text_hash, keeper doc_id, group size) — first (=min doc_id) wins.
+
+    Partition-wise Arrow ``group_by`` instead of Ray's sort-based
+    ``groupby().aggregate`` (~100 us/row at this data shape)."""
+    from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
+
     hashed = docs.map_batches(_text_hash_batch, batch_format="pyarrow")
-    return hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"),
-        Count(alias_name="n_docs"),
-    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        agg = t.group_by("text_hash", use_threads=False).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return pa.table({
+            "text_hash": agg["text_hash"],
+            "keep_doc_id": agg["doc_id_min"],
+            "n_docs": pc.cast(agg["doc_id_count"], pa.int64()),
+        })
+
+    return partitioned_group_map(hashed, "text_hash", fn, 16,
+                                 batch_format="pyarrow")
 
 
 def exact_dedup_sf(sf_dir: str) -> "ray.data.Dataset":
@@ -201,7 +214,10 @@ def minhash_candidate_pairs(
     ).materialize()
     if pairs.count() == 0:
         return sigs, pairs
-    uniq = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    from neo4j_document_pipeline_ray.stages.grouped import distinct_by
+
+    # (a, b) pairs are complete within a's hash partition
+    uniq = distinct_by(pairs, "a", subset=["a", "b"], num_partitions=16)
     return sigs, uniq
 
 

@@ -29,23 +29,30 @@ import ray.data
 def partitioned_group_map(
     ds: "ray.data.Dataset",
     key_col: str,
-    partition_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    partition_fn: Callable,
     num_partitions: int = 16,
     out_schema: Optional[pa.Schema] = None,
+    batch_format: str = "pandas",
 ) -> "ray.data.Dataset":
-    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_pk"] = (
-            pd.util.hash_pandas_object(df[key_col], index=False) % num_partitions
+    def add_pk(t: pa.Table) -> pa.Table:
+        # Arrow in/out: only the KEY column round-trips through pandas
+        # (for the stable hash); the payload bytes stay zero-copy Arrow
+        # instead of a full to_pandas/from_pandas cycle per batch.
+        keys = t.column(key_col).to_pandas()
+        pk = (
+            pd.util.hash_pandas_object(keys, index=False) % num_partitions
         ).astype("int64")
-        return df
+        return t.append_column("_pk", pa.array(pk.to_numpy(), pa.int64()))
 
-    def run_partition(df: pd.DataFrame) -> pd.DataFrame:
-        out = partition_fn(df.drop(columns=["_pk"]))
-        return out
+    if batch_format == "pandas":
+        def run_partition(df: pd.DataFrame) -> pd.DataFrame:
+            return partition_fn(df.drop(columns=["_pk"]))
+    else:
+        def run_partition(t: pa.Table) -> pa.Table:
+            return partition_fn(t.drop_columns(["_pk"]))
 
-    with_pk = ds.map_batches(add_pk, batch_format="pandas")
-    return with_pk.groupby("_pk").map_groups(run_partition, batch_format="pandas")
+    with_pk = ds.map_batches(add_pk, batch_format="pyarrow")
+    return with_pk.groupby("_pk").map_groups(run_partition, batch_format=batch_format)
 
 
 def distinct_by(
@@ -61,8 +68,21 @@ def distinct_by(
     aggregate costs ~100 CPU-us/row; pandas ``drop_duplicates`` is
     vectorized)."""
     cols = subset or [key_col]
+
+    def fn(t: pa.Table) -> pa.Table:
+        others = [c for c in t.schema.names if c not in cols]
+        if not others:
+            return t.group_by(cols, use_threads=False).aggregate([])
+        # 'first' per key matches pandas drop_duplicates (keep='first')
+        agg = t.group_by(cols, use_threads=False).aggregate(
+            [(c, "first") for c in others])
+        return pa.table({
+            c: (agg[c] if c in cols else agg[f"{c}_first"])
+            for c in t.schema.names
+        })
+
     return partitioned_group_map(
-        ds, key_col, lambda df: df.drop_duplicates(cols), num_partitions
+        ds, key_col, fn, num_partitions, batch_format="pyarrow"
     )
 
 
@@ -71,13 +91,20 @@ def min_by_key(
 ) -> "ray.data.Dataset":
     """Per-key minimum of every other column (vectorized replacement
     for ``groupby(key).aggregate(Min(...), ...)``).  String minima are
-    byte-order, identical to Arrow's Min (UTF-8 preserves code-point
-    order)."""
+    byte-order, identical to pandas' (UTF-8 preserves code-point
+    order); nulls are skipped on both sides."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(key_col, as_index=False, sort=False).min()
+    def fn(t: pa.Table) -> pa.Table:
+        others = [c for c in t.schema.names if c != key_col]
+        agg = t.group_by(key_col, use_threads=False).aggregate(
+            [(c, "min") for c in others])
+        return pa.table({
+            c: (agg[c] if c == key_col else agg[f"{c}_min"])
+            for c in t.schema.names
+        })
 
-    return partitioned_group_map(ds, key_col, fn, num_partitions)
+    return partitioned_group_map(ds, key_col, fn, num_partitions,
+                                 batch_format="pyarrow")
 
 
 def drop_empty_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
