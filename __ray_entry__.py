@@ -426,6 +426,51 @@ def _q_mm_features(sf_dir: str):
     return extract_media_features(synthesize_media(n=96)).drop_columns(["feature"])
 
 
+def _q_mm_resize(sf_dir: str):
+    """Image resize plumbing: decode seam -> nearest-neighbor resize ->
+    raw RGB payload; payload dropped for the check (n_bytes kept)."""
+    import pyarrow as pa
+
+    from neo4j_document_pipeline_ray.extras.multimodal import (
+        resize_images,
+        synthesize_media,
+    )
+
+    out = resize_images(synthesize_media(n=96), target=(32, 24))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        n_bytes = [len(p) if p is not None else 0
+                   for p in t["payload"].to_pylist()]
+        return pa.table({
+            "media_id": t["media_id"], "kind": t["kind"],
+            "width": t["width"], "height": t["height"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def _q_mm_frames(sf_dir: str):
+    """Video frame sampling: row-expanding actor stage; payload dropped."""
+    import pyarrow as pa
+
+    from neo4j_document_pipeline_ray.extras.multimodal import (
+        sample_frames,
+        synthesize_media,
+    )
+
+    out = sample_frames(synthesize_media(n=96), n_frames=4)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        n_bytes = [len(p) for p in t["payload"].to_pylist()]
+        return pa.table({
+            "media_id": t["media_id"], "frame_idx": t["frame_idx"],
+            "ts_ms": t["ts_ms"], "n_bytes": pa.array(n_bytes, pa.int64()),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_document_pipeline_ray.extras.dedup import exact_dedup_sf
     from neo4j_document_pipeline_ray.extras.textstats import quality_stats, token_count
@@ -475,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "emb_near_dup": _q_emb_near_dup,
         "mm_features": _q_mm_features,
+        "mm_resize": _q_mm_resize,
+        "mm_frames": _q_mm_frames,
     }
 
 

@@ -164,6 +164,25 @@ def run_bench() -> dict:
 
     timed("ann_topk", _ann)
 
+    # query-path latency over the snapshot just built — the reference's
+    # own perf anchors are /graphrag latencies (30 s ceiling,
+    # perf_test/enhanced_performance_test.py:69); this engine answers
+    # the same hybrid-retrieval + k-hop + format flow in ~1-2 s
+    from neo4j_document_pipeline_ray.pipelines.graphrag import graphrag
+
+    tables = {
+        name: rd.read_parquet(os.path.join(out_dir, name)).materialize()
+        for name in ("nodes", "edges", "mentions", "docs")
+    }
+    t = time.time()
+    res = graphrag(
+        tables,
+        'How does the "National Broadband Plan" support the Six Pillars?',
+        top_k=5, hops=2,
+    )
+    queries["kg_graphrag_query"] = round(time.time() - t, 3)
+    assert res["n_nodes"] > 0
+
     result = {
         "metric": "kg_snapshot_sec_end_to_end",
         "value": round(headline, 3),

@@ -108,6 +108,157 @@ def extract_media_features(
     )
 
 
+# --- image resize ---------------------------------------------------------
+
+
+class RealImageDecoder:
+    """Production pixel-decode seam — requires PIL/libjpeg."""
+
+    def decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        raise NotImplementedError(
+            "pixel decoding requires PIL, not available in this "
+            "environment; use FakeImageDecoder for plumbing tests"
+        )
+
+
+class FakeImageDecoder:
+    """Deterministic stand-in: bytes + dims -> uint8 HxWx3 array."""
+
+    def decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        seed = int.from_bytes(
+            hashlib.blake2b(payload, digest_size=8).digest(), "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+
+def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize via pure index arithmetic (deterministic,
+    no interpolation library)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(th) * h) // th
+    cols = (np.arange(tw) * w) // tw
+    return img[rows[:, None], cols[None, :]]
+
+
+class ImageResizer:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> raw RGB
+    payload with updated dims.  ``__init__`` holds the decoder once per
+    actor; rows whose ``kind`` != image pass through undecoded with a
+    null output payload."""
+
+    def __init__(self, decoder: Optional[object] = None,
+                 target: tuple = (224, 224)):
+        self._decoder = decoder or FakeImageDecoder()
+        self._tw, self._th = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, widths, heights = [], [], []
+        for kind, p, w, h in zip(
+            batch["kind"].to_pylist(), batch["payload"].to_pylist(),
+            batch["width"].to_pylist(), batch["height"].to_pylist(),
+        ):
+            if kind != "image" or p is None:
+                payloads.append(None); widths.append(None); heights.append(None)
+                continue
+            img = self._decoder.decode(p, w, h)
+            out = resize_nearest(img, self._tw, self._th)
+            payloads.append(out.tobytes())
+            widths.append(self._tw); heights.append(self._th)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        })
+
+
+def resize_images(
+    media: "ray.data.Dataset",
+    target: tuple = (224, 224),
+    decoder: Optional[object] = None,
+    concurrency: int | tuple = 2,
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    kwargs = {"fn_constructor_kwargs": {"target": target}}
+    if decoder is not None:
+        kwargs["fn_constructor_kwargs"]["decoder"] = decoder
+    return media.map_batches(
+        ImageResizer, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **kwargs,
+    )
+
+
+# --- video frame sampling -------------------------------------------------
+
+
+class FakeFrameDecoder:
+    """Deterministic stand-in: (payload, frame_idx) -> uint8 frame."""
+
+    def __init__(self, width: int = 64, height: int = 36):
+        self.width, self.height = width, height
+
+    def decode_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
+        seed = int.from_bytes(
+            hashlib.blake2b(payload + frame_idx.to_bytes(4, "little"),
+                            digest_size=8).digest(), "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(self.height, self.width, 3),
+                            dtype=np.uint8)
+
+
+class FrameSampler:
+    """Actor-pool stage: one video row -> ``n_frames`` rows sampled at
+    evenly spaced timestamps (``(i + 0.5) * duration / n``, the
+    mid-of-segment rule).  Row-expanding map: output schema is
+    (media_id, frame_idx, ts_ms, payload)."""
+
+    def __init__(self, decoder: Optional[object] = None, n_frames: int = 4,
+                 fps: float = 30.0):
+        self._decoder = decoder or FakeFrameDecoder()
+        self._n = n_frames
+        self._fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, tss, frames = [], [], [], []
+        for mid, kind, p, dur in zip(
+            batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(), batch["duration_ms"].to_pylist(),
+        ):
+            if kind != "video" or p is None or not dur:
+                continue
+            for i in range(self._n):
+                ts = (i + 0.5) * dur / self._n
+                frame_idx = int(ts / 1000.0 * self._fps)
+                ids.append(mid)
+                idxs.append(frame_idx)
+                tss.append(int(ts))
+                frames.append(
+                    self._decoder.decode_frame(p, frame_idx).tobytes())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "ts_ms": pa.array(tss, pa.int64()),
+            "payload": pa.array(frames, pa.binary()),
+        })
+
+
+def sample_frames(
+    media: "ray.data.Dataset",
+    n_frames: int = 4,
+    decoder: Optional[object] = None,
+    concurrency: int | tuple = 2,
+    batch_size: int = 32,   # row-expanding stage: keep input batches small
+) -> "ray.data.Dataset":
+    kwargs = {"fn_constructor_kwargs": {"n_frames": n_frames}}
+    if decoder is not None:
+        kwargs["fn_constructor_kwargs"]["decoder"] = decoder
+    return media.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, **kwargs,
+    )
+
+
 def synthesize_media(n: int = 64, seed: int = 7) -> "ray.data.Dataset":
     """Deterministic fake media table (documents' bytes as payloads)."""
     rng = np.random.default_rng(seed)

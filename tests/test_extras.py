@@ -292,7 +292,57 @@ class TestMultimodal:
         assert a == b
 
     def test_real_decoder_is_explicit_stub(self):
-        from neo4j_document_pipeline_ray.extras.multimodal import RealDecoder
+        from neo4j_document_pipeline_ray.extras.multimodal import (
+            RealDecoder,
+            RealImageDecoder,
+        )
 
         with pytest.raises(NotImplementedError):
             RealDecoder("image").decode(b"\x89PNG")
+        with pytest.raises(NotImplementedError):
+            RealImageDecoder().decode(b"\x89PNG", 2, 2)
+
+    def test_resize_nearest_exact(self):
+        from neo4j_document_pipeline_ray.extras.multimodal import resize_nearest
+
+        img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        out = resize_nearest(img, 3, 2)
+        assert out.shape == (2, 3, 3)
+        # rows map to (0*4)//2=0, (1*4)//2=2; cols to 0, 2, 4
+        assert (out == img[[0, 2]][:, [0, 2, 4]]).all()
+
+    def test_resize_stage(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.multimodal import (
+            resize_images,
+            synthesize_media,
+        )
+
+        rows = resize_images(synthesize_media(n=30), target=(32, 24)).take_all()
+        assert len(rows) == 30
+        for r in rows:
+            if r["kind"] == "image":
+                assert (r["width"], r["height"]) == (32, 24)
+                assert len(r["payload"]) == 32 * 24 * 3
+            else:
+                assert r["payload"] is None and r["width"] is None
+
+    def test_frame_sampling(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.multimodal import (
+            sample_frames,
+            synthesize_media,
+        )
+
+        media = synthesize_media(n=30)
+        videos = [r for r in media.take_all() if r["kind"] == "video"]
+        rows = sample_frames(media, n_frames=4).take_all()
+        assert len(rows) == 4 * len(videos)
+        by_id: dict = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r)
+            assert len(r["payload"]) == 36 * 64 * 3
+        durs = {v["media_id"]: v["duration_ms"] for v in videos}
+        for mid, frames in by_id.items():
+            ts = sorted(f["ts_ms"] for f in frames)
+            # mid-of-segment rule: (i + 0.5) * duration / 4
+            want = [int((i + 0.5) * durs[mid] / 4) for i in range(4)]
+            assert ts == want
