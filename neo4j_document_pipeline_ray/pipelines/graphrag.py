@@ -310,22 +310,31 @@ def bm25_topk(
     whereas this deterministic scorer's main query subsumes the anchor
     terms, so the retry fires only when the anchors also miss.
     """
+    return _bm25_with_retry(
+        nodes, question, k,
+        lambda toks, phrases: _bm25_corpus_stats(nodes, toks, phrases))
+
+
+def _bm25_with_retry(nodes, question: str, k: int, stats_fn) -> "ray.data.Dataset":
     toks, phrases = _bm25_query(question)
-    res = _bm25_score(nodes, toks, phrases, k)
+    res = _bm25_score(nodes, toks, phrases, k, stats_fn(toks, phrases))
     if res.count() == 0 and phrases:
         # anchors-only retry: anchor tokens + anchor phrases
         anchors, _terms = _query_terms(question)
         a_toks = sorted({
             tok for a in anchors for tok in normalize_name_for_key(a).split()
         })
-        res = _bm25_score(nodes, a_toks, phrases, k)
+        res = _bm25_score(nodes, a_toks, phrases, k,
+                          stats_fn(a_toks, phrases))
     return res
 
 
 def _bm25_score(
-    nodes: "ray.data.Dataset", toks: List[str], phrases: List[str], k: int
+    nodes: "ray.data.Dataset", toks: List[str], phrases: List[str], k: int,
+    stats: Optional[Dict[str, Any]] = None,
 ) -> "ray.data.Dataset":
-    stats = _bm25_corpus_stats(nodes, toks, phrases)
+    if stats is None:
+        stats = _bm25_corpus_stats(nodes, toks, phrases)
     n = max(1, stats["n"])
     avgdl = max(1e-9, stats["dl_sum"] / n)
     tok_w = [(t, _bm25_idf(stats["df_tok"][t], n)) for t in toks
@@ -362,6 +371,104 @@ def _bm25_score(
 
     partial = nodes.map_batches(score, batch_format="pyarrow")
     return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
+
+
+def build_text_index(nodes: "ray.data.Dataset", index_dir: str) -> Dict[str, Any]:
+    """Persist the fulltext-index statistics: a (token, df) table
+    RANGE-SORTED by token (so a query's df lookup reads only the row
+    groups covering its tokens) plus a meta manifest {n, dl_sum} — the
+    data-layout analog of the reference's ``CREATE FULLTEXT INDEX``
+    (graphutil.py:211-217).
+
+    df is exact document frequency (distinct names containing the
+    token), computed by per-batch partial counts + one small token
+    groupby.  Phrase statistics are inherently query-dependent and stay
+    a scan (Lucene uses positional postings for those).
+    """
+    import json
+    import os
+    import shutil
+
+    from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
+
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir)
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        keys = df["norm_key"].fillna("")
+        ex = keys.str.split().explode().dropna()
+        pairs = pd.DataFrame({"row": ex.index, "token": ex.values})
+        cnt = pairs.drop_duplicates().groupby("token", sort=False).size()
+        return pd.DataFrame({"token": cnt.index.astype(str),
+                             "df": cnt.values.astype("int64")})
+
+    parts = nodes.select_columns(["norm_key"]).map_batches(
+        partial, batch_format="pandas")
+
+    def sum_partition(t: pa.Table) -> pa.Table:
+        agg = t.group_by("token", use_threads=False).aggregate([("df", "sum")])
+        return pa.table({"token": agg["token"],
+                         "df": pc.cast(agg["df_sum"], pa.int64())})
+
+    df_table = partitioned_group_map(parts, "token", sum_partition, 8,
+                                     batch_format="pyarrow")
+    df_table.sort("token").write_parquet(os.path.join(index_dir, "df"))
+
+    meta_parts = nodes.select_columns(["norm_key"]).map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "dl_sum": pa.array([int(pc.sum(
+                pc.if_else(
+                    pc.equal(pc.coalesce(t["norm_key"], ""), ""),
+                    pa.scalar(0, pa.int64()),
+                    pc.cast(pc.add(pc.count_substring(
+                        pc.coalesce(t["norm_key"], ""), " "), 1), pa.int64()),
+                )).as_py() or 0)], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).take_all()
+    meta = {"n": sum(r["n"] for r in meta_parts),
+            "dl_sum": sum(r["dl_sum"] for r in meta_parts)}
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def bm25_index_topk(
+    nodes: "ray.data.Dataset", index_dir: str, question: str, k: int = 12
+) -> "ray.data.Dataset":
+    """BM25 top-k against a :func:`build_text_index` layout: token df
+    comes from a PRUNED read of the sorted (token, df) table (row-group
+    stats skip everything outside the query's token range) and N/avgdl
+    from the meta manifest, so only questions with quoted anchor
+    phrases pay a corpus scan for phrase df.  Result is identical to
+    :func:`bm25_topk` (pinned in the suite)."""
+    import json
+    import os
+
+    import pyarrow.dataset as pads
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    dset = pads.dataset(os.path.join(index_dir, "df"))
+
+    def stats_fn(toks: List[str], phrases: List[str]) -> Dict[str, Any]:
+        df_tok = {t: 0 for t in toks}
+        if toks:
+            tbl = dset.to_table(filter=pads.field("token").isin(toks))
+            df_tok.update(zip(tbl["token"].to_pylist(),
+                              tbl["df"].to_pylist()))
+        df_phr = {p: 0 for p in phrases}
+        if phrases:
+            scan = _bm25_corpus_stats(nodes, [], phrases)
+            df_phr = scan["df_phr"]
+        return {"n": meta["n"], "dl_sum": meta["dl_sum"],
+                "df_tok": df_tok, "df_phr": df_phr}
+
+    return _bm25_with_retry(nodes, question, k, stats_fn)
 
 
 # ---------------------------------------------------------------------------

@@ -219,6 +219,18 @@ class TestDistributedChannels:
         names = {normalize_name_for_key(h["name"]) for h in got}
         assert any("6 pillars" in nm for nm in names)
 
+    def test_bm25_index_matches_scan(self, ray_session, tables, tmp_path):
+        """The persisted (token, df) index + meta must reproduce the
+        two-pass scan result exactly."""
+        idx = str(tmp_path / "text_index")
+        meta = gr.build_text_index(tables["nodes"], idx)
+        assert meta["n"] == tables["nodes"].count()
+        got = gr.bm25_index_topk(tables["nodes"], idx, QUESTION, k=12).take_all()
+        want = gr.bm25_topk(tables["nodes"], QUESTION, k=12).take_all()
+        assert [(r["entity_id"], r["score"]) for r in got] == [
+            (r["entity_id"], r["score"]) for r in want
+        ]
+
     def test_bm25_all_miss_returns_empty(self, ray_session, tables):
         """Full miss (keywords AND quoted anchor unknown): the retry
         path executes and still yields an empty result, not an error."""
