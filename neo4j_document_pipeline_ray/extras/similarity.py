@@ -59,14 +59,16 @@ def brute_force_topk(
         qn = q / np.linalg.norm(q)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
-        sims = (m @ qn) / norms
+        sims = np.round((m @ qn) / norms, 6)
         ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        if len(sims) > k:  # partial top-k inside the batch
-            part = np.argpartition(-sims, k)[:k]
+        if len(sims) > k:
+            # partial top-k with the SAME tie-break as the global sort
+            # (sim desc, vec_id asc) so boundary ties are kept correctly
+            part = np.lexsort((ids, -sims))[:k]
             ids, sims = ids[part], sims[part]
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
-            "sim": pa.array(np.round(sims, 6), pa.float64()),
+            "sim": pa.array(sims, pa.float64()),
         })
 
     scored = embeddings.map_batches(score, batch_format="pyarrow")
@@ -243,13 +245,13 @@ def lsh_index_topk(
         qn = q / np.linalg.norm(q)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
-        sims = (m @ qn) / norms
+        sims = np.round((m @ qn) / norms, 6)
         if len(sims) > k:
-            part = np.argpartition(-sims, k)[:k]
+            part = np.lexsort((ids, -sims))[:k]  # global-sort tie-break
             ids, sims = ids[part], sims[part]
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
-            "sim": pa.array(np.round(sims, 6), pa.float64()),
+            "sim": pa.array(sims, pa.float64()),
         })
 
     scored = ray.data.read_parquet(files, columns=["vec_id", "embedding"]) \
