@@ -30,7 +30,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Min
 
 from neo4j_document_pipeline_ray.stages.grouped import broadcast_join, safe_join
 
@@ -288,11 +287,13 @@ def connected_components(
         batch_format="pyarrow",
     ).materialize()
 
-    labels = both.groupby("node").aggregate(Min("peer", alias_name="label"))
+    from neo4j_document_pipeline_ray.stages.grouped import min_by_key
+
+    labels = min_by_key(both, "node", num_partitions=8)
     labels = labels.map_batches(
         lambda t: pa.table({
             "node": t["node"],
-            "label": pc.min_element_wise(t["node"], t["label"]),
+            "label": pc.min_element_wise(t["node"], t["peer"]),
         }),
         batch_format="pyarrow",
     ).materialize()
@@ -338,7 +339,7 @@ def connected_components(
         )
         msgs = label_msgs.union(edge_msgs).union(jump_msgs)
         prop = partitioned_group_map(msgs, "id", propagate, 8)
-        labels = prop.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        labels = min_by_key(prop, "node", num_partitions=8).materialize()
         sig = labels.map_batches(
             lambda t: pa.table({"s": pa.array([int(pc.sum(t["label"]).as_py() or 0)], pa.int64())}),
             batch_format="pyarrow",
@@ -440,7 +441,9 @@ def simhash_near_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.d
     )
     if pairs.count() == 0:
         return pairs
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    from neo4j_document_pipeline_ray.stages.grouped import distinct_by
+
+    return distinct_by(pairs, "a", subset=["a", "b"], num_partitions=16)
 
 
 # --- exact n-gram Jaccard -------------------------------------------------
@@ -501,10 +504,12 @@ def ngram_jaccard_pairs(
     None (exact) and the cap is the documented 100 TB knob.  MinHash+LSH
     (above) is the probabilistic scale path.
     """
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
     grams = docs.map_batches(
         lambda t: _gram_hashes_batch(t, n), batch_format="pyarrow"
     ).materialize()
-    sizes = grams.groupby("doc_id").aggregate(Count(alias_name="n_grams"))
+    sizes = hash_aggregate(grams, "doc_id", [(None, "count", "n_grams")])
 
     cap = max_gram_docs
 
@@ -527,7 +532,7 @@ def ngram_jaccard_pairs(
     pair_rows = partitioned_group_map(grams, "gram", gram_pairs_partition, 16)
     if pair_rows.count() == 0:
         return pair_rows
-    inter = pair_rows.groupby(["a", "b"]).aggregate(Count(alias_name="i"))
+    inter = hash_aggregate(pair_rows, ["a", "b"], [(None, "count", "i")])
     j = safe_join(inter, sizes, join_type="inner", num_partitions=8,
                    on=("a",), right_on=("doc_id",))
     j = j.rename_columns({"n_grams": "na"})

@@ -26,9 +26,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
-from neo4j_document_pipeline_ray.stages.grouped import broadcast_join, safe_join
+from neo4j_document_pipeline_ray.stages.grouped import (
+    broadcast_join,
+    hash_aggregate,
+    safe_join,
+)
 
 
 
@@ -71,16 +74,14 @@ def q_lineitem_agg(sf_dir: str) -> "ray.data.Dataset":
             "disc_price": disc_price_c,
         })
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_cents", alias_name="sum_price_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        )
+    return hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("qty", "sum", "sum_qty"),
+         ("price_cents", "sum", "sum_price_cents"),
+         ("disc_cents", "sum", "sum_disc_cents"),
+         ("disc_price", "sum", "sum_disc_price"),
+         (None, "count", "count_order")],
     )
 
 
@@ -126,7 +127,8 @@ def q_segment_revenue_topk(sf_dir: str) -> "ray.data.Dataset":
     joined = broadcast_join(li_rev, o_b.select_columns(["o_orderkey"]),
                             on=("l_orderkey",), right_on=("o_orderkey",),
                             num_partitions=8)
-    agg = joined.groupby("l_orderkey").aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    agg = hash_aggregate(joined, "l_orderkey",
+                         [("rev_cents", "sum", "revenue_cents")])
     return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
 
 
@@ -160,9 +162,9 @@ def q_brand_supplier_stats(sf_dir: str) -> "ray.data.Dataset":
                        num_partitions=8)
     j = broadcast_join(j, supp, on=("l_suppkey",), right_on=("s_suppkey",),
                        num_partitions=8)
-    return j.groupby(["p_brand", "s_name"]).aggregate(
-        Sum("qty", alias_name="sum_qty"),
-        Count(alias_name="n_lines"),
+    return hash_aggregate(
+        j, ["p_brand", "s_name"],
+        [("qty", "sum", "sum_qty"), (None, "count", "n_lines")],
     )
 
 
@@ -191,15 +193,13 @@ def q_events_hourly(sf_dir: str) -> "ray.data.Dataset":
             "value_milli": pc.cast(_round_half_away(pc.multiply(t["value"], 1000)), pa.int64()),
         })
 
-    return (
-        ev.map_batches(prep, batch_format="pyarrow")
-        .groupby(["event_type", "win"])
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("value_milli", alias_name="sum_value_milli"),
-            Min("value_milli", alias_name="min_value_milli"),
-            Max("value_milli", alias_name="max_value_milli"),
-        )
+    return hash_aggregate(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "win"],
+        [(None, "count", "n"),
+         ("value_milli", "sum", "sum_value_milli"),
+         ("value_milli", "min", "min_value_milli"),
+         ("value_milli", "max", "max_value_milli")],
     )
 
 
@@ -251,7 +251,7 @@ def q_nation_region_union(sf_dir: str) -> "ray.data.Dataset":
         lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow"
     )
     u = nation.union(region)
-    return u.groupby("name").aggregate(Count(alias_name="n"))
+    return hash_aggregate(u, "name", [(None, "count", "n")])
 
 
 Q_NATION_REGION_UNION_SQL = """
