@@ -26,7 +26,6 @@ from typing import Dict, Optional
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min
 
 from neo4j_document_pipeline_ray.config import PipelineConfig
 from neo4j_document_pipeline_ray.stages.grouped import broadcast_join, min_by_key, safe_join

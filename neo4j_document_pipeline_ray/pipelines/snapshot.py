@@ -39,7 +39,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min
 
 from neo4j_document_pipeline_ray.config import PipelineConfig
 from neo4j_document_pipeline_ray.stages.grouped import broadcast_join, min_by_key, safe_join

@@ -31,7 +31,6 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count
 
 from neo4j_document_pipeline_ray.config import PipelineConfig
 

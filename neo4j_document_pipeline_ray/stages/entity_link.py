@@ -34,7 +34,6 @@ from typing import Optional
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min
 
 from neo4j_document_pipeline_ray.config import PipelineConfig
 
