@@ -317,7 +317,9 @@ def bm25_topk(
 
 def _bm25_with_retry(nodes, question: str, k: int, stats_fn) -> "ray.data.Dataset":
     toks, phrases = _bm25_query(question)
-    res = _bm25_score(nodes, toks, phrases, k, stats_fn(toks, phrases))
+    # materialize: the emptiness probe below and the caller's take_all
+    # would otherwise each execute the (lazy) scoring pipeline
+    res = _bm25_score(nodes, toks, phrases, k, stats_fn(toks, phrases)).materialize()
     if res.count() == 0 and phrases:
         # anchors-only retry: anchor tokens + anchor phrases
         anchors, _terms = _query_terms(question)
@@ -715,11 +717,21 @@ def traverse_neighbors(
         return {"node_ids": [], "rels": []}
     visited = set(int(i) for i in seed_ids)
     frontier = set(visited)
-    rels: List[Dict[str, Any]] = []
-    seen_edges: set = set()
+    # BFS rounds move ONLY the endpoint id pairs (two int64 columns) —
+    # the 1 KB provenance text never rides a round.  The final rel set
+    # is exactly the edges with an endpoint in a PROCESSED frontier
+    # (nodes at distance <= hops-1): those are the edges on BFS paths of
+    # length <= hops, matching the reference's APOC expansion — an edge
+    # between two distance-`hops` nodes lies on no such path.  One
+    # payload fetch at the end replaces the per-round full-row
+    # collections, which also overlapped (round r re-collects round
+    # r-1's edges).
+    slim = edges.select_columns(["src_id", "dst_id"])
+    processed: set = set()
     for _ in range(hops):
         if not frontier:
             break
+        processed |= frontier
         ref = ray.put(pa.array(sorted(frontier), pa.int64()))
 
         def flt(t: pa.Table) -> pa.Table:
@@ -730,19 +742,33 @@ def traverse_neighbors(
             )
             return t.filter(mask)
 
-        batch_rows = edges.map_batches(flt, batch_format="pyarrow").take_all()
+        pairs = slim.map_batches(flt, batch_format="pyarrow").take_all()
         nxt: set = set()
-        for r in batch_rows:
-            key = (r["src_id"], r["rel_type"], r["dst_id"], r.get("term") or "")
-            if key in seen_edges:
-                continue
-            seen_edges.add(key)
-            rels.append(r)
+        for r in pairs:
             for e in (int(r["src_id"]), int(r["dst_id"])):
                 if e not in visited:
                     visited.add(e)
                     nxt.add(e)
         frontier = nxt
+
+    vref = ray.put(pa.array(sorted(processed), pa.int64()))
+
+    def fetch(t: pa.Table) -> pa.Table:
+        ids = ray.get(vref)
+        mask = pc.or_(
+            pc.is_in(t["src_id"], value_set=ids),
+            pc.is_in(t["dst_id"], value_set=ids),
+        )
+        return t.filter(mask)
+
+    # only the fields the Graph Facts formatter reads — widening this to
+    # every edge column (embeddings included) made the driver-side
+    # row materialization the dominant cost
+    rel_cols = [c for c in ("src_id", "dst_id", "rel_type", "term",
+                            "source_text")
+                if c in edges.schema().names]
+    rels = edges.select_columns(rel_cols).map_batches(
+        fetch, batch_format="pyarrow").take_all()
     rels.sort(key=lambda r: (r["src_id"], r["rel_type"], r["dst_id"], r.get("term") or ""))
     return {"node_ids": sorted(visited), "rels": rels}
 
@@ -773,15 +799,18 @@ def format_graph_context(
     SOURCE/MENTIONS, dedup by (norm(subject), lower(type), norm(object))
     keeping the first occurrence, optional snippet/source suffixes."""
     rels = [r for r in expanded.get("rels", []) if r.get("rel_type") not in _SKIP_RELS]
+    # normalize each node name ONCE, not once per incident rel
+    norm_cache = {
+        nid: normalize_name_for_key(info.get("name", ""))
+        for nid, info in node_info.items()
+    }
     seen: set = set()
     deduped = []
     for r in rels:
-        s = node_info.get(int(r["src_id"]), {})
-        t = node_info.get(int(r["dst_id"]), {})
         key = (
-            normalize_name_for_key(s.get("name", "")),
+            norm_cache.get(int(r["src_id"]), ""),
             (r.get("rel_type") or "").lower(),
-            normalize_name_for_key(t.get("name", "")),
+            norm_cache.get(int(r["dst_id"]), ""),
         )
         if key in seen:
             continue
