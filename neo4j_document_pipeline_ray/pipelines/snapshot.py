@@ -363,9 +363,19 @@ def build_snapshot(
 
     _patch_fsspec_http_for_threads()
 
+    # union of the three consumers' column needs — chunk_id, predicate
+    # and the raw sub/obj text keys never enter a stage-B shuffle
+    stage_b_cols = [
+        "src_id", "dst_id", "src_norm_key", "dst_norm_key",
+        "subject", "object", "subject_type", "object_type",
+        "rel_type", "term", "object_kind", "count", "rel_key",
+        "start", "end", "doc_id", "chunk_idx", "src_text",
+    ]
     triples = timed(
         "read_triples",
-        lambda: ray.data.read_parquet(_plan_files("triples")).materialize(),
+        lambda: ray.data.read_parquet(
+            _plan_files("triples"), columns=stage_b_cols
+        ).materialize(),
     )
 
     def run_mentions():
