@@ -112,12 +112,19 @@ def _partial_edges_batch(batch: pa.Table, keep_text: bool = True) -> pa.Table:
         pc.utf8_lpad(pc.cast(batch["chunk_idx"], pa.string()), 6, "0"), ":")
     b2 = batch.append_column("edge_key", ek).append_column("ord", ordc)
     b2 = b2.sort_by([("edge_key", "ascending"), ("ord", "ascending")])
+    # skip_nulls=False: "last" must mean the max-ord ROW's value, nulls
+    # included (pandas tail(1) semantics) — Arrow's default would take
+    # the last NON-null, resurrecting overwritten fields
+    _keep = pc.ScalarAggregateOptions(skip_nulls=False)
     agg = b2.group_by("edge_key", use_threads=False).aggregate(
-        [("src_id", "last"), ("dst_id", "last"), ("rel_type", "last"),
-         ("term", "last"), ("object_kind", "last"),
-         ("src_norm_key", "last"), ("dst_norm_key", "last"),
-         ("src_text", "last"), ("count", "last"), ("rel_key", "last"),
-         ("start", "last"), ("end", "last"), ("ord", "last"),
+        [("src_id", "last", _keep), ("dst_id", "last", _keep),
+         ("rel_type", "last", _keep), ("term", "last", _keep),
+         ("object_kind", "last", _keep),
+         ("src_norm_key", "last", _keep), ("dst_norm_key", "last", _keep),
+         ("src_text", "last", _keep), ("count", "last", _keep),
+         ("rel_key", "last", _keep),
+         ("start", "last", _keep), ("end", "last", _keep),
+         ("ord", "last", _keep),
          ("doc_id", "distinct")])
     srcs = [json.dumps(sorted(x)) for x in agg["doc_id_distinct"].to_pylist()]
     cols = {
@@ -168,8 +175,10 @@ def _merge_edges_partition_arrow(p: pa.Table) -> pa.Table:
     text_col = "source_text" if "source_text" in p.schema.names else "src_ref"
     cols = [c if c != "source_text" else text_col for c in _EXCHANGE_COLS]
     p = p.sort_by([("edge_key", "ascending"), ("ord", "ascending")])
+    # row-wise last (see _partial_edges_batch): keep the winner's nulls
+    _keep = pc.ScalarAggregateOptions(skip_nulls=False)
     agg = p.group_by("edge_key", use_threads=False).aggregate(
-        [(c, "last") for c in cols if c != "sources_json"])
+        [(c, "last", _keep) for c in cols if c != "sources_json"])
     # tolerate both '","' and '", "' separators (pandas-era partials)
     inner = pc.utf8_trim(
         pc.replace_substring(p["sources_json"], " ", ""), '[]"')

@@ -22,6 +22,7 @@ from typing import Callable, Optional
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -78,9 +79,11 @@ def distinct_by(
         others = [c for c in t.schema.names if c not in cols]
         if not others:
             return t.group_by(cols, use_threads=False).aggregate([])
-        # 'first' per key matches pandas drop_duplicates (keep='first')
+        # 'first' per key matches pandas drop_duplicates (keep='first');
+        # skip_nulls=False keeps the first ROW's nulls
+        opts = pc.ScalarAggregateOptions(skip_nulls=False)
         agg = t.group_by(cols, use_threads=False).aggregate(
-            [(c, "first") for c in others])
+            [(c, "first", opts) for c in others])
         return pa.table({
             c: (agg[c] if c in cols else agg[f"{c}_first"])
             for c in t.schema.names
