@@ -60,6 +60,21 @@ def cmd_build(args: argparse.Namespace) -> int:
         args.pages, args.out, cfg,
         resume=not args.no_resume, shard_files=args.shard_files,
     )
+    if args.with_indexes:
+        # persisted index artifacts over the freshly written nodes table
+        # — the analog of the reference's fulltext + vector index DDL at
+        # ingest time (graphutil.py:211-217, ingestMD.py:669-702)
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.similarity import build_ann_index
+        from neo4j_document_pipeline_ray.pipelines.graphrag import build_text_index
+
+        nodes = rd.read_parquet(os.path.join(args.out, "nodes")).materialize()
+        root["text_index"] = build_text_index(
+            nodes, os.path.join(args.out, "text_index"))
+        root["ann_index"] = build_ann_index(
+            nodes.select_columns(["entity_id", "embedding"]),
+            os.path.join(args.out, "ann_index"), id_col="entity_id")
     print(json.dumps(root, indent=2))
     return 0
 
@@ -69,9 +84,11 @@ def cmd_query(args: argparse.Namespace) -> int:
 
     _init_ray(args.num_cpus)
     tables = {k: v.materialize() for k, v in _load_tables(args.snapshot).items()}
+    text_index = os.path.join(args.snapshot, "text_index")
     res = graphrag(
         tables, args.question, top_k=args.top_k, hops=args.hops,
         use_mmr=not args.no_mmr, use_cross_doc=not args.no_cross_doc,
+        text_index_dir=text_index if os.path.isdir(text_index) else None,
     )
     print(res["facts"])
     print(json.dumps({"seeds": res["seeds"], "n_nodes": res["n_nodes"],
@@ -160,6 +177,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--out", required=True, help="snapshot output dir")
     b.add_argument("--shard-files", type=int, default=4)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--with-indexes", action="store_true",
+                   help="also build text (BM25 df) + ANN (LSH bucket) "
+                        "index artifacts under the snapshot dir")
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_build)
 

@@ -164,7 +164,8 @@ def lsh_topk(
 
 
 def build_ann_index(
-    embeddings: "ray.data.Dataset", index_dir: str, n_planes: int = _N_PLANES
+    embeddings: "ray.data.Dataset", index_dir: str, n_planes: int = _N_PLANES,
+    id_col: str = "vec_id", emb_col: str = "embedding",
 ) -> dict:
     """Materialize the LSH index: embeddings written as parquet
     PARTITIONED by the hyperplane-sign bucket, so a query reads only its
@@ -181,13 +182,14 @@ def build_ann_index(
         shutil.rmtree(index_dir)
 
     def with_bucket(t: pa.Table) -> pa.Table:
-        m = _batch_matrix(t)
+        m = _batch_matrix(t, col=emb_col)
         planes = _planes(m.shape[1])
         b = _bucket_of(m, planes).astype(np.int64)
+        t = pa.table({"vec_id": t[id_col], "embedding": t[emb_col]})
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
     first = embeddings.limit(1).take_all()
-    dim = len(first[0]["embedding"])
+    dim = len(first[0][emb_col])
     ds = embeddings.map_batches(with_bucket, batch_format="pyarrow")
     ds.write_parquet(index_dir, partition_cols=["bucket"])
     meta = {"dim": dim, "n_planes": n_planes, "n_rows": None}

@@ -498,15 +498,22 @@ def hybrid_candidates(
     k_kw: int = 12,
     alpha_vec: float = 0.6,
     beta_kw: float = 0.25,
+    text_index_dir: Optional[str] = None,
 ) -> List[Dict[str, Any]]:
     """Blend the two channels exactly as graphutil.py:401-447: max-score
     per entity within a channel, per-channel min-max normalization, then
     a weighted sum with weights renormalized to 1.
 
     The keyword channel is BM25 (:func:`bm25_topk`) — the reference's
-    fulltext channel is Lucene, which scores with BM25."""
+    fulltext channel is Lucene, which scores with BM25.  With a
+    ``text_index_dir`` (a :func:`build_text_index` layout) the token df
+    comes from the persisted index instead of a corpus-stats pass."""
     vec_hits = vector_topk(nodes, qvec, k=k_vec).take_all()
-    kw_hits = bm25_topk(nodes, question, k=k_kw).take_all()
+    if text_index_dir:
+        kw_hits = bm25_index_topk(nodes, text_index_dir, question,
+                                  k=k_kw).take_all()
+    else:
+        kw_hits = bm25_topk(nodes, question, k=k_kw).take_all()
 
     raw: Dict[int, Dict[str, Any]] = {}
     for h in vec_hits:
@@ -871,6 +878,7 @@ def graphrag(
     include_source: bool = True,
     alpha_vec: float = 0.6,
     beta_kw: float = 0.4,
+    text_index_dir: Optional[str] = None,
     cfg: Optional[PipelineConfig] = None,
 ) -> Dict[str, Any]:
     """The full /graphrag flow (main.py:221-400) over KG tables
@@ -891,6 +899,7 @@ def graphrag(
     cands = hybrid_candidates(
         tables["nodes"], question, qvec,
         k_vec=k_ch, k_kw=k_ch, alpha_vec=alpha_vec, beta_kw=beta_kw,
+        text_index_dir=text_index_dir,
     )
     timings["hybrid"] = time.time() - t
 

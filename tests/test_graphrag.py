@@ -231,6 +231,15 @@ class TestDistributedChannels:
             (r["entity_id"], r["score"]) for r in want
         ]
 
+    def test_hybrid_via_text_index_identical(self, ray_session, tables, tmp_path):
+        idx = str(tmp_path / "ti")
+        gr.build_text_index(tables["nodes"], idx)
+        qvec = gr.embed_question(QUESTION)
+        a = gr.hybrid_candidates(tables["nodes"], QUESTION, qvec)
+        b = gr.hybrid_candidates(tables["nodes"], QUESTION, qvec,
+                                 text_index_dir=idx)
+        assert a == b
+
     def test_bm25_all_miss_returns_empty(self, ray_session, tables):
         """Full miss (keywords AND quoted anchor unknown): the retry
         path executes and still yields an empty result, not an error."""
