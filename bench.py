@@ -244,14 +244,24 @@ def run_scaling() -> dict:
     """
     pages = _ensure_scaling_corpus()
 
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        env[_SCALING_PAGES_ENV] = pages
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # min-of-k wall time per CPU level: the shared host shows up to
+        # +-50% neighbor-load noise, and the minimum is the least-
+        # contaminated estimate of the true runtime at each level
+        best = None
+        for _ in range(max(1, reps)):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env[_SCALING_PAGES_ENV] = pages
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            res = json.loads(out.strip().splitlines()[-1])
+            if best is None or res["value"] < best["value"]:
+                best = res
+        return best
 
     def pair(n_lo: int, n_hi: int) -> dict:
         lo, hi = run(n_lo), run(n_hi)
