@@ -484,7 +484,7 @@ def ngram_jaccard_pairs(
     docs: "ray.data.Dataset",
     n: int = 3,
     threshold: float = 0.8,
-    max_gram_docs: int | None = None,
+    max_gram_docs: int | None = 10_000,
 ) -> "ray.data.Dataset":
     """EXACT word-n-gram Jaccard near-dup pairs (a < b, jaccard >= t).
 
@@ -498,11 +498,13 @@ def ngram_jaccard_pairs(
       4. two hash joins pull in |A| and |B|; jaccard = i / (|A|+|B|-i).
 
     ``max_gram_docs`` caps pathological grams (boilerplate shared by
-    thousands of docs): grams above the cap are *dropped* from pair
-    generation — at a 0.8 threshold such grams never decide a pair on
-    their own, but the count becomes a lower bound, so the default is
-    None (exact) and the cap is the documented 100 TB knob.  MinHash+LSH
-    (above) is the probabilistic scale path.
+    thousands of docs): a gram shared by d docs emits O(d^2) pair rows,
+    so one cap-exceeding gram can dominate the whole job.  Grams above
+    the cap are dropped from pair generation AND LOGGED — at a 0.8
+    threshold a single gram never decides a pair, but the intersection
+    count becomes a lower bound for doc pairs whose overlap includes a
+    dropped gram.  Pass ``None`` for the fully exact variant;
+    MinHash+LSH (above) is the probabilistic scale path.
     """
     from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
 
@@ -514,16 +516,29 @@ def ngram_jaccard_pairs(
     cap = max_gram_docs
 
     def gram_pairs_partition(df):
+        import logging
+
         import pandas as pd
 
         out_a, out_b = [], []
+        dropped = 0
         for _, ids_s in df.groupby("gram", sort=False)["doc_id"]:
             ids = sorted(set(ids_s))
-            if len(ids) < 2 or (cap is not None and len(ids) > cap):
+            if len(ids) < 2:
+                continue
+            if cap is not None and len(ids) > cap:
+                dropped += 1
                 continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i]); out_b.append(ids[j])
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard: %d gram(s) shared by more than "
+                "max_gram_docs=%d docs dropped from pair generation "
+                "(intersection counts become lower bounds for their "
+                "doc pairs)", dropped, cap,
+            )
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
                              "b": pd.Series(out_b, dtype="int64")})
 
