@@ -50,15 +50,6 @@ _EXCHANGE_COLS = ["src_id", "dst_id", "rel_type", "term", "object_kind",
                   "src_norm_key", "dst_norm_key", "sources_json", "source_text",
                   "count", "rel_key", "start", "end"]
 
-_EXCHANGE_TYPES = {
-    "src_ref": pa.string(),
-    "edge_key": pa.string(), "src_id": pa.int64(), "dst_id": pa.int64(),
-    "rel_type": pa.string(), "term": pa.string(), "object_kind": pa.string(),
-    "src_norm_key": pa.string(), "dst_norm_key": pa.string(),
-    "sources_json": pa.string(), "source_text": pa.string(), "ord": pa.string(),
-    "count": pa.int64(), "rel_key": pa.string(),
-    "start": pa.string(), "end": pa.string(),
-}
 
 
 def _merge_edges_df(df: pd.DataFrame, out_cols: List[str]) -> pd.DataFrame:
@@ -263,13 +254,9 @@ def build_edges(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = Non
         lambda t: _partial_edges_batch(t, keep_text=keep_text),
         batch_format="pyarrow", batch_size=cfg.map_batch_size,
     )
-    text_col = "source_text" if keep_text else "src_ref"
-    cols = [c if c != "source_text" else text_col for c in _EXCHANGE_COLS]
-    out_schema = pa.schema([(c, _EXCHANGE_TYPES[c]) for c in cols])
     merged = partitioned_group_map(
         partial, "edge_key", _merge_edges_partition_arrow,
-        cfg.shuffle_partitions, out_schema=out_schema,
-        batch_format="pyarrow",
+        cfg.shuffle_partitions, batch_format="pyarrow",
     )
     if not use_ref:
         return merged

@@ -18,7 +18,7 @@ not depend on P or the partitioning.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import pandas as pd
 import pyarrow as pa
@@ -32,7 +32,6 @@ def partitioned_group_map(
     key_col: str,
     partition_fn: Callable,
     num_partitions: int = 16,
-    out_schema: Optional[pa.Schema] = None,
     batch_format: str = "pandas",
 ) -> "ray.data.Dataset":
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
