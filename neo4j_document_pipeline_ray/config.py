@@ -31,6 +31,15 @@ class PipelineConfig:
     embed_batch_size: int = 4096         # distinct text keys per embed batch
     embed_concurrency: int | tuple = 2   # actor pool size for Embedder
     map_batch_size: int = 4096           # stateless map_batches rows per batch
+    #                                      (text-bearing stages: html/docs)
+    agg_batch_size: int = 65536          # in-batch partial-aggregation passes
+    #                                      over slim rows (edge partials, node
+    #                                      candidates, mention pairs): bigger
+    #                                      batches collapse more per batch and
+    #                                      push far fewer blocks through the
+    #                                      exchange — measured 53-61 s -> 17.7 s
+    #                                      edge merge at 228k docs / 16 CPUs
+    #                                      going 4096 -> 65536
 
     # --- shuffles / joins ---
     join_partitions: int = 8             # hash partitions for Dataset.join

@@ -252,7 +252,7 @@ def build_edges(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = Non
     keep_text = not use_ref
     partial = triples.map_batches(
         lambda t: _partial_edges_batch(t, keep_text=keep_text),
-        batch_format="pyarrow", batch_size=cfg.map_batch_size,
+        batch_format="pyarrow", batch_size=cfg.agg_batch_size,
     )
     merged = partitioned_group_map(
         partial, "edge_key", _merge_edges_partition_arrow,
@@ -262,7 +262,8 @@ def build_edges(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = Non
         return merged
     prov = distinct_by(
         triples.select_columns(["src_text"]).map_batches(
-            _prov_pairs_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
+            _prov_pairs_batch, batch_format="pyarrow",
+            batch_size=cfg.agg_batch_size,
         ),
         "src_ref",
         num_partitions=cfg.join_partitions,

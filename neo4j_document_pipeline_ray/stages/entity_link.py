@@ -95,7 +95,7 @@ def shard_node_candidates(
     cfg = cfg or PipelineConfig()
     slim = triples.select_columns(NODE_INPUT_COLS)
     return slim.map_batches(
-        _candidates_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
+        _candidates_batch, batch_format="pyarrow", batch_size=cfg.agg_batch_size
     )
 
 
@@ -140,7 +140,7 @@ def shard_mention_pairs(
     cfg = cfg or PipelineConfig()
     slim = triples.select_columns(MENTION_INPUT_COLS)
     return slim.map_batches(
-        _mention_pairs_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
+        _mention_pairs_batch, batch_format="pyarrow", batch_size=cfg.agg_batch_size
     )
 
 
