@@ -508,12 +508,21 @@ def hybrid_candidates(
     fulltext channel is Lucene, which scores with BM25.  With a
     ``text_index_dir`` (a :func:`build_text_index` layout) the token df
     comes from the persisted index instead of a corpus-stats pass."""
-    vec_hits = vector_topk(nodes, qvec, k=k_vec).take_all()
-    if text_index_dir:
-        kw_hits = bm25_index_topk(nodes, text_index_dir, question,
-                                  k=k_kw).take_all()
-    else:
-        kw_hits = bm25_topk(nodes, question, k=k_kw).take_all()
+    # the two channels are independent Ray jobs — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _vec():
+        return vector_topk(nodes, qvec, k=k_vec).take_all()
+
+    def _kw():
+        if text_index_dir:
+            return bm25_index_topk(nodes, text_index_dir, question,
+                                   k=k_kw).take_all()
+        return bm25_topk(nodes, question, k=k_kw).take_all()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        vf, kf = pool.submit(_vec), pool.submit(_kw)
+        vec_hits, kw_hits = vf.result(), kf.result()
 
     raw: Dict[int, Dict[str, Any]] = {}
     for h in vec_hits:
