@@ -44,9 +44,18 @@ from neo4j_document_pipeline_ray.config import PipelineConfig
 from neo4j_document_pipeline_ray.stages.grouped import broadcast_join, min_by_key, safe_join
 from neo4j_document_pipeline_ray.pipelines.kg_build import dedupe_docs
 from neo4j_document_pipeline_ray.stages.chunker import chunk_docs
-from neo4j_document_pipeline_ray.stages.edge_agg import build_edges, decode_sources_batch
+from neo4j_document_pipeline_ray.stages.edge_agg import (
+    EDGE_INPUT_COLS,
+    build_edges,
+    decode_sources_batch,
+)
 from neo4j_document_pipeline_ray.stages.embed import embed_column
-from neo4j_document_pipeline_ray.stages.entity_link import build_mentions, build_nodes
+from neo4j_document_pipeline_ray.stages.entity_link import (
+    MENTION_INPUT_COLS,
+    NODE_INPUT_COLS,
+    build_mentions,
+    build_nodes,
+)
 from neo4j_document_pipeline_ray.stages.extract_text import extract_docs
 from neo4j_document_pipeline_ray.stages.normalize import normalize_triples
 from neo4j_document_pipeline_ray.stages.triple_extract import extract_triples
@@ -191,6 +200,19 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
+def _parquet_uncompressed_bytes(paths: List[str]) -> int:
+    """Uncompressed (in-memory-ish) byte size from parquet footers — the
+    zero-cost stand-in for ``Dataset.size_bytes()`` on a lazy read."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for rg in range(md.num_row_groups):
+            total += md.row_group(rg).total_byte_size
+    return total
+
+
 def _parquet_col_range(path: str, col: str):
     """(min, max) of a column from parquet footer statistics."""
     import pyarrow.parquet as pq
@@ -331,9 +353,20 @@ def build_snapshot(
         timings[name] = round(time.time() - t, 3)
         return res
 
-    # Stage-B reads are restricted to the CURRENT plan's shard dirs so
-    # stale leftovers from a previous larger run are invisible.
+    # Stage-B reads are restricted to the CURRENT plan's shard dirs, and
+    # out-of-plan leftovers from a previous larger run are PRUNED here so
+    # whole-directory readers (cli status / _load_tables) can't see them.
     plan_ids = list(range(len(shards)))
+    for name in ("docs", "triples"):
+        base = os.path.join(out_dir, name)
+        if not os.path.isdir(base):
+            continue
+        for d in os.listdir(base):
+            if d.startswith("shard=") and int(d.split("=")[1]) >= len(shards):
+                shutil.rmtree(os.path.join(base, d))
+                stale = mf.shard_manifest_path(out_dir, int(d.split("=")[1]))
+                if os.path.exists(stale):
+                    os.remove(stale)
 
     def _plan_dirs(name: str) -> List[str]:
         return [os.path.join(out_dir, name, f"shard={i:05d}") for i in plan_ids]
@@ -363,33 +396,36 @@ def build_snapshot(
 
     _patch_fsspec_http_for_threads()
 
-    # union of the three consumers' column needs — chunk_id, predicate
-    # and the raw sub/obj text keys never enter a stage-B shuffle
-    stage_b_cols = [
-        "src_id", "dst_id", "src_norm_key", "dst_norm_key",
-        "subject", "object", "subject_type", "object_type",
-        "rel_type", "term", "object_kind", "count", "rel_key",
-        "start", "end", "doc_id", "chunk_idx", "src_text",
-    ]
-    triples = timed(
-        "read_triples",
-        lambda: ray.data.read_parquet(
-            _plan_files("triples"), columns=stage_b_cols
-        ).materialize(),
-    )
+    # Each consumer does its own PRUNED re-read of the checkpointed shard
+    # parquet — mentions needs 3 columns, nodes 8, only edges touches the
+    # 1 KB provenance text.  Nothing pins the full triples table in the
+    # object store: every stage streams read -> partial-agg -> exchange
+    # with backpressure, and Ray fuses the read into the first
+    # map_batches so the wide ``src_text`` column lives only inside the
+    # edge partial task (under ``ref`` exchange it is hashed there and
+    # never enters an exchange at all).
+    trip_files = _plan_files("triples")
+    trip_bytes = _parquet_uncompressed_bytes(trip_files)
+
+    def _read_triples(cols: List[str]) -> "ray.data.Dataset":
+        return ray.data.read_parquet(trip_files, columns=cols)
 
     def run_mentions():
-        mentions = build_mentions(triples, cfg)
+        mentions = build_mentions(_read_triples(MENTION_INPUT_COLS), cfg)
         _write_bucketed(mentions, out_dir, "mentions", cfg, None)
 
     def run_nodes():
-        nodes = build_nodes(triples, cfg)
+        nodes = build_nodes(_read_triples(NODE_INPUT_COLS), cfg)
         if with_embeddings:
             nodes = embed_column(nodes, "node_key", cfg, backend=embed_backend)
         _write_bucketed(nodes, out_dir, "nodes", cfg, "entity_id")
 
     def run_edges():
-        edges = build_edges(triples, cfg)
+        edges = build_edges(
+            _read_triples(EDGE_INPUT_COLS), cfg,
+            prov_source=_read_triples(["src_text"]),
+            input_bytes=trip_bytes,
+        )
         if with_embeddings:
             edges = embed_column(edges, "rel_key", cfg, backend=embed_backend)
         edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
@@ -404,7 +440,7 @@ def build_snapshot(
     t_done = time.time()
 
     counts = {
-        "n_triples": triples.count(),
+        "n_triples": sum(_parquet_rows(d) for d in _plan_dirs("triples")),
         "n_nodes": _parquet_rows(os.path.join(out_dir, "nodes")),
         "n_edges": _parquet_rows(os.path.join(out_dir, "edges")),
         "n_mentions": _parquet_rows(os.path.join(out_dir, "mentions")),

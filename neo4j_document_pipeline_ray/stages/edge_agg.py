@@ -50,6 +50,12 @@ _EXCHANGE_COLS = ["src_id", "dst_id", "rel_type", "term", "object_kind",
                   "src_norm_key", "dst_norm_key", "sources_json", "source_text",
                   "count", "rel_key", "start", "end"]
 
+# columns the edge aggregation actually consumes from the triples table —
+# the pruned-read column set for stage B (snapshot.py reads exactly these)
+EDGE_INPUT_COLS = ["src_id", "dst_id", "rel_type", "term", "object_kind",
+                   "src_norm_key", "dst_norm_key", "src_text", "count",
+                   "rel_key", "start", "end", "doc_id", "chunk_idx"]
+
 
 
 def _merge_edges_df(df: pd.DataFrame, out_cols: List[str]) -> pd.DataFrame:
@@ -224,7 +230,10 @@ def decode_sources_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _use_ref_exchange(triples: "ray.data.Dataset", cfg: PipelineConfig) -> bool:
+def _use_ref_exchange(
+    triples: "ray.data.Dataset", cfg: PipelineConfig,
+    input_bytes: Optional[int] = None,
+) -> bool:
     mode = cfg.edge_text_exchange
     if mode not in ("inline", "ref", "auto"):
         raise ValueError(
@@ -232,6 +241,10 @@ def _use_ref_exchange(triples: "ray.data.Dataset", cfg: PipelineConfig) -> bool:
         )
     if mode in ("inline", "ref"):
         return mode == "ref"
+    if input_bytes is not None:
+        # caller-supplied estimate (parquet-footer uncompressed bytes) —
+        # lets a LAZY input decide without materializing it
+        return input_bytes > cfg.edge_ref_threshold_bytes
     try:
         size = triples.size_bytes() or 0
     except Exception:
@@ -239,8 +252,22 @@ def _use_ref_exchange(triples: "ray.data.Dataset", cfg: PipelineConfig) -> bool:
     return size > cfg.edge_ref_threshold_bytes
 
 
-def build_edges(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
-    """Doc-level triples -> aggregated edges table (with ``source_text``)."""
+def build_edges(
+    triples: "ray.data.Dataset",
+    cfg: Optional[PipelineConfig] = None,
+    prov_source: Optional["ray.data.Dataset"] = None,
+    input_bytes: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Doc-level triples -> aggregated edges table (with ``source_text``).
+
+    ``triples`` may be LAZY (a pruned ``read_parquet``) — nothing here
+    forces materialization.  Under the ``ref`` exchange the snippet
+    table needs a second pass over ``src_text``; pass ``prov_source``
+    (e.g. a pruned single-column re-read of the checkpointed triples
+    parquet) so that pass doesn't re-execute the full ``triples`` plan.
+    ``input_bytes`` feeds the ``auto`` exchange decision for lazy
+    inputs (parquet-footer uncompressed size).
+    """
     from neo4j_document_pipeline_ray.stages.grouped import (
         broadcast_join,
         distinct_by,
@@ -248,7 +275,7 @@ def build_edges(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = Non
     )
 
     cfg = cfg or PipelineConfig()
-    use_ref = _use_ref_exchange(triples, cfg)
+    use_ref = _use_ref_exchange(triples, cfg, input_bytes)
     keep_text = not use_ref
     partial = triples.map_batches(
         lambda t: _partial_edges_batch(t, keep_text=keep_text),
@@ -261,7 +288,8 @@ def build_edges(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = Non
     if not use_ref:
         return merged
     prov = distinct_by(
-        triples.select_columns(["src_text"]).map_batches(
+        (prov_source if prov_source is not None else triples)
+        .select_columns(["src_text"]).map_batches(
             _prov_pairs_batch, batch_format="pyarrow",
             batch_size=cfg.agg_batch_size,
         ),
