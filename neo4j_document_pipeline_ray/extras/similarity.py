@@ -110,13 +110,14 @@ def label_topk(
 _N_PLANES = 8
 
 
-def _planes(dim: int) -> np.ndarray:
-    return np.random.default_rng(0xA11CE).standard_normal((_N_PLANES, dim))
+def _planes(dim: int, n_planes: int = _N_PLANES) -> np.ndarray:
+    return np.random.default_rng(0xA11CE).standard_normal((n_planes, dim))
 
 
 def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     signs = (m @ planes.T) > 0
-    return (signs.astype(np.uint32) << np.arange(_N_PLANES, dtype=np.uint32)).sum(axis=1)
+    n = planes.shape[0]
+    return (signs.astype(np.uint32) << np.arange(n, dtype=np.uint32)).sum(axis=1)
 
 
 def lsh_topk(
@@ -166,47 +167,105 @@ def lsh_topk(
 def build_ann_index(
     embeddings: "ray.data.Dataset", index_dir: str, n_planes: int = _N_PLANES,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    payload_cols: tuple = (),
 ) -> dict:
     """Materialize the LSH index: embeddings written as parquet
     PARTITIONED by the hyperplane-sign bucket, so a query reads only its
     probed partitions — the role of the reference's persistent per-label
     vector indexes (``ingestMD.py:692-702``), expressed as data layout.
 
-    The planes are a pure function of ``(seed, dim)``; the tiny meta
-    manifest records dim/planes/rows so queries re-derive them.
+    ``payload_cols`` ride along in the index rows so a query can return
+    them without a join back onto the source table (the graphrag node
+    index carries label/name this way).  The planes are a pure function
+    of ``(seed, dim, n_planes)``; the meta manifest records
+    dim/n_planes/n_rows so queries re-derive them — ``n_planes`` here
+    governs the actual bucketing, not just the metadata.
+
+    The build is ATOMIC: rows land in a temp dir that is ``os.replace``d
+    into place, so a crashed build never leaves a partial index that a
+    cache-by-existence caller would silently use.
     """
     import json
     import shutil
 
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir)
+    pay = tuple(payload_cols)
 
     def with_bucket(t: pa.Table) -> pa.Table:
         m = _batch_matrix(t, col=emb_col)
-        planes = _planes(m.shape[1])
+        planes = _planes(m.shape[1], n_planes)
         b = _bucket_of(m, planes).astype(np.int64)
-        t = pa.table({"vec_id": t[id_col], "embedding": t[emb_col]})
-        return t.append_column("bucket", pa.array(b, pa.int64()))
+        cols = {"vec_id": t[id_col]}
+        for c in pay:
+            cols[c] = t[c]
+        cols["embedding"] = t[emb_col]
+        return pa.table(cols).append_column(
+            "bucket", pa.array(b, pa.int64()))
 
     first = embeddings.limit(1).take_all()
     dim = len(first[0][emb_col])
+    tmp_dir = index_dir.rstrip("/") + ".tmp"
+    for d in (tmp_dir, index_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     ds = embeddings.map_batches(with_bucket, batch_format="pyarrow")
-    ds.write_parquet(index_dir, partition_cols=["bucket"])
-    meta = {"dim": dim, "n_planes": n_planes, "n_rows": None}
-    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+    ds.write_parquet(tmp_dir, partition_cols=["bucket"])
+    meta = {"dim": dim, "n_planes": n_planes,
+            "n_rows": _index_rows(tmp_dir), "payload_cols": list(pay)}
+    with open(os.path.join(tmp_dir, "_meta.json"), "w") as f:
         json.dump(meta, f)
+    os.replace(tmp_dir, index_dir)
     return meta
 
 
-def _probe_buckets(query: np.ndarray, multiprobe: int) -> list:
-    planes = _planes(len(query))
+def _index_rows(index_dir: str) -> int:
+    """Total indexed rows from parquet footers (no data read)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(index_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
+def read_index_meta(index_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        return json.load(f)
+
+
+def _probe_buckets(query: np.ndarray, multiprobe: int,
+                   n_planes: int = _N_PLANES) -> list:
+    planes = _planes(len(query), n_planes)
     qb = int(_bucket_of(query[None, :], planes)[0])
     probe = {qb}
     for _ in range(multiprobe):
         for b in list(probe):
-            for i in range(_N_PLANES):
+            for i in range(n_planes):
                 probe.add(b ^ (1 << i))
     return sorted(probe)
+
+
+def probe_partition_files(index_dir: str, query: np.ndarray,
+                          multiprobe: int = 1) -> list:
+    """Parquet files of the probed bucket partitions of a
+    :func:`build_ann_index` layout (n_planes from the index's meta)."""
+    meta = read_index_meta(index_dir)
+    probe = set(_probe_buckets(query, multiprobe, meta["n_planes"]))
+    files = []
+    for name in sorted(os.listdir(index_dir)):
+        if not name.startswith("bucket="):
+            continue
+        if int(name.split("=", 1)[1]) not in probe:
+            continue
+        d = os.path.join(index_dir, name)
+        files.extend(
+            sorted(os.path.join(d, f) for f in os.listdir(d)
+                   if f.endswith(".parquet"))
+        )
+    return files
 
 
 def lsh_index_topk(
@@ -221,18 +280,7 @@ def lsh_index_topk(
     partial top-ks.  Produces results identical to :func:`lsh_topk`
     with the same ``multiprobe`` (pinned in the suite), without the
     full scan."""
-    probe = set(_probe_buckets(query, multiprobe))
-    files = []
-    for name in sorted(os.listdir(index_dir)):
-        if not name.startswith("bucket="):
-            continue
-        if int(name.split("=", 1)[1]) not in probe:
-            continue
-        d = os.path.join(index_dir, name)
-        files.extend(
-            sorted(os.path.join(d, f) for f in os.listdir(d)
-                   if f.endswith(".parquet"))
-        )
+    files = probe_partition_files(index_dir, query, multiprobe)
     if not files:
         return ray.data.from_arrow(pa.table({
             "vec_id": pa.array([], pa.int64()),
@@ -266,7 +314,8 @@ def index_scan_fraction(index_dir: str, query: np.ndarray,
     """Fraction of indexed rows a query would read (footer counts only)."""
     import pyarrow.parquet as pq
 
-    probe = set(_probe_buckets(query, multiprobe))
+    probe = set(_probe_buckets(
+        query, multiprobe, read_index_meta(index_dir)["n_planes"]))
     total = read = 0
     for name in os.listdir(index_dir):
         if not name.startswith("bucket="):

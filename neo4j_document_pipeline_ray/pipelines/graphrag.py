@@ -168,6 +168,68 @@ def vector_topk(
     return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
 
 
+def build_node_ann_index(
+    nodes: "ray.data.Dataset", index_dir: str, n_planes: int = 8
+) -> Dict[str, Any]:
+    """Persist the node-embedding ANN index: the nodes table written as
+    parquet PARTITIONED by LSH hyperplane-sign bucket with the
+    id/label/name payload riding along — the role of the reference's
+    persistent per-label vector indexes (``ingestMD.py:692-702``,
+    queried at ``graphutil.py:364-391``), expressed as data layout.  A
+    query then reads only its probed bucket partitions
+    (:func:`vector_index_topk`) instead of scanning every node."""
+    from neo4j_document_pipeline_ray.extras.similarity import build_ann_index
+
+    return build_ann_index(
+        nodes, index_dir, n_planes=n_planes,
+        id_col="entity_id", emb_col="embedding",
+        payload_cols=("label", "name"),
+    )
+
+
+def vector_index_topk(
+    index_dir: str, qvec: np.ndarray, k: int = 12, multiprobe: int = 2
+) -> "ray.data.Dataset":
+    """Cosine top-k against a :func:`build_node_ann_index` layout:
+    reads ONLY the probed bucket partitions (multiprobe=2 touches ~14%
+    of a 256-bucket index), scores them with the same rounded-float64
+    kernel and tie-break as :func:`vector_topk`, and merges partial
+    top-ks.  Output schema matches ``vector_topk`` (entity_id, label,
+    name, score) so the hybrid blend is drop-in."""
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        probe_partition_files,
+    )
+
+    files = probe_partition_files(index_dir, qvec, multiprobe)
+    if not files:
+        return ray.data.from_arrow(pa.table({
+            "entity_id": pa.array([], pa.int64()),
+            "label": pa.array([], pa.string()),
+            "name": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+        }))
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    qref = ray.put(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _emb_matrix(t["embedding"]).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m @ qv) / norms, 6)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        sub = t.select(["vec_id", "label", "name"]).take(pa.array(order))
+        sub = sub.rename_columns(["entity_id", "label", "name"])
+        return sub.append_column("score", pa.array(sims[order], pa.float64()))
+
+    partial = ray.data.read_parquet(
+        files, columns=["vec_id", "label", "name", "embedding"]
+    ).map_batches(score, batch_format="pyarrow")
+    return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
+
+
 def keyword_topk(
     nodes: "ray.data.Dataset", question: str, k: int = 12
 ) -> "ray.data.Dataset":
@@ -182,25 +244,31 @@ def keyword_topk(
     ``hits[:limit]`` (graphutil.py:354).
     """
     anchors, terms = _query_terms(question)
-    tok_set = frozenset(
+    toks = sorted({
         tok for t in terms for tok in normalize_name_for_key(t).split()
-    )
-    phrase_set = frozenset(
-        normalize_name_for_key(a) for a in anchors if " " in a
-    )
+    })
+    phrases = sorted({
+        p for p in (normalize_name_for_key(a) for a in anchors if " " in a)
+        if p
+    })
     lim = max(k, 16)
 
     def score(t: pa.Table) -> pa.Table:
-        names = t["name"].to_pylist()
-        scores = np.zeros(len(names), dtype=np.float64)
-        for i, nm in enumerate(names):
-            norm = normalize_name_for_key(nm)
-            ntoks = set(norm.split())
-            s = float(len(ntoks & tok_set))
-            for p in phrase_set:
-                if p and p in norm:
-                    s += 1.0
-            scores[i] = s
+        # vectorized over the precomputed norm_key column
+        # (norm_key == normalize_name_for_key(name) by construction of
+        # the nodes table — the cluster key IS the normalization);
+        # score = |query tokens present as words| + 1 per anchor phrase
+        # contained as a substring, exactly the per-row loop's semantics
+        import pandas as pd
+
+        keys = pd.Series(t["norm_key"].to_pylist()).fillna("")
+        padded = " " + keys + " "
+        scores = np.zeros(len(keys), dtype=np.float64)
+        for tok in toks:
+            scores += padded.str.contains(
+                f" {tok} ", regex=False).to_numpy(float)
+        for p in phrases:
+            scores += keys.str.contains(p, regex=False).to_numpy(float)
         keep = np.nonzero(scores > 0)[0]
         if len(keep) > lim:
             ids = t["entity_id"].to_numpy(zero_copy_only=False)[keep]
@@ -208,7 +276,9 @@ def keyword_topk(
         sub = t.select(["entity_id", "label", "name"]).take(pa.array(keep))
         return sub.append_column("score", pa.array(scores[keep], pa.float64()))
 
-    partial = nodes.map_batches(score, batch_format="pyarrow")
+    partial = nodes.select_columns(
+        ["entity_id", "label", "name", "norm_key"]
+    ).map_batches(score, batch_format="pyarrow")
     return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
 
 
@@ -320,14 +390,21 @@ def _bm25_with_retry(nodes, question: str, k: int, stats_fn) -> "ray.data.Datase
     # materialize: the emptiness probe below and the caller's take_all
     # would otherwise each execute the (lazy) scoring pipeline
     res = _bm25_score(nodes, toks, phrases, k, stats_fn(toks, phrases)).materialize()
-    if res.count() == 0 and phrases:
-        # anchors-only retry: anchor tokens + anchor phrases
+    if res.count() == 0:
+        # first-anchor-only retry, mirroring the reference's
+        # fulltext_search fallback (graphutil.py:330-344 retries with
+        # ``anchors[:1]``).  Defensive parity: the reference reaches it
+        # when Lucene rejects a malformed main query, whereas this
+        # deterministic scorer's main query subsumes the anchor terms,
+        # so the retry fires only when the first anchor also misses.
         anchors, _terms = _query_terms(question)
-        a_toks = sorted({
-            tok for a in anchors for tok in normalize_name_for_key(a).split()
-        })
-        res = _bm25_score(nodes, a_toks, phrases, k,
-                          stats_fn(a_toks, phrases))
+        if anchors:
+            a = anchors[0]
+            a_norm = normalize_name_for_key(a)
+            a_toks = sorted(set(a_norm.split()))
+            a_phr = [a_norm] if " " in a_norm else []
+            res = _bm25_score(nodes, a_toks, a_phr, k,
+                              stats_fn(a_toks, a_phr))
     return res
 
 
@@ -375,6 +452,11 @@ def _bm25_score(
     return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
 
 
+# longest contiguous token n-gram whose df the text index stores; an
+# anchor phrase longer than this pays a corpus-stats scan at query time
+_MAX_INDEXED_GRAM = 3
+
+
 def build_text_index(nodes: "ray.data.Dataset", index_dir: str) -> Dict[str, Any]:
     """Persist the fulltext-index statistics: a (token, df) table
     RANGE-SORTED by token (so a query's df lookup reads only the row
@@ -384,8 +466,12 @@ def build_text_index(nodes: "ray.data.Dataset", index_dir: str) -> Dict[str, Any
 
     df is exact document frequency (distinct names containing the
     token), computed by per-batch partial counts + one small token
-    groupby.  Phrase statistics are inherently query-dependent and stay
-    a scan (Lucene uses positional postings for those).
+    groupby.  The table also stores contiguous token n-grams up to
+    ``_MAX_INDEXED_GRAM`` (the compact stand-in for Lucene's positional
+    postings), so quoted-anchor-phrase queries of <= 3 tokens read their
+    phrase df from the index instead of scanning the corpus; only
+    longer phrases pay a scan.  n-grams contain spaces and tokens
+    don't, so the two key spaces cannot collide.
     """
     import json
     import os
@@ -401,9 +487,19 @@ def build_text_index(nodes: "ray.data.Dataset", index_dir: str) -> Dict[str, Any
         import pandas as pd
 
         keys = df["norm_key"].fillna("")
-        ex = keys.str.split().explode().dropna()
-        pairs = pd.DataFrame({"row": ex.index, "token": ex.values})
-        cnt = pairs.drop_duplicates().groupby("token", sort=False).size()
+
+        def grams_of(tl):
+            out = set(tl)
+            for n in range(2, _MAX_INDEXED_GRAM + 1):
+                out.update(
+                    " ".join(tl[i:i + n]) for i in range(len(tl) - n + 1)
+                )
+            return list(out)
+
+        # grams_of returns a set per name, so the explode is already
+        # distinct-per-name and value_counts IS the per-batch df
+        ex = keys.str.split().map(grams_of).explode().dropna()
+        cnt = ex.value_counts()
         return pd.DataFrame({"token": cnt.index.astype(str),
                              "df": cnt.values.astype("int64")})
 
@@ -433,7 +529,8 @@ def build_text_index(nodes: "ray.data.Dataset", index_dir: str) -> Dict[str, Any
         batch_format="pyarrow",
     ).take_all()
     meta = {"n": sum(r["n"] for r in meta_parts),
-            "dl_sum": sum(r["dl_sum"] for r in meta_parts)}
+            "dl_sum": sum(r["dl_sum"] for r in meta_parts),
+            "max_gram": _MAX_INDEXED_GRAM}
     with open(os.path.join(index_dir, "_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -442,12 +539,13 @@ def build_text_index(nodes: "ray.data.Dataset", index_dir: str) -> Dict[str, Any
 def bm25_index_topk(
     nodes: "ray.data.Dataset", index_dir: str, question: str, k: int = 12
 ) -> "ray.data.Dataset":
-    """BM25 top-k against a :func:`build_text_index` layout: token df
-    comes from a PRUNED read of the sorted (token, df) table (row-group
-    stats skip everything outside the query's token range) and N/avgdl
-    from the meta manifest, so only questions with quoted anchor
-    phrases pay a corpus scan for phrase df.  Result is identical to
-    :func:`bm25_topk` (pinned in the suite)."""
+    """BM25 top-k against a :func:`build_text_index` layout: token AND
+    anchor-phrase df come from a PRUNED read of the sorted (token, df)
+    table (row-group stats skip everything outside the query's key
+    range) and N/avgdl from the meta manifest.  Phrases up to the
+    index's ``max_gram`` tokens are served from the stored n-grams;
+    only longer phrases pay a corpus-stats scan.  Result is identical
+    to :func:`bm25_topk` (pinned in the suite)."""
     import json
     import os
 
@@ -455,18 +553,25 @@ def bm25_index_topk(
 
     with open(os.path.join(index_dir, "_meta.json")) as f:
         meta = json.load(f)
+    # indexes written before n-gram support carry no max_gram: treat
+    # every phrase as unindexed (scan) rather than returning df=0
+    max_gram = meta.get("max_gram", 1)
     dset = pads.dataset(os.path.join(index_dir, "df"))
 
     def stats_fn(toks: List[str], phrases: List[str]) -> Dict[str, Any]:
+        indexed_phr = [p for p in phrases if p.count(" ") + 1 <= max_gram]
+        scan_phr = [p for p in phrases if p.count(" ") + 1 > max_gram]
         df_tok = {t: 0 for t in toks}
-        if toks:
-            tbl = dset.to_table(filter=pads.field("token").isin(toks))
-            df_tok.update(zip(tbl["token"].to_pylist(),
-                              tbl["df"].to_pylist()))
-        df_phr = {p: 0 for p in phrases}
-        if phrases:
-            scan = _bm25_corpus_stats(nodes, [], phrases)
-            df_phr = scan["df_phr"]
+        df_phr = {p: 0 for p in indexed_phr}
+        lookups = list(toks) + indexed_phr
+        if lookups:
+            tbl = dset.to_table(filter=pads.field("token").isin(lookups))
+            got = dict(zip(tbl["token"].to_pylist(), tbl["df"].to_pylist()))
+            df_tok.update({t: got[t] for t in toks if t in got})
+            df_phr.update({p: got[p] for p in indexed_phr if p in got})
+        if scan_phr:
+            scan = _bm25_corpus_stats(nodes, [], scan_phr)
+            df_phr.update(scan["df_phr"])
         return {"n": meta["n"], "dl_sum": meta["dl_sum"],
                 "df_tok": df_tok, "df_phr": df_phr}
 
@@ -499,6 +604,8 @@ def hybrid_candidates(
     alpha_vec: float = 0.6,
     beta_kw: float = 0.25,
     text_index_dir: Optional[str] = None,
+    ann_index_dir: Optional[str] = None,
+    ann_multiprobe: int = 2,
 ) -> List[Dict[str, Any]]:
     """Blend the two channels exactly as graphutil.py:401-447: max-score
     per entity within a channel, per-channel min-max normalization, then
@@ -507,11 +614,18 @@ def hybrid_candidates(
     The keyword channel is BM25 (:func:`bm25_topk`) — the reference's
     fulltext channel is Lucene, which scores with BM25.  With a
     ``text_index_dir`` (a :func:`build_text_index` layout) the token df
-    comes from the persisted index instead of a corpus-stats pass."""
+    comes from the persisted index instead of a corpus-stats pass; with
+    an ``ann_index_dir`` (a :func:`build_node_ann_index` layout) the
+    vector channel reads only its probed bucket partitions instead of
+    scanning the nodes table — the reference's persistent vector
+    indexes (``ingestMD.py:692-702``)."""
     # the two channels are independent Ray jobs — overlap them
     from concurrent.futures import ThreadPoolExecutor
 
     def _vec():
+        if ann_index_dir:
+            return vector_index_topk(ann_index_dir, qvec, k=k_vec,
+                                     multiprobe=ann_multiprobe).take_all()
         return vector_topk(nodes, qvec, k=k_vec).take_all()
 
     def _kw():
@@ -888,6 +1002,7 @@ def graphrag(
     alpha_vec: float = 0.6,
     beta_kw: float = 0.4,
     text_index_dir: Optional[str] = None,
+    ann_index_dir: Optional[str] = None,
     cfg: Optional[PipelineConfig] = None,
 ) -> Dict[str, Any]:
     """The full /graphrag flow (main.py:221-400) over KG tables
@@ -908,7 +1023,7 @@ def graphrag(
     cands = hybrid_candidates(
         tables["nodes"], question, qvec,
         k_vec=k_ch, k_kw=k_ch, alpha_vec=alpha_vec, beta_kw=beta_kw,
-        text_index_dir=text_index_dir,
+        text_index_dir=text_index_dir, ann_index_dir=ann_index_dir,
     )
     timings["hybrid"] = time.time() - t
 
