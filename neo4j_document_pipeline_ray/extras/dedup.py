@@ -484,7 +484,7 @@ def ngram_jaccard_pairs(
     docs: "ray.data.Dataset",
     n: int = 3,
     threshold: float = 0.8,
-    max_gram_docs: int | None = 10_000,
+    max_gram_docs: int | None = None,
 ) -> "ray.data.Dataset":
     """EXACT word-n-gram Jaccard near-dup pairs (a < b, jaccard >= t).
 
@@ -497,14 +497,16 @@ def ngram_jaccard_pairs(
          contributes exactly one pair row);
       4. two hash joins pull in |A| and |B|; jaccard = i / (|A|+|B|-i).
 
-    ``max_gram_docs`` caps pathological grams (boilerplate shared by
-    thousands of docs): a gram shared by d docs emits O(d^2) pair rows,
-    so one cap-exceeding gram can dominate the whole job.  Grams above
-    the cap are dropped from pair generation AND LOGGED — at a 0.8
-    threshold a single gram never decides a pair, but the intersection
-    count becomes a lower bound for doc pairs whose overlap includes a
-    dropped gram.  Pass ``None`` for the fully exact variant;
-    MinHash+LSH (above) is the probabilistic scale path.
+    The default (``max_gram_docs=None``) is FULLY EXACT, matching this
+    function's advertised contract and its DuckDB oracle.  At web scale
+    pass an explicit ``max_gram_docs`` to cap pathological grams
+    (boilerplate shared by thousands of docs): a gram shared by d docs
+    emits O(d^2) pair rows, so one cap-exceeding gram can dominate the
+    whole job.  Grams above the cap are dropped from pair generation
+    AND LOGGED — at a 0.8 threshold a single gram never decides a pair,
+    but the intersection count becomes a lower bound for doc pairs
+    whose overlap includes a dropped gram.  MinHash+LSH (above) is the
+    probabilistic scale path.
     """
     from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
 
