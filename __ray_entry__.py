@@ -108,11 +108,14 @@ def _q_kg_docs(sf_dir: str):
 
 
 def _q_kg_triples(sf_dir: str):
+    from neo4j_document_pipeline_ray.stages.grouped import distinct_by
+
     cols = ["subject", "predicate", "rel_type", "object", "subject_type",
             "object_type", "object_kind", "start", "end", "term", "count"]
     out = _kg(sf_dir)["triples"].select_columns(cols)
-    # distinct triple identities; the triple set is small post-aggregation
-    return out.to_pandas().drop_duplicates().reset_index(drop=True)
+    # distributed full-row distinct, hash-partitioned by subject (rows
+    # with equal tuples share the subject, so each lands whole)
+    return distinct_by(out, "subject", subset=cols, num_partitions=8)
 
 
 def _q_kg_nodes(sf_dir: str):
@@ -200,10 +203,19 @@ def _q_ann_lsh_topk(sf_dir: str):
         query_vector,
     )
 
-    idx = os.path.join("/tmp/graft_ann_index", os.path.basename(
-        os.path.normpath(sf_dir)))
+    # cache key = content fingerprint of the source parquet, so a
+    # regenerated corpus under the same sf name gets a fresh index; the
+    # build itself is atomic (temp dir + os.replace), so an existing
+    # dir is always a complete index
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    idx = os.path.join(
+        "/tmp/graft_ann_index",
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{st.st_size}-{int(st.st_mtime)}",
+    )
     if not os.path.isdir(idx):
-        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        emb = rd.read_parquet(emb_path)
         build_ann_index(emb, idx)
     return lsh_index_topk(idx, query_vector(sf_dir), k=10, multiprobe=2)
 
@@ -334,6 +346,60 @@ def _q_kg_bm25_topk(sf_dir: str):
     return bm25_topk(_kg(sf_dir)["nodes"], _QUESTION, k=12)
 
 
+# per-session index dirs (rebuilt on first use so stale on-disk state
+# from an older corpus can never leak into a check)
+_IDX_CACHE: dict = {}
+
+
+def _text_index_dir(sf_dir: str) -> str:
+    import os
+
+    from neo4j_document_pipeline_ray.pipelines.graphrag import build_text_index
+
+    key = ("text", sf_dir)
+    if key not in _IDX_CACHE:
+        d = f"/tmp/graft_text_index/{os.path.basename(os.path.normpath(sf_dir))}"
+        build_text_index(_kg(sf_dir)["nodes"], d)
+        _IDX_CACHE[key] = d
+    return _IDX_CACHE[key]
+
+
+def _node_ann_index_dir(sf_dir: str) -> str:
+    import os
+
+    from neo4j_document_pipeline_ray.pipelines.graphrag import build_node_ann_index
+
+    key = ("ann", sf_dir)
+    if key not in _IDX_CACHE:
+        d = f"/tmp/graft_node_ann/{os.path.basename(os.path.normpath(sf_dir))}"
+        build_node_ann_index(_kg(sf_dir)["nodes"], d)
+        _IDX_CACHE[key] = d
+    return _IDX_CACHE[key]
+
+
+def _q_kg_bm25_index_topk(sf_dir: str):
+    """BM25 channel through the PERSISTED text index (token + n-gram df
+    from pruned reads; no corpus-stats scan) — result identical to
+    kg_bm25_topk, checked against the same SQL oracle."""
+    from neo4j_document_pipeline_ray.pipelines.graphrag import bm25_index_topk
+
+    return bm25_index_topk(_kg(sf_dir)["nodes"], _text_index_dir(sf_dir),
+                           _QUESTION, k=12)
+
+
+def _q_kg_vector_index_topk(sf_dir: str):
+    """Vector channel through the PERSISTED node-ANN index (probed
+    bucket partitions only; hash embedder -> rows-only under the
+    driver, pinned == vector_topk in pytest)."""
+    from neo4j_document_pipeline_ray.pipelines.graphrag import (
+        embed_question,
+        vector_index_topk,
+    )
+
+    return vector_index_topk(_node_ann_index_dir(sf_dir),
+                             embed_question(_QUESTION), k=10, multiprobe=2)
+
+
 def _khop_seeds() -> list[int]:
     from neo4j_document_pipeline_ray.functions.textnorm import (
         normalize_name_for_key,
@@ -392,17 +458,22 @@ def _q_pages_lang_stats(sf_dir: str):
 
 def _q_kg_label_counts(sf_dir: str):
     """Per-label node counts (the reference's stats/graph-schema
-    endpoints, main.py:600-623, 656-726)."""
-    from ray.data.aggregate import Count
+    endpoints, main.py:600-623, 656-726) — two-phase Arrow
+    ``hash_aggregate``, not Ray's sort-based aggregate."""
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
 
-    return _kg(sf_dir)["nodes"].groupby("label").aggregate(Count(alias_name="n"))
+    nodes = _kg(sf_dir)["nodes"].select_columns(["label"])
+    return hash_aggregate(nodes, "label", [("label", "count", "n")],
+                          num_partitions=4)
 
 
 def _q_kg_rel_counts(sf_dir: str):
     """Per-rel-type edge counts (main.py:600-623)."""
-    from ray.data.aggregate import Count
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
 
-    return _kg(sf_dir)["edges"].groupby("rel_type").aggregate(Count(alias_name="n"))
+    edges = _kg(sf_dir)["edges"].select_columns(["rel_type"])
+    return hash_aggregate(edges, "rel_type", [("rel_type", "count", "n")],
+                          num_partitions=4)
 
 
 def _q_ngram_jaccard(sf_dir: str):
@@ -491,8 +562,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_embeddings": _q_kg_embeddings,
         # --- query layer over the KG (graphutil.py retrieval semantics) ---
         "kg_vector_topk": _q_kg_vector_topk,
+        "kg_vector_index_topk": _q_kg_vector_index_topk,
         "kg_keyword_topk": _q_kg_keyword_topk,
         "kg_bm25_topk": _q_kg_bm25_topk,
+        "kg_bm25_index_topk": _q_kg_bm25_index_topk,
         "kg_khop": _q_kg_khop,
         "pages_lang_stats": _q_pages_lang_stats,
         "kg_label_counts": _q_kg_label_counts,
@@ -754,6 +827,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_keyword_topk": _keyword_topk_sql(nname),
         "kg_bm25_topk": _bm25_topk_sql(nname),
+        # the indexed BM25 path must produce byte-identical results to
+        # the scan path, so it shares the same oracle
+        "kg_bm25_index_topk": _bm25_topk_sql(nname),
         "kg_khop": _khop_sql(nsub, nobj),
         "pages_lang_stats": f"""
             SELECT lang, count(*) AS n,
