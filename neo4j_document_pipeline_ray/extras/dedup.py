@@ -480,6 +480,41 @@ def _gram_hashes_batch(t: pa.Table, n: int) -> pa.Table:
     })
 
 
+def _make_gram_pairs_partition(cap):
+    """All grams of one hash partition -> co-occurrence pair rows
+    (module-level so the cap-logging behavior is unit-testable outside
+    a Ray worker)."""
+
+    def gram_pairs_partition(df):
+        import logging
+
+        import pandas as pd
+
+        out_a, out_b = [], []
+        dropped = 0
+        for _, ids_s in df.groupby("gram", sort=False)["doc_id"]:
+            ids = sorted(set(ids_s))
+            if len(ids) < 2:
+                continue
+            if cap is not None and len(ids) > cap:
+                dropped += 1
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i]); out_b.append(ids[j])
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard: %d gram(s) shared by more than "
+                "max_gram_docs=%d docs dropped from pair generation "
+                "(intersection counts become lower bounds for their "
+                "doc pairs)", dropped, cap,
+            )
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    return gram_pairs_partition
+
+
 def ngram_jaccard_pairs(
     docs: "ray.data.Dataset",
     n: int = 3,
@@ -515,38 +550,10 @@ def ngram_jaccard_pairs(
     ).materialize()
     sizes = hash_aggregate(grams, "doc_id", [(None, "count", "n_grams")])
 
-    cap = max_gram_docs
-
-    def gram_pairs_partition(df):
-        import logging
-
-        import pandas as pd
-
-        out_a, out_b = [], []
-        dropped = 0
-        for _, ids_s in df.groupby("gram", sort=False)["doc_id"]:
-            ids = sorted(set(ids_s))
-            if len(ids) < 2:
-                continue
-            if cap is not None and len(ids) > cap:
-                dropped += 1
-                continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i]); out_b.append(ids[j])
-        if dropped:
-            logging.getLogger(__name__).warning(
-                "ngram_jaccard: %d gram(s) shared by more than "
-                "max_gram_docs=%d docs dropped from pair generation "
-                "(intersection counts become lower bounds for their "
-                "doc pairs)", dropped, cap,
-            )
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
-
     from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
 
-    pair_rows = partitioned_group_map(grams, "gram", gram_pairs_partition, 16)
+    pair_rows = partitioned_group_map(
+        grams, "gram", _make_gram_pairs_partition(max_gram_docs), 16)
     if pair_rows.count() == 0:
         return pair_rows
     inter = hash_aggregate(pair_rows, ["a", "b"], [(None, "count", "i")])

@@ -352,6 +352,15 @@ def embedding_near_dup_pairs(
             "embedding": t["embedding"],
         })
 
+    bucketed = embeddings.map_batches(with_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(
+        _make_bucket_pairs(threshold, bucket_cap), batch_format="pandas")
+
+
+def _make_bucket_pairs(threshold: float, bucket_cap: int):
+    """One LSH bucket -> thresholded cosine pairs (module-level so the
+    cap-logging behavior is unit-testable outside a Ray worker)."""
+
     def bucket_pairs(g):
         import logging
 
@@ -379,5 +388,4 @@ def embedding_near_dup_pairs(
             "sim": np.round(sims[iu, ju], 6),
         })
 
-    bucketed = embeddings.map_batches(with_bucket, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    return bucket_pairs

@@ -128,6 +128,95 @@ class TestSimhash:
         assert len(out[out["a"] >= 100]) == 1  # cold bucket untouched
 
 
+class TestCapLogging:
+    """Verdict r2 #10: every silent-cap site must LOG its drops; these
+    unit-test the partition bodies directly (the logs fire inside Ray
+    workers in the pipeline, where caplog cannot reach)."""
+
+    def test_gram_cap_logged_and_dropped(self, caplog):
+        import logging
+
+        import pandas as pd
+
+        from neo4j_document_pipeline_ray.extras.dedup import (
+            _make_gram_pairs_partition,
+        )
+
+        fn = _make_gram_pairs_partition(cap=3)
+        df = pd.DataFrame({
+            "gram": [1] * 5 + [2] * 2,          # gram 1 shared by 5 > cap
+            "doc_id": list(range(5)) + [7, 8],
+        })
+        with caplog.at_level(logging.WARNING):
+            out = fn(df)
+        assert "max_gram_docs=3" in caplog.text and "1 gram(s)" in caplog.text
+        # hot gram dropped entirely; cold gram emits its one pair
+        assert [(r.a, r.b) for r in out.itertuples()] == [(7, 8)]
+
+    def test_gram_cap_uncapped_is_silent_and_exact(self, caplog):
+        import logging
+
+        import pandas as pd
+
+        from neo4j_document_pipeline_ray.extras.dedup import (
+            _make_gram_pairs_partition,
+        )
+
+        fn = _make_gram_pairs_partition(cap=None)
+        df = pd.DataFrame({"gram": [1] * 4, "doc_id": [3, 1, 2, 0]})
+        with caplog.at_level(logging.WARNING):
+            out = fn(df)
+        assert caplog.text == ""
+        assert len(out) == 6  # C(4,2), fully exact
+
+    def test_near_dup_bucket_cap_logged_and_truncated(self, caplog):
+        import logging
+
+        import numpy as np
+        import pandas as pd
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            _make_bucket_pairs,
+        )
+
+        fn = _make_bucket_pairs(threshold=0.9, bucket_cap=2)
+        v = np.array([1.0, 2.0, 3.0])
+        g = pd.DataFrame({
+            "bucket": [5, 5, 5],
+            "vec_id": [30, 10, 20],
+            "embedding": [v, v, v],
+        })
+        with caplog.at_level(logging.WARNING):
+            out = fn(g)
+        assert "bucket_cap=2" in caplog.text and "1 of 3" in caplog.text
+        # only the two lowest vec_ids compared
+        assert [(r.a, r.b) for r in out.itertuples()] == [(10, 20)]
+
+    def test_ngram_pipeline_hot_gram_capped_vs_exact(self, ray_session):
+        """End-to-end: with every gram shared by 3 docs and cap=2, pair
+        generation drops them all (empty result); the exact default
+        finds all 3 pairs at jaccard 1.0."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        text = "alpha beta gamma delta epsilon zeta"
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([text] * 3, pa.string()),
+        })
+        exact = ngram_jaccard_pairs(rd.from_arrow(t), n=3, threshold=0.8)
+        assert sorted((r["a"], r["b"], r["jaccard"])
+                      for r in exact.take_all()) == [
+            (1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)]
+        capped = ngram_jaccard_pairs(rd.from_arrow(t), n=3, threshold=0.8,
+                                     max_gram_docs=2)
+        assert capped.count() == 0
+
+
 class TestSimilarity:
     @pytest.fixture()
     def emb(self, ray_session):
@@ -210,6 +299,28 @@ class TestSimilarity:
         ]
         frac = index_scan_fraction(idx, q, multiprobe=2)
         assert 0 < frac < 0.20, f"index scan fraction {frac:.2%}"
+
+    def test_ann_index_n_planes_threaded(self, ray_session, emb, tmp_path):
+        """A non-default n_planes must govern the actual bucketing (not
+        just the recorded metadata) and remain queryable."""
+        import os
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            build_ann_index,
+            index_scan_fraction,
+            lsh_index_topk,
+            query_vector,
+        )
+
+        idx = str(tmp_path / "np5")
+        meta = build_ann_index(emb, idx, n_planes=5)
+        assert meta["n_planes"] == 5 and meta["n_rows"] > 0
+        bks = [int(d.split("=")[1]) for d in os.listdir(idx)
+               if d.startswith("bucket=")]
+        assert bks and max(bks) < 32  # 2^5 bucket space
+        q = query_vector("/root/testdata/sf0.001")
+        assert len(lsh_index_topk(idx, q, k=5, multiprobe=1).take_all()) == 5
+        assert 0 < index_scan_fraction(idx, q, multiprobe=1) < 1.0
 
     def test_label_topk_per_group(self, ray_session, emb):
         from neo4j_document_pipeline_ray.extras.similarity import (

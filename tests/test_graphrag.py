@@ -240,6 +240,98 @@ class TestDistributedChannels:
                                  text_index_dir=idx)
         assert a == b
 
+    def test_vector_index_topk_matches_probed_scan(self, ray_session, tables,
+                                                   tmp_path):
+        """The node-ANN index is APPROXIMATE (it reads only the probed
+        LSH bucket partitions); within that candidate set it must
+        reproduce the exact scorer bit-for-bit — same rounded-float64
+        kernel, same (score desc, entity_id asc) tie-break — and return
+        vector_topk's drop-in schema."""
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            probe_partition_files,
+        )
+
+        idx = str(tmp_path / "node_ann")
+        meta = gr.build_node_ann_index(tables["nodes"], idx)
+        assert meta["payload_cols"] == ["label", "name"]
+        assert meta["n_rows"] == tables["nodes"].count()
+        qvec = gr.embed_question(QUESTION)
+        got = gr.vector_index_topk(idx, qvec, k=8, multiprobe=2).take_all()
+        assert got and set(got[0].keys()) == {
+            "entity_id", "label", "name", "score"}
+
+        files = probe_partition_files(idx, np.asarray(qvec), multiprobe=2)
+        probed = set()
+        for f in files:
+            probed.update(pq.read_table(f, columns=["vec_id"])
+                          ["vec_id"].to_pylist())
+        q = np.asarray(qvec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        sims = []
+        for r in tables["nodes"].select_columns(
+                ["entity_id", "embedding"]).take_all():
+            if r["entity_id"] not in probed:
+                continue
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            sims.append((round(float(v @ q / (np.linalg.norm(v) or 1.0)), 6),
+                         r["entity_id"]))
+        want = sorted(sims, key=lambda t: (-t[0], t[1]))[:8]
+        assert [(g["score"], g["entity_id"]) for g in got] == want
+
+    def test_vector_index_recalls_planted_neighbor(self, ray_session,
+                                                   tmp_path):
+        """A vector nearly parallel to the query must land in a probed
+        bucket and come back first — the locality the LSH layout exists
+        to exploit (isotropic hash embeddings carry none, so recall is
+        asserted on planted structure, like emb_near_dup's oracle)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        qvec = np.asarray(gr.embed_question(QUESTION), dtype=np.float64)
+        rng = np.random.default_rng(7)
+        n, dim = 300, len(qvec)
+        mat = rng.standard_normal((n, dim))
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        planted = qvec / np.linalg.norm(qvec) + 0.05 * rng.standard_normal(dim)
+        nodes = rd.from_arrow(pa.table({
+            "entity_id": pa.array(list(range(n)) + [999], pa.int64()),
+            "label": pa.array(["Entity"] * (n + 1), pa.string()),
+            "name": pa.array([f"e{i}" for i in range(n)] + ["planted"],
+                             pa.string()),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in mat]
+                + [planted.astype(np.float32).tolist()],
+                pa.list_(pa.float32())),
+        }))
+        idx = str(tmp_path / "planted_ann")
+        gr.build_node_ann_index(nodes, idx)
+        got = gr.vector_index_topk(idx, qvec, k=3, multiprobe=1).take_all()
+        assert got[0]["entity_id"] == 999 and got[0]["name"] == "planted"
+
+    def test_bm25_index_serves_anchor_phrase_without_scan(
+            self, ray_session, tables, tmp_path, monkeypatch):
+        """A quoted anchor phrase within the index's max_gram must be
+        served from the persisted n-gram df table — the corpus-stats
+        scan must NOT run (round-2 verdict: phrase df fell back to a
+        full scan; Lucene serves it from positional postings,
+        graphutil.py:306-359)."""
+        idx = str(tmp_path / "ti_phrase")
+        meta = gr.build_text_index(tables["nodes"], idx)
+        assert meta["max_gram"] >= 2
+        q = 'zzqx wvut kjhg "Six Pillars" qqyyzz'
+        want = gr.bm25_topk(tables["nodes"], q, k=12).take_all()
+        assert want, "anchor phrase should hit"
+
+        def boom(*a, **k):
+            raise AssertionError("corpus-stats scan ran for an indexed phrase")
+
+        monkeypatch.setattr(gr, "_bm25_corpus_stats", boom)
+        got = gr.bm25_index_topk(tables["nodes"], idx, q, k=12).take_all()
+        assert [(r["entity_id"], r["score"]) for r in got] == [
+            (r["entity_id"], r["score"]) for r in want]
+
     def test_bm25_all_miss_returns_empty(self, ray_session, tables):
         """Full miss (keywords AND quoted anchor unknown): the retry
         path executes and still yields an empty result, not an error."""
