@@ -99,18 +99,22 @@ def cmd_query(args: argparse.Namespace) -> int:
 
 def cmd_stats(args: argparse.Namespace) -> int:
     """Counts per label / rel type + root manifest (main.py:600-726)."""
-    from ray.data.aggregate import Count
-
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
     from neo4j_document_pipeline_ray.state import manifest as mf
 
     _init_ray(args.num_cpus)
     t = _load_tables(args.snapshot)
+
+    def counts(ds, key):
+        # two-phase Arrow aggregate (not Ray's sort-based groupby)
+        rows = hash_aggregate(ds.select_columns([key]), key,
+                              [(key, "count", "n")]).take_all()
+        return {r[key]: r["n"] for r in rows}
+
     out = {
         "root_manifest": mf.read_json(mf.root_manifest_path(args.snapshot)),
-        "labels": {r["label"]: r["n"] for r in
-                   t["nodes"].groupby("label").aggregate(Count(alias_name="n")).take_all()},
-        "rel_types": {r["rel_type"]: r["n"] for r in
-                      t["edges"].groupby("rel_type").aggregate(Count(alias_name="n")).take_all()},
+        "labels": counts(t["nodes"], "label"),
+        "rel_types": counts(t["edges"], "rel_type"),
     }
     print(json.dumps(out, indent=2))
     return 0

@@ -236,6 +236,24 @@ def _parquet_col_range(path: str, col: str):
     return lo, hi
 
 
+def compute_bucket(ids, buckets: int) -> "pa.Array":
+    """``bucket = (id * B) >> 60`` over 60-bit entity ids, in uint64
+    (no wrap possible for B <= 16: (2^60-1)*16 < 2^64); power-of-two B
+    reduces to a plain shift with no multiply.  This is THE snapshot
+    bucket function: the incremental merge (``incremental.py``) relies
+    on delta and committed partitions using bit-identical layout."""
+    ids = pc.cast(ids, pa.uint64())
+    if buckets & (buckets - 1) == 0:
+        b = pc.shift_right(ids, 60 - (buckets.bit_length() - 1))
+    elif buckets <= 16:
+        b = pc.shift_right(pc.multiply(ids, pa.scalar(buckets, pa.uint64())), 60)
+    else:
+        raise ValueError(
+            f"entity_buckets must be a power of two or <= 16 (got {buckets})"
+        )
+    return pc.cast(b, pa.int32())
+
+
 def _write_bucketed(ds, out_dir: str, name: str, cfg: PipelineConfig,
                     bucket_col: Optional[str]) -> None:
     """Write a table partitioned by entity-id range via an atomic rename."""
@@ -248,22 +266,7 @@ def _write_bucketed(ds, out_dir: str, name: str, cfg: PipelineConfig,
         buckets = cfg.entity_buckets
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            # bucket = (id * B) >> 60 with 60-bit entity ids, computed in
-            # uint64 (no wrap possible for B <= 16: (2^60-1)*16 < 2^64);
-            # power-of-two B reduces to a plain shift with no multiply
-            ids = pc.cast(t[bucket_col], pa.uint64())
-            if buckets & (buckets - 1) == 0:
-                b = pc.shift_right(ids, 60 - (buckets.bit_length() - 1))
-            elif buckets <= 16:
-                b = pc.shift_right(
-                    pc.multiply(ids, pa.scalar(buckets, pa.uint64())), 60
-                )
-            else:
-                raise ValueError(
-                    "entity_buckets must be a power of two or <= 16 "
-                    f"(got {buckets})"
-                )
-            t = t.append_column("bucket", pc.cast(b, pa.int32()))
+            t = t.append_column("bucket", compute_bucket(t[bucket_col], buckets))
             # sort within the block so parquet row-group min/max stats on
             # the id column are range-informative (the reader can prune
             # row groups) without paying a global sort barrier — the
@@ -299,6 +302,71 @@ def _shard_reusable(out_dir: str, shard: int, files: List[str]) -> bool:
     return True
 
 
+def _first_parquet(path: str) -> Optional[str]:
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return None
+
+
+def _incremental_eligible(
+    out_dir: str, shards: List[List[str]], todo, cfg: PipelineConfig,
+    with_embeddings: bool,
+) -> bool:
+    """True iff stage B can fold ONLY the new shards into the committed
+    snapshot (``incremental.incremental_stage_b``) instead of re-running
+    the global shuffles over every shard.
+
+    Requirements (else fall back to a full, always-correct stage B):
+
+    * a committed root manifest whose stage-B input was EXACTLY the
+      reusable shards of the current plan (the reusable set is the
+      prefix ``0..prev_n-1`` and every todo shard is new) — re-doing a
+      middle shard means committed aggregates contain rows that must be
+      *retracted*, which last-wins/min/union partials cannot express;
+    * identical bucket layout (``entity_buckets``) and embedding policy;
+    * the committed tables carry the incremental fingerprints: ``ord``
+      on edges (the persisted last-wins ordinal), ``node_key`` on
+      nodes, and a ``bucket=`` partitioned mentions table.
+    """
+    import pyarrow.parquet as pq
+
+    if not todo:
+        return False
+    root = mf.read_json(mf.root_manifest_path(out_dir))
+    if not root:
+        return False
+    prev_n = root.get("shards")
+    reused = set(range(len(shards))) - {i for i, _ in todo}
+    if not isinstance(prev_n, int) or reused != set(range(prev_n)):
+        return False
+    if root.get("entity_buckets") != cfg.entity_buckets:
+        return False
+    if root.get("with_embeddings") != with_embeddings:
+        return False
+    try:
+        for name, id_col, required in (
+            ("edges", "src_id", ("ord",)),
+            ("nodes", "entity_id", ("node_key",)),
+            ("mentions", "entity_id", ()),
+        ):
+            base = os.path.join(out_dir, name)
+            if not any(d.startswith("bucket=") for d in os.listdir(base)):
+                return False
+            f = _first_parquet(base)
+            if f is None:
+                return False
+            names = set(pq.read_schema(f).names)
+            if not set(required) <= names or id_col not in names:
+                return False
+            if with_embeddings and name != "mentions" and "embedding" not in names:
+                return False
+    except OSError:
+        return False
+    return True
+
+
 def wipe_snapshot(out_dir: str) -> None:
     """Destructive reset of a snapshot directory (the analog of the
     reference's batched full-DB wipe, ``clean.py:4-72``): removes every
@@ -328,6 +396,28 @@ def build_snapshot(
     todo = [(i, files) for i, files in enumerate(shards)
             if not (resume and _shard_reusable(out_dir, i, files))]
     skipped = len(shards) - len(todo)
+
+    if resume and not todo:
+        # Fully-committed snapshot over exactly this input: nothing to
+        # extract and the committed stage B already covers every shard —
+        # return the manifest without re-running a single Ray job (the
+        # per-document MERGE analog: re-ingesting nothing writes nothing).
+        root = mf.read_json(mf.root_manifest_path(out_dir))
+        if (root and root.get("shards") == len(shards)
+                and root.get("with_embeddings") == with_embeddings
+                and all(os.path.isdir(os.path.join(out_dir, t))
+                        for t in ("docs", "triples", "nodes", "edges",
+                                  "mentions"))):
+            root = dict(root)
+            root["shards_skipped_on_resume"] = skipped
+            root["stage_b_mode"] = "skipped"
+            return root
+
+    # Decide BEFORE stage A whether the committed snapshot admits an
+    # incremental fold of just the new shards (manifest + schema
+    # fingerprints only — stage A does not change them).
+    incremental = resume and _incremental_eligible(
+        out_dir, shards, todo, cfg, with_embeddings)
     if todo:
         # Shard pipelines are independent; run a few concurrently so one
         # shard's stage latency doesn't idle the cluster.  Each thread
@@ -404,39 +494,63 @@ def build_snapshot(
     # map_batches so the wide ``src_text`` column lives only inside the
     # edge partial task (under ``ref`` exchange it is hashed there and
     # never enters an exchange at all).
-    trip_files = _plan_files("triples")
-    trip_bytes = _parquet_uncompressed_bytes(trip_files)
-
-    def _read_triples(cols: List[str]) -> "ray.data.Dataset":
-        return ray.data.read_parquet(trip_files, columns=cols)
-
-    def run_mentions():
-        mentions = build_mentions(_read_triples(MENTION_INPUT_COLS), cfg)
-        _write_bucketed(mentions, out_dir, "mentions", cfg, None)
-
-    def run_nodes():
-        nodes = build_nodes(_read_triples(NODE_INPUT_COLS), cfg)
-        if with_embeddings:
-            nodes = embed_column(nodes, "node_key", cfg, backend=embed_backend)
-        _write_bucketed(nodes, out_dir, "nodes", cfg, "entity_id")
-
-    def run_edges():
-        edges = build_edges(
-            _read_triples(EDGE_INPUT_COLS), cfg,
-            prov_source=_read_triples(["src_text"]),
-            input_bytes=trip_bytes,
+    if incremental:
+        # Fold ONLY the new shards' checkpointed triples into the
+        # committed tables: the delta traverses the exchange, committed
+        # rows merge bucket-locally (O(new shard) shuffle).
+        from neo4j_document_pipeline_ray.pipelines.incremental import (
+            incremental_stage_b,
         )
-        if with_embeddings:
-            edges = embed_column(edges, "rel_key", cfg, backend=embed_backend)
-        edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
-        _write_bucketed(edges, out_dir, "edges", cfg, "src_id")
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        side = pool.submit(
-            lambda: (timed("nodes", run_nodes), timed("mentions", run_mentions))
-        )
-        timed("edges", run_edges)
-        side.result()
+        new_files: List[str] = []
+        for i, _files in todo:
+            d = os.path.join(out_dir, "triples", f"shard={i:05d}")
+            new_files.extend(
+                sorted(os.path.join(d, f) for f in os.listdir(d)
+                       if f.endswith(".parquet")))
+        inc = incremental_stage_b(
+            out_dir, new_files, cfg,
+            with_embeddings=with_embeddings, embed_backend=embed_backend)
+        timings.update(inc["timings"])
+        inc_buckets = inc["buckets"]
+    else:
+        inc_buckets = None
+        trip_files = _plan_files("triples")
+        trip_bytes = _parquet_uncompressed_bytes(trip_files)
+
+        def _read_triples(cols: List[str]) -> "ray.data.Dataset":
+            return ray.data.read_parquet(trip_files, columns=cols)
+
+        def run_mentions():
+            mentions = build_mentions(_read_triples(MENTION_INPUT_COLS), cfg)
+            _write_bucketed(mentions, out_dir, "mentions", cfg, "entity_id")
+
+        def run_nodes():
+            nodes = build_nodes(_read_triples(NODE_INPUT_COLS), cfg)
+            if with_embeddings:
+                nodes = embed_column(nodes, "node_key", cfg, backend=embed_backend)
+            _write_bucketed(nodes, out_dir, "nodes", cfg, "entity_id")
+
+        def run_edges():
+            edges = build_edges(
+                _read_triples(EDGE_INPUT_COLS), cfg,
+                prov_source=_read_triples(["src_text"]),
+                input_bytes=trip_bytes,
+                # persist the winning mention ordinal so a later run can
+                # re-apply deterministic-last against the committed rows
+                keep_ord=True,
+            )
+            if with_embeddings:
+                edges = embed_column(edges, "rel_key", cfg, backend=embed_backend)
+            edges = edges.map_batches(decode_sources_batch, batch_format="pyarrow")
+            _write_bucketed(edges, out_dir, "edges", cfg, "src_id")
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            side = pool.submit(
+                lambda: (timed("nodes", run_nodes), timed("mentions", run_mentions))
+            )
+            timed("edges", run_edges)
+            side.result()
     t_done = time.time()
 
     counts = {
@@ -454,6 +568,9 @@ def build_snapshot(
         "entity_buckets": cfg.entity_buckets,
         "shards": len(shards),
         "shards_skipped_on_resume": skipped,
+        "with_embeddings": with_embeddings,
+        "stage_b_mode": "incremental" if incremental else "full",
+        **({"incremental_buckets": inc_buckets} if inc_buckets else {}),
         "counts": counts,
         "stage_timings_s": {
             "extraction": round(t_extract - t_start, 3),

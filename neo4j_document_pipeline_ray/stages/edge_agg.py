@@ -84,6 +84,21 @@ def _src_ref(text) -> str:
     return hashlib.blake2b(str(text).encode("utf-8"), digest_size=8).hexdigest()
 
 
+def edge_key_of(batch: pa.Table) -> "pa.Array":
+    """The edge identity key ``src|rel_type|dst|term`` (the MERGE key,
+    ``ingestMD.py:513-546``) as a vectorized expression — shared by the
+    partial pass and the incremental re-merge so a committed edge row
+    reconstructs exactly the key its partials carried."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(
+        pc.cast(batch["src_id"], pa.string()),
+        # str(None) is "None" in the reference scalar path
+        pc.coalesce(batch["rel_type"], pa.scalar("None")),
+        pc.cast(batch["dst_id"], pa.string()),
+        pc.coalesce(batch["term"], pa.scalar("")), "|")
+
+
 def _partial_edges_batch(batch: pa.Table, keep_text: bool = True) -> pa.Table:
     """In-batch partial aggregation: one row per edge key leaves the
     batch, so hub edges collapse before the exchange.  With
@@ -98,12 +113,7 @@ def _partial_edges_batch(batch: pa.Table, keep_text: bool = True) -> pa.Table:
     #triples)."""
     import pyarrow.compute as pc
 
-    ek = pc.binary_join_element_wise(
-        pc.cast(batch["src_id"], pa.string()),
-        # str(None) is "None" in the reference scalar path
-        pc.coalesce(batch["rel_type"], pa.scalar("None")),
-        pc.cast(batch["dst_id"], pa.string()),
-        pc.coalesce(batch["term"], pa.scalar("")), "|")
+    ek = edge_key_of(batch)
     ordc = pc.binary_join_element_wise(
         batch["doc_id"],
         pc.utf8_lpad(pc.cast(batch["chunk_idx"], pa.string()), 6, "0"), ":")
@@ -158,7 +168,7 @@ def _merge_edges_partition(df: pd.DataFrame) -> pd.DataFrame:
     return _merge_edges_df(df, cols)
 
 
-def _merge_edges_partition_arrow(p: pa.Table) -> pa.Table:
+def _merge_edges_partition_arrow(p: pa.Table, keep_ord: bool = False) -> pa.Table:
     """Arrow-native final merge of one hash partition: sort by
     (edge_key, ord) + ``last`` aggregates for the last-wins fields;
     the ``sources_json`` union explodes the JSON lists with string
@@ -166,11 +176,19 @@ def _merge_edges_partition_arrow(p: pa.Table) -> pa.Table:
     (edge_key, doc) pairs, and re-joins per key.  Measured ~1.6x less
     CPU than the pandas body on a 116k-row partition with identical
     output (separator whitespace aside — consumers parse, not compare,
-    the JSON)."""
+    the JSON).
+
+    ``keep_ord=True`` carries the winning row's ``ord`` (the max
+    ``doc_id:chunk_idx`` mention ordinal) into the output — persisted
+    in the snapshot so a later INCREMENTAL merge of new-shard partials
+    can re-apply the deterministic-last rule against the committed
+    winner (the merge is associative only with the ordinal kept)."""
     import pyarrow.compute as pc
 
     text_col = "source_text" if "source_text" in p.schema.names else "src_ref"
     cols = [c if c != "source_text" else text_col for c in _EXCHANGE_COLS]
+    if keep_ord:
+        cols = cols + ["ord"]
     p = p.sort_by([("edge_key", "ascending"), ("ord", "ascending")])
     # row-wise last (see _partial_edges_batch): keep the winner's nulls
     _keep = pc.ScalarAggregateOptions(skip_nulls=False)
@@ -257,6 +275,7 @@ def build_edges(
     cfg: Optional[PipelineConfig] = None,
     prov_source: Optional["ray.data.Dataset"] = None,
     input_bytes: Optional[int] = None,
+    keep_ord: bool = False,
 ) -> "ray.data.Dataset":
     """Doc-level triples -> aggregated edges table (with ``source_text``).
 
@@ -266,8 +285,12 @@ def build_edges(
     (e.g. a pruned single-column re-read of the checkpointed triples
     parquet) so that pass doesn't re-execute the full ``triples`` plan.
     ``input_bytes`` feeds the ``auto`` exchange decision for lazy
-    inputs (parquet-footer uncompressed size).
+    inputs (parquet-footer uncompressed size).  ``keep_ord`` keeps the
+    winning mention ordinal per edge (see
+    :func:`_merge_edges_partition_arrow`) for incremental re-merge.
     """
+    import functools
+
     from neo4j_document_pipeline_ray.stages.grouped import (
         broadcast_join,
         distinct_by,
@@ -282,7 +305,8 @@ def build_edges(
         batch_format="pyarrow", batch_size=cfg.agg_batch_size,
     )
     merged = partitioned_group_map(
-        partial, "edge_key", _merge_edges_partition_arrow,
+        partial, "edge_key",
+        functools.partial(_merge_edges_partition_arrow, keep_ord=keep_ord),
         cfg.shuffle_partitions, batch_format="pyarrow",
     )
     if not use_ref:
