@@ -747,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.dedup import (
         EXACT_DEDUP_SQL,
         NGRAM_JACCARD_SQL,
+        SIMHASH_PAIRS_SQL,
     )
     from neo4j_document_pipeline_ray.extras.textstats import (
         FINGERPRINT_SQL,
@@ -754,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         QUALITY_SQL,
         TOKEN_COUNT_SQL,
     )
+    from neo4j_document_pipeline_ray.functions.chunking import chunks_sql
     from neo4j_document_pipeline_ray.pipelines import relational as rel
 
     _corpus(_SF001)
@@ -825,6 +827,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, {_eid_sql(nname)} AS entity_id FROM m
         """,
+        # greedy paragraph-packing chunker mirrored as a list_reduce
+        # fold (functions/chunking.py:chunks_sql); chunk_id = sha256 of
+        # the reconstructed chunk text, so the hash check pins the
+        # exact chunk boundaries, not just counts
+        "kg_chunks": chunks_sql(_PAGES_001),
         "kg_keyword_topk": _keyword_topk_sql(nname),
         "kg_bm25_topk": _bm25_topk_sql(nname),
         # the indexed BM25 path must produce byte-identical results to
@@ -873,6 +880,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
+        # exact given the band recall guarantee (hamming <= 3 over 4
+        # bands => one band equal by pigeonhole); the SQL mirrors the
+        # banded candidate join + hamming verify bit-for-bit
+        "docs_simhash_pairs": SIMHASH_PAIRS_SQL,
         "ann_topk": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(

@@ -355,25 +355,20 @@ def connected_components(
 
 # --- simhash --------------------------------------------------------------
 
-_SIMHASH_WORD_CACHE: dict = {}
-
-
-def _simhash_word(w: str) -> int:
-    h = _SIMHASH_WORD_CACHE.get(w)
-    if h is None:
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                           "little")
-        if len(_SIMHASH_WORD_CACHE) < 1_000_000:
-            _SIMHASH_WORD_CACHE[w] = h
-    return h
-
 
 def simhash64(text: str) -> int:
+    """64-bit SimHash: per-bit sign-sum over the FNV-1a word hashes.
+
+    Uses the same cached FNV-1a 64 word hash as the minhash shingles
+    (``_fnv64``) rather than a crypto hash so the DuckDB oracle
+    (``SIMHASH_PAIRS_SQL``) can mirror the sketch bit-for-bit with the
+    ``list_reduce`` HUGEINT emulation proven by ``FINGERPRINT_SQL``.
+    """
     words = text.lower().split()
     if not words:
         return 0
     # vectorized: unpack all word-hash bits in one numpy pass
-    hs = np.array([_simhash_word(w) for w in words], dtype=np.uint64)
+    hs = np.array([_fnv64(w) for w in words], dtype=np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
     bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
@@ -397,8 +392,60 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
-def simhash_near_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dataset":
-    """Candidate via 4x16-bit bands (any identical band), verify hamming."""
+def _make_simhash_bucket_partition(max_hamming, cap):
+    """All band buckets of one hash partition -> hamming-verified pair
+    rows (module-level so the cap-logging behavior is unit-testable
+    outside a Ray worker)."""
+
+    def bucket_pairs_partition(df):
+        import logging
+
+        import pandas as pd
+
+        a, b = [], []
+        capped = 0
+        for _, g in df.groupby("bucket", sort=False):
+            rows = sorted(set(zip(g["doc_id"], g["simhash"])))
+            if len(rows) < 2:
+                continue
+            if cap is not None and len(rows) > cap:
+                capped += 1
+                rows = rows[:cap]
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    da, ha = rows[i]
+                    db, hb = rows[j]
+                    if hamming64(int(np.uint64(np.int64(ha))),
+                                 int(np.uint64(np.int64(hb)))) <= max_hamming:
+                        a.append(da); b.append(db)
+        if capped:
+            logging.getLogger(__name__).warning(
+                "simhash: %d band bucket(s) over max_bucket_docs=%d "
+                "truncated to the first %d (doc_id order) — pairs whose "
+                "only shared band is a truncated bucket may be missed",
+                capped, cap, cap,
+            )
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
+                             "b": pd.Series(b, dtype="int64")})
+
+    return bucket_pairs_partition
+
+
+def simhash_near_pairs(
+    docs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    max_bucket_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """Candidate via 4x16-bit bands (any identical band), verify hamming.
+
+    The default (``max_bucket_docs=None``) is FULLY EXACT given the
+    band recall guarantee (hamming <= 3 over 4 bands => one band equal
+    by pigeonhole), matching the DuckDB oracle
+    (``SIMHASH_PAIRS_SQL``).  At web scale pass an explicit cap: a band
+    bucket holding d docs (near-identical boilerplate) emits O(d^2)
+    comparisons, so one hot bucket can dominate the job.  Over-cap
+    buckets are truncated AND LOGGED.
+    """
     sk = simhash_sketch(docs).materialize()
 
     def bands(t: pa.Table) -> pa.Table:
@@ -415,35 +462,80 @@ def simhash_near_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.d
             "simhash": pa.array(full, pa.int64()),
         })
 
-    def bucket_pairs_partition(df):
-        import pandas as pd
-
-        a, b = [], []
-        for _, g in df.groupby("bucket", sort=False):
-            rows = sorted(set(zip(g["doc_id"], g["simhash"])))
-            if len(rows) < 2:
-                continue
-            for i in range(min(len(rows), 50)):
-                for j in range(i + 1, min(len(rows), 50)):
-                    da, ha = rows[i]
-                    db, hb = rows[j]
-                    if hamming64(int(np.uint64(np.int64(ha))),
-                                 int(np.uint64(np.int64(hb)))) <= max_hamming:
-                        a.append(da); b.append(db)
-        return pd.DataFrame({"a": pd.Series(a, dtype="int64"),
-                             "b": pd.Series(b, dtype="int64")})
-
     from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
 
     pairs = partitioned_group_map(
         sk.map_batches(bands, batch_format="pyarrow"),
-        "bucket", bucket_pairs_partition, 16,
+        "bucket", _make_simhash_bucket_partition(max_hamming, max_bucket_docs),
+        16,
     )
     if pairs.count() == 0:
         return pairs
     from neo4j_document_pipeline_ray.stages.grouped import distinct_by
 
     return distinct_by(pairs, "a", subset=["a", "b"], num_partitions=16)
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """DuckDB mirror of ``simhash_near_pairs``: FNV-1a 64 per word
+    (HUGEINT wrap emulation as in ``FINGERPRINT_SQL``), per-bit
+    sign-sum sketch, 4x16-bit band candidate join, hamming verify via
+    ``bit_count(xor(...))``.  Valid for ASCII corpora (Python hashes
+    utf-8 bytes, SQL hashes code points)."""
+    m64 = 1 << 64
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS words
+        FROM documents
+    ), wh AS (
+        SELECT doc_id,
+               list_transform(words, w ->
+                   list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                               i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))),
+                       (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                             CAST(c AS UBIGINT)) AS HUGEINT)
+                                    * 1099511628211) % {m64}
+                   )
+               ) AS hs
+        FROM d
+    ), wu AS (
+        SELECT doc_id, CAST(wordhash AS UBIGINT) AS wordhash
+        FROM (SELECT doc_id, unnest(hs) AS wordhash FROM wh)
+    ), acc AS (
+        SELECT doc_id, bits.b,
+               sum(CASE WHEN (wordhash >> CAST(bits.b AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM wu CROSS JOIN range(64) bits(b)
+        GROUP BY doc_id, bits.b
+    ), sim AS (
+        SELECT d.doc_id, coalesce(a.u, CAST(0 AS UBIGINT)) AS u
+        FROM d LEFT JOIN (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                            THEN CAST(CAST(1 AS UBIGINT)
+                                      << CAST(b AS INTEGER) AS HUGEINT)
+                            ELSE 0 END) AS UBIGINT) AS u
+            FROM acc GROUP BY doc_id
+        ) a USING (doc_id)
+    ), bands AS (
+        SELECT doc_id, u, r.bb,
+               (u >> CAST(16 * r.bb AS INTEGER)) & 65535 AS bucket
+        FROM sim CROSS JOIN range(4) r(bb)
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.u AS ua, y.u AS ub
+        FROM bands x JOIN bands y
+          ON x.bb = y.bb AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT a, b FROM cand WHERE bit_count(xor(ua, ub)) <= {max_hamming}
+    """
+
+
+SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 
 
 # --- exact n-gram Jaccard -------------------------------------------------

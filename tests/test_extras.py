@@ -104,6 +104,69 @@ class TestSimhash:
         assert hamming64(0b1011, 0b1001) == 1
         assert hamming64(0, (1 << 64) - 1) == 64
 
+    def test_pairs_match_duckdb_oracle(self, ray_session):
+        """SIMHASH_PAIRS_SQL mirrors the whole path (FNV word hash,
+        sign-sum sketch, band candidates, hamming verify) bit-for-bit."""
+        import duckdb
+
+        from neo4j_document_pipeline_ray.extras.dedup import (
+            SIMHASH_PAIRS_SQL,
+            simhash_near_pairs,
+        )
+
+        texts = [BASE, BASE.replace("lazy", "idle"),
+                 "unrelated economic policy text about ports and tariffs " * 10,
+                 ""]
+        ds = _docs_ds(ray_session, texts)
+        got = {(r["a"], r["b"]) for r in
+               simhash_near_pairs(ds, max_hamming=3).take_all()}
+        con = duckdb.connect()
+        con.register("documents", pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        want = set(map(tuple, con.execute(SIMHASH_PAIRS_SQL).fetchall()))
+        assert got == want
+
+    def test_simhash_bucket_cap_logged_and_truncated(self, caplog):
+        import logging
+
+        import pandas as pd
+
+        from neo4j_document_pipeline_ray.extras.dedup import (
+            _make_simhash_bucket_partition,
+        )
+
+        fn = _make_simhash_bucket_partition(max_hamming=64, cap=3)
+        df = pd.DataFrame({
+            "bucket": ["hot"] * 5 + ["cold"] * 2,
+            "doc_id": list(range(5)) + [7, 8],
+            "simhash": [0] * 7,
+        })
+        with caplog.at_level(logging.WARNING):
+            out = fn(df)
+        assert "max_bucket_docs=3" in caplog.text and "1 band bucket(s)" in caplog.text
+        pairs = {(r.a, r.b) for r in out.itertuples()}
+        # hot bucket truncated to first 3 docs -> C(3,2) pairs + cold pair
+        assert pairs == {(0, 1), (0, 2), (1, 2), (7, 8)}
+
+    def test_simhash_uncapped_is_silent_and_exact(self, caplog):
+        import logging
+
+        import pandas as pd
+
+        from neo4j_document_pipeline_ray.extras.dedup import (
+            _make_simhash_bucket_partition,
+        )
+
+        fn = _make_simhash_bucket_partition(max_hamming=64, cap=None)
+        df = pd.DataFrame({"bucket": ["b"] * 4, "doc_id": [3, 1, 2, 0],
+                           "simhash": [0] * 4})
+        with caplog.at_level(logging.WARNING):
+            out = fn(df)
+        assert caplog.text == ""
+        assert len(out) == 6  # C(4,2), fully exact
+
     def test_minhash_hot_bucket_cap_logged_and_chained(self, caplog):
         """A bucket above bucket_cap must emit all-pairs on the capped
         head, chain the overflow to the head doc, and LOG the cap."""

@@ -88,3 +88,38 @@ class TestChunker:
         src_words = doc.replace("\n", " ").split()
         out_words = rejoined.replace("\n", " ").split()
         assert src_words == out_words
+
+
+class TestChunksSQLOracle:
+    def test_sql_mirror_matches_chunk_text(self, tmp_path):
+        """chunks_sql reproduces chunk_text exactly — packing, flushes,
+        and the oversize token-slicing branch — chunk_id included."""
+        import hashlib
+
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.functions.chunking import chunks_sql
+
+        texts = [
+            "hello world",                                   # single chunk
+            "",                                              # no chunks
+            "\n\n".join("para %d word " % i * 8 for i in range(40)),  # packing
+            "x " * 900,                                      # oversize para
+            ("small para\n\n" + "y " * 900 + "\n\nanother tail para"),
+        ]
+        f = tmp_path / "pages.parquet"
+        pq.write_table(pa.table({"text": pa.array(texts, pa.string())}), f)
+
+        want = set()
+        for t in texts:
+            doc_id = hashlib.sha256(t.encode()).hexdigest()
+            for idx, c in enumerate(chunk_text(t, 200, 0)):
+                want.add((doc_id, idx, hashlib.sha256(c.encode()).hexdigest()))
+        assert len({d for d, _, _ in want}) == 4  # empty doc emits nothing
+        assert max(i for _, i, _ in want) >= 3    # multi-chunk docs present
+
+        got = set(map(tuple,
+                      duckdb.execute(chunks_sql(str(f), 200)).fetchall()))
+        assert got == want
