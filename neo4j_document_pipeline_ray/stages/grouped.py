@@ -60,6 +60,43 @@ def partitioned_group_map(
     return with_pk.groupby("_pk").map_groups(run_partition, batch_format=batch_format)
 
 
+def _null_fill_value(typ):
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return ""
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return b""
+    if pa.types.is_boolean(typ):
+        return False
+    return pa.scalar(0).cast(typ)
+
+
+def null_safe_group_keys(t: pa.Table, cols: "list[str]"):
+    """pyarrow's hash grouper mis-compares rows when ~11+ key columns
+    carry nulls (the second byte of the row-encoded null mask; pinned
+    by tests/test_grouped.py::test_distinct_many_null_key_columns on a
+    repro captured from the real triples table).  Encode each nullable
+    key EXACTLY as (null-filled value, validity bit): groups are
+    unchanged, but no key column carries a null, which sidesteps the
+    bug.  Returns ``(table, key_cols, restore)`` where ``restore`` maps
+    original column -> its validity column for re-nulling the output.
+    """
+    keys: "list[str]" = []
+    restore: "dict[str, str]" = {}
+    for c in cols:
+        a = t[c]
+        if a.null_count == 0:
+            keys.append(c)
+            continue
+        vc = f"__valid__{c}"
+        filled = pc.fill_null(a, _null_fill_value(a.type))
+        t = t.set_column(t.schema.get_field_index(c), c, filled)
+        t = t.append_column(vc, pc.is_valid(a))
+        keys.append(c)
+        keys.append(vc)
+        restore[c] = vc
+    return t, keys, restore
+
+
 def distinct_by(
     ds: "ray.data.Dataset",
     key_col: str,
@@ -76,17 +113,23 @@ def distinct_by(
 
     def fn(t: pa.Table) -> pa.Table:
         others = [c for c in t.schema.names if c not in cols]
-        if not others:
-            return t.group_by(cols, use_threads=False).aggregate([])
+        work, keys, restore = null_safe_group_keys(t, cols)
         # 'first' per key matches pandas drop_duplicates (keep='first');
         # skip_nulls=False keeps the first ROW's nulls
         opts = pc.ScalarAggregateOptions(skip_nulls=False)
-        agg = t.group_by(cols, use_threads=False).aggregate(
+        agg = work.group_by(keys, use_threads=False).aggregate(
             [(c, "first", opts) for c in others])
-        return pa.table({
-            c: (agg[c] if c in cols else agg[f"{c}_first"])
-            for c in t.schema.names
-        })
+        out = {}
+        for c in t.schema.names:
+            if c in cols:
+                col = agg[c]
+                if c in restore:
+                    col = pc.if_else(
+                        agg[restore[c]], col, pa.nulls(len(col), col.type))
+                out[c] = col
+            else:
+                out[c] = agg[f"{c}_first"]
+        return pa.table(out)
 
     return partitioned_group_map(
         ds, key_col, fn, num_partitions, batch_format="pyarrow"

@@ -102,6 +102,30 @@ class TestIncrementalStageB:
             b = _signature(os.path.join(grown["full_out"], table))
             assert a.equals(b), table
 
+    def test_refold_reuses_all_embeddings(self, grown, tmp_path_factory):
+        """Embedding is the model-priced step at 100 TB: a fold whose
+        delta changes no winning key must reuse every committed vector
+        and never call the backend."""
+        from neo4j_document_pipeline_ray.pipelines.incremental import (
+            incremental_stage_b,
+        )
+
+        class ExplodingBackend:  # defined in-test so cloudpickle ships by value
+            dim = 64
+
+            def embed(self, texts):
+                raise AssertionError(
+                    f"embedder called for {len(texts)} keys in a no-change fold")
+
+        out = str(tmp_path_factory.mktemp("refold_emb"))
+        shutil.copytree(grown["inc_out"], out, dirs_exist_ok=True)
+        d = os.path.join(out, "triples", "shard=00002")
+        new_files = sorted(os.path.join(d, f) for f in os.listdir(d)
+                           if f.endswith(".parquet"))
+        incremental_stage_b(out, new_files, _cfg(),
+                            with_embeddings=True,
+                            embed_backend=ExplodingBackend())
+
     def test_unchanged_input_skips_stage_b(self, grown):
         from neo4j_document_pipeline_ray.pipelines.snapshot import (
             build_snapshot,
