@@ -746,6 +746,8 @@ def _khop_sql(nsub: str, nobj: str) -> str:
 def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.dedup import (
         EXACT_DEDUP_SQL,
+        MINHASH_COMPONENTS_SQL,
+        MINHASH_PAIRS_SQL,
         NGRAM_JACCARD_SQL,
         SIMHASH_PAIRS_SQL,
     )
@@ -884,6 +886,13 @@ def oracle_sql() -> dict[str, str]:
         # bands => one band equal by pigeonhole); the SQL mirrors the
         # banded candidate join + hamming verify bit-for-bit
         "docs_simhash_pairs": SIMHASH_PAIRS_SQL,
+        # full replay of the sketch in SQL (FNV word hashes, polynomial
+        # shingles, 64 affine permutations with numpy's uint64 wrap,
+        # banded buckets incl. the cap/chain rule, est-Jaccard verify);
+        # components add an exact reachability closure (min-label),
+        # which the bounded-round Ray propagation converges to
+        "docs_minhash_pairs": MINHASH_PAIRS_SQL,
+        "docs_minhash_components": MINHASH_COMPONENTS_SQL,
         "ann_topk": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(
@@ -928,8 +937,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(x.emb, y.emb) >= 0.95
             ORDER BY a, b
         """,
-        # kg_chunks / kg_embeddings: token-based chunk boundaries and the
-        # hash-projection embedder are not SQL-expressible -> rows-only.
-        # minhash / simhash / lsh / mm_features: sketch-based or stubbed
-        # -> rows-only, verified against exact oracles in pytest instead.
+        # kg_embeddings: the hash-projection embedder is not
+        # SQL-expressible -> rows-only.  lsh / mm_features: seeded-rng
+        # hyperplanes or stubbed codecs -> rows-only, verified against
+        # exact oracles in pytest instead.
     }

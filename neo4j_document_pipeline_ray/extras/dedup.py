@@ -476,15 +476,12 @@ def simhash_near_pairs(
     return distinct_by(pairs, "a", subset=["a", "b"], num_partitions=16)
 
 
-def _simhash_pairs_sql(max_hamming: int = 3) -> str:
-    """DuckDB mirror of ``simhash_near_pairs``: FNV-1a 64 per word
-    (HUGEINT wrap emulation as in ``FINGERPRINT_SQL``), per-bit
-    sign-sum sketch, 4x16-bit band candidate join, hamming verify via
-    ``bit_count(xor(...))``.  Valid for ASCII corpora (Python hashes
-    utf-8 bytes, SQL hashes code points)."""
-    m64 = 1 << 64
-    return f"""
-    WITH d AS (
+# Shared DuckDB CTE text: per-doc word list (Python `text.lower()
+# .split()` semantics) and FNV-1a 64 hash per word with HUGEINT
+# wrap-around emulation — the common front end of the simhash,
+# minhash and fingerprint oracles.  Valid for ASCII corpora (Python
+# hashes utf-8 bytes, SQL hashes code points).
+_FNV_WORD_CTES = f"""d AS (
         SELECT doc_id,
                CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
                     ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
@@ -499,11 +496,21 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
                                i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))),
                        (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
                                              CAST(c AS UBIGINT)) AS HUGEINT)
-                                    * 1099511628211) % {m64}
+                                    * 1099511628211) % {1 << 64}
                    )
                ) AS hs
         FROM d
-    ), wu AS (
+    )"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """DuckDB mirror of ``simhash_near_pairs``: FNV-1a 64 per word
+    (HUGEINT wrap emulation as in ``FINGERPRINT_SQL``), per-bit
+    sign-sum sketch, 4x16-bit band candidate join, hamming verify via
+    ``bit_count(xor(...))``.  Valid for ASCII corpora (Python hashes
+    utf-8 bytes, SQL hashes code points)."""
+    return f"""
+    WITH {_FNV_WORD_CTES}, wu AS (
         SELECT doc_id, CAST(wordhash AS UBIGINT) AS wordhash
         FROM (SELECT doc_id, unnest(hs) AS wordhash FROM wh)
     ), acc AS (
@@ -536,6 +543,121 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
 
 
 SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
+def _minhash_ctes(threshold: float, bucket_cap: int) -> str:
+    """CTE chain mirroring ``minhash_dedup_pairs`` end-to-end in
+    DuckDB, terminating in ``mh_pairs (a, b, est_jaccard)``.
+
+    Replays the exact integer arithmetic of the Python/numpy path
+    (``_shingle_hashes`` / ``minhash_signature`` / ``_bands_batch`` /
+    ``_make_pairs_partition``), including numpy's uint64 wrap-around:
+    every product/sum is reduced ``% 2**64`` before the final mask
+    (shingles: ``% 2**61`` = the ``& (2**61 - 1)`` mask) or modulus
+    (permutations: ``% (2**61 - 1)`` = the Mersenne prime — note the
+    two DIFFERENT constants).  The only intended divergence is the
+    band bucket key: Python buckets by blake2b of the 4-value band
+    bytes, SQL by the 4 values directly — identical grouping short of
+    a 2^-64 blake2b collision.  Bucket capping (all-pairs on the
+    first ``bucket_cap`` doc_ids, overflow chained to the bucket
+    head) is mirrored with window functions."""
+    m64 = 1 << 64
+    p61 = 1 << 61                 # shingle mask + 1
+    mers = _MERSENNE              # permutation modulus (2**61 - 1)
+    p1 = 1_000_003
+    p2 = p1 * p1
+    perm_a = ", ".join(str(int(x)) for x in _PERM_A)
+    perm_b = ", ".join(str(int(x)) for x in _PERM_B)
+    return f"""{_FNV_WORD_CTES}, shing AS (
+        SELECT doc_id,
+               CASE
+                 WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+                 WHEN len(hs) = 1 THEN [hs[1] % {p61}]
+                 WHEN len(hs) = 2 THEN
+                   [((hs[1] * {p1}) % {m64} + hs[2]) % {m64} % {p61}]
+                 ELSE list_transform(range(1, len(hs) - 1), i ->
+                   ((hs[i] * {p2}) % {m64}
+                    + (hs[i + 1] * {p1}) % {m64}
+                    + hs[i + 2]) % {m64} % {p61})
+               END AS sh
+        FROM wh
+    ), su AS (
+        SELECT doc_id, unnest(sh) AS h FROM shing
+    ), perms AS (
+        SELECT r.i AS i,
+               (CAST([{perm_a}] AS HUGEINT[]))[r.i + 1] AS pa,
+               (CAST([{perm_b}] AS HUGEINT[]))[r.i + 1] AS pb
+        FROM range({_N_PERM}) r(i)
+    ), minv AS (
+        SELECT su.doc_id, p.i,
+               min(((su.h * p.pa) % {m64} + p.pb) % {m64} % {mers}) AS v
+        FROM su CROSS JOIN perms p
+        GROUP BY su.doc_id, p.i
+    ), sigs AS (
+        SELECT d.doc_id, p.i,
+               coalesce(m.v, CAST(0 AS HUGEINT)) AS v
+        FROM d CROSS JOIN perms p
+        LEFT JOIN minv m ON m.doc_id = d.doc_id AND m.i = p.i
+    ), bnd AS (
+        SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+               array_to_string(list(v ORDER BY i), ',') AS bkey
+        FROM sigs GROUP BY doc_id, i // {_ROWS_PER_BAND}
+    ), mem AS (
+        SELECT doc_id, band, bkey,
+               row_number() OVER (PARTITION BY band, bkey
+                                  ORDER BY doc_id) AS rn,
+               min(doc_id) OVER (PARTITION BY band, bkey) AS head
+        FROM bnd
+    ), cand0 AS (
+        SELECT x.doc_id AS a, y.doc_id AS b
+        FROM mem x JOIN mem y
+          ON x.band = y.band AND x.bkey = y.bkey
+             AND x.doc_id < y.doc_id
+             AND x.rn <= {bucket_cap} AND y.rn <= {bucket_cap}
+        UNION ALL
+        SELECT head, doc_id FROM mem WHERE rn > {bucket_cap}
+    ), cand AS (
+        -- explicit DISTINCT stage: inside WITH RECURSIVE DuckDB 1.0
+        -- executes a plain UNION in a non-recursive CTE as UNION ALL,
+        -- which would multiply the est_jaccard sums below
+        SELECT DISTINCT a, b FROM cand0
+    ), mh_pairs AS (
+        SELECT c.a, c.b,
+               sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+                   / {float(_N_PERM)} AS est_jaccard
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.a
+        JOIN sigs sb ON sb.doc_id = c.b AND sb.i = sa.i
+        GROUP BY c.a, c.b
+        HAVING sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+                   / {float(_N_PERM)} >= {threshold}
+    )"""
+
+
+def _minhash_pairs_sql(threshold: float = 0.8, bucket_cap: int = 50) -> str:
+    return ("WITH " + _minhash_ctes(threshold, bucket_cap)
+            + "\n    SELECT a, b, est_jaccard FROM mh_pairs")
+
+
+def _minhash_components_sql(threshold: float = 0.8,
+                            bucket_cap: int = 50) -> str:
+    """Connected components over the minhash near-dup pairs: exact
+    closure via a recursive CTE with component label = min doc_id —
+    the fixpoint ``connected_components`` converges to."""
+    return f"""WITH RECURSIVE {_minhash_ctes(threshold, bucket_cap)}, und AS (
+        SELECT a AS s, b AS t FROM mh_pairs
+        UNION ALL
+        SELECT b, a FROM mh_pairs
+    ), cc AS (
+        SELECT s AS node, s AS label FROM und
+        UNION
+        SELECT u.t, cc.label FROM cc JOIN und u ON u.s = cc.node
+    )
+    SELECT node, min(label) AS component FROM cc GROUP BY node"""
+
+
+MINHASH_PAIRS_SQL = _minhash_pairs_sql()
+MINHASH_COMPONENTS_SQL = _minhash_components_sql()
 
 
 # --- exact n-gram Jaccard -------------------------------------------------

@@ -56,6 +56,77 @@ class TestMinhash:
         s3 = minhash_signature("entirely unrelated words " * 30)
         assert estimate_jaccard(s1, s3) < 0.2
 
+    def test_signatures_match_duckdb_oracle(self):
+        """The SQL mirror replays _shingle_hashes + minhash_signature
+        bit-for-bit, including numpy's uint64 wrap-around and the
+        1/2/3-word shingle-window edge cases."""
+        import duckdb
+
+        from neo4j_document_pipeline_ray.extras.dedup import (
+            _minhash_ctes,
+            minhash_signature,
+        )
+
+        texts = [BASE, "", "one", "two words", "exactly three words"]
+        con = duckdb.connect()
+        con.register("documents", pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        rows = con.execute(
+            "WITH " + _minhash_ctes(0.8, 50)
+            + " SELECT doc_id, i, v FROM sigs ORDER BY doc_id, i"
+        ).fetchall()
+        got = {}
+        for doc_id, i, v in rows:
+            got.setdefault(doc_id, [0] * 64)[i] = int(v)
+        for d, text in enumerate(texts):
+            assert got[d] == [int(x) for x in minhash_signature(text)], d
+
+    def test_pairs_and_components_match_duckdb_oracle(self, ray_session):
+        """End-to-end: banded candidates (incl. the bucket_cap
+        all-pairs/chain rule), est-Jaccard verify, and the recursive
+        components closure all agree with the Ray path."""
+        import duckdb
+
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.dedup import (
+            _minhash_components_sql,
+            _minhash_pairs_sql,
+            connected_components,
+            minhash_dedup_pairs,
+        )
+
+        long = (BASE + " and then naps in warm afternoon sun for hours ") * 4
+        texts = ([long, long.replace("naps", "rests"), long,
+                  "unrelated economic policy text about ports " * 10,
+                  "", "", "one", "one"]
+                 # two hot boilerplate clusters of 4 -> exceed cap=3
+                 + [f"boilerplate footer text everywhere {i % 2} " * 6
+                    for i in range(8)])
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        ds = rd.from_arrow(tbl)
+        got = sorted((r["a"], r["b"], round(r["est_jaccard"], 9))
+                     for r in minhash_dedup_pairs(
+                         ds, threshold=0.8, bucket_cap=3).take_all())
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        want = sorted((a, b, round(e, 9)) for a, b, e in
+                      con.execute(_minhash_pairs_sql(0.8, 3)).fetchall())
+        assert got == want and len(got) > 0
+
+        pairs = minhash_dedup_pairs(ds, threshold=0.8, bucket_cap=3)
+        comp_ray = sorted(
+            (r["node"], r["component"]) for r in
+            connected_components(pairs.select_columns(["a", "b"])).take_all())
+        comp_sql = sorted(map(tuple, con.execute(
+            _minhash_components_sql(0.8, 3)).fetchall()))
+        assert comp_ray == comp_sql
+
 
 class TestConnectedComponents:
     def test_two_components(self, ray_session):
