@@ -168,20 +168,53 @@ def run_bench() -> dict:
     # own perf anchors are /graphrag latencies (30 s ceiling,
     # perf_test/enhanced_performance_test.py:69); this engine answers
     # the same hybrid-retrieval + k-hop + format flow in ~1-2 s
-    from neo4j_document_pipeline_ray.pipelines.graphrag import graphrag
+    from neo4j_document_pipeline_ray.pipelines.graphrag import (
+        build_node_ann_index,
+        build_text_index,
+        graphrag,
+    )
 
     tables = {
         name: rd.read_parquet(os.path.join(out_dir, name)).materialize()
         for name in ("nodes", "edges", "mentions", "docs")
     }
+    question = 'How does the "National Broadband Plan" support the Six Pillars?'
+
+    # index DDL analog: the reference creates its vector + fulltext
+    # indexes at the END of ingestion (ingestMD.py:794-796) and serves
+    # /graphrag from them — build both layouts over the fresh snapshot
     t = time.time()
-    res = graphrag(
-        tables,
-        'How does the "National Broadband Plan" support the Six Pillars?',
-        top_k=5, hops=2,
-    )
+    ann_dir = os.path.join(out_dir, "_ann_index")
+    txt_dir = os.path.join(out_dir, "_text_index")
+    build_node_ann_index(tables["nodes"], ann_dir)
+    build_text_index(tables["nodes"], txt_dir)
+    queries["kg_index_build"] = round(time.time() - t, 3)
+
+    # production serving path: a query server pulls the pruned local
+    # projection ONCE (the way the reference's Neo4j holds its indexes
+    # in memory) and answers queries in-process with the same kernels;
+    # oversized tiers would fall back to the distributed steps
+    from neo4j_document_pipeline_ray.pipelines.graphrag_local import LocalKG
+
+    t = time.time()
+    loc = LocalKG.maybe_pull(tables)
+    queries["kg_local_pull"] = round(time.time() - t, 3)
+    t = time.time()
+    res = graphrag(tables, question, top_k=5, hops=2, local_kg=loc)
     queries["kg_graphrag_query"] = round(time.time() - t, 3)
     assert res["n_nodes"] > 0
+
+    # distributed paths kept as the at-scale comparison points
+    # (identical results — pinned in tests/test_graphrag.py)
+    t = time.time()
+    res_idx = graphrag(tables, question, top_k=5, hops=2,
+                       text_index_dir=txt_dir, ann_index_dir=ann_dir)
+    queries["kg_graphrag_query_dist_indexed"] = round(time.time() - t, 3)
+    assert res_idx["n_nodes"] == res["n_nodes"]
+    t = time.time()
+    res_scan = graphrag(tables, question, top_k=5, hops=2)
+    queries["kg_graphrag_query_dist_scan"] = round(time.time() - t, 3)
+    assert res_scan["facts"] == res["facts"]
 
     result = {
         "metric": "kg_snapshot_sec_end_to_end",

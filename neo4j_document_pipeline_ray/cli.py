@@ -81,6 +81,9 @@ def cmd_build(args: argparse.Namespace) -> int:
 
 def cmd_query(args: argparse.Namespace) -> int:
     from neo4j_document_pipeline_ray.pipelines.graphrag import graphrag
+    from neo4j_document_pipeline_ray.pipelines.graphrag_local import (
+        DEFAULT_LOCAL_BUDGET,
+    )
 
     _init_ray(args.num_cpus)
     tables = {k: v.materialize() for k, v in _load_tables(args.snapshot).items()}
@@ -89,6 +92,9 @@ def cmd_query(args: argparse.Namespace) -> int:
         tables, args.question, top_k=args.top_k, hops=args.hops,
         use_mmr=not args.no_mmr, use_cross_doc=not args.no_cross_doc,
         text_index_dir=text_index if os.path.isdir(text_index) else None,
+        # serving fast path: pull the pruned projection when it fits;
+        # oversized tiers stay on the distributed steps
+        local_max_bytes=DEFAULT_LOCAL_BUDGET,
     )
     print(res["facts"])
     print(json.dumps({"seeds": res["seeds"], "n_nodes": res["n_nodes"],

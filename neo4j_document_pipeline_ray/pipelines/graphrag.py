@@ -135,6 +135,34 @@ def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return np.stack(arr.to_numpy(zero_copy_only=False))
 
 
+def _vector_score_table(
+    t: pa.Table, q: np.ndarray, k: int, id_col: str = "entity_id"
+) -> pa.Table:
+    """The per-batch cosine scoring kernel shared by the distributed
+    channels and the LocalKG fast path (graphrag_local.py) — one code
+    path so both produce bit-identical scores and tie-breaks.
+
+    float64 so the rounded score is batch-size independent; ties at
+    the per-batch cutoff break the same way as the global sort (score
+    desc, entity_id asc) or the partial would drop rows the global
+    top-k keeps."""
+    m = _emb_matrix(t["embedding"]).astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    sims = np.round((m @ q) / norms, 6)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -sims))[:k]
+    sub = t.select([id_col, "label", "name"]).take(pa.array(order))
+    if id_col != "entity_id":
+        sub = sub.rename_columns(["entity_id", "label", "name"])
+    return sub.append_column("score", pa.array(sims[order], pa.float64()))
+
+
+def _unit(qvec: np.ndarray) -> np.ndarray:
+    q = np.asarray(qvec, dtype=np.float64)
+    return q / (np.linalg.norm(q) or 1.0)
+
+
 def vector_topk(
     nodes: "ray.data.Dataset", qvec: np.ndarray, k: int = 12
 ) -> "ray.data.Dataset":
@@ -145,24 +173,10 @@ def vector_topk(
     Per-batch numpy scoring + per-batch top-k partial, then a tiny
     global sort/limit over ``num_batches * k`` rows.
     """
-    q = np.asarray(qvec, dtype=np.float64)
-    q = q / (np.linalg.norm(q) or 1.0)
-    qref = ray.put(q)
+    qref = ray.put(_unit(qvec))
 
     def score(t: pa.Table) -> pa.Table:
-        qv = ray.get(qref)
-        # float64 so the rounded score is batch-size independent
-        m = _emb_matrix(t["embedding"]).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        sims = np.round((m @ qv) / norms, 6)
-        ids = t["entity_id"].to_numpy(zero_copy_only=False)
-        # ties at the per-batch cutoff must break the same way as the
-        # global sort (score desc, entity_id asc) or the partial drops
-        # rows the global top-k would keep
-        order = np.lexsort((ids, -sims))[:k]
-        sub = t.select(["entity_id", "label", "name"]).take(pa.array(order))
-        return sub.append_column("score", pa.array(sims[order], pa.float64()))
+        return _vector_score_table(t, ray.get(qref), k)
 
     partial = nodes.map_batches(score, batch_format="pyarrow")
     return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
@@ -208,21 +222,10 @@ def vector_index_topk(
             "name": pa.array([], pa.string()),
             "score": pa.array([], pa.float64()),
         }))
-    q = np.asarray(qvec, dtype=np.float64)
-    q = q / (np.linalg.norm(q) or 1.0)
-    qref = ray.put(q)
+    qref = ray.put(_unit(qvec))
 
     def score(t: pa.Table) -> pa.Table:
-        qv = ray.get(qref)
-        m = _emb_matrix(t["embedding"]).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0] = 1.0
-        sims = np.round((m @ qv) / norms, 6)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -sims))[:k]
-        sub = t.select(["vec_id", "label", "name"]).take(pa.array(order))
-        sub = sub.rename_columns(["entity_id", "label", "name"])
-        return sub.append_column("score", pa.array(sims[order], pa.float64()))
+        return _vector_score_table(t, ray.get(qref), k, id_col="vec_id")
 
     partial = ray.data.read_parquet(
         files, columns=["vec_id", "label", "name", "embedding"]
@@ -304,6 +307,44 @@ def _bm25_query(question: str) -> Tuple[List[str], List[str]]:
     return toks, phrases
 
 
+def _bm25_stats_partial(
+    df: "pd.DataFrame", tok_arr: List[str], phr_arr: List[str]
+) -> dict:
+    """One batch -> one tiny partial-stats row (shared by the
+    distributed pass and the LocalKG fast path)."""
+    keys = df["norm_key"].fillna("")
+    padded = " " + keys + " "
+    row = {
+        "n": len(df),
+        "dl_sum": int(keys.str.count(" ").where(keys != "", -1).sum())
+        + len(df),  # tokens = spaces+1 for non-empty, 0 for empty
+    }
+    for i, t in enumerate(tok_arr):
+        row[f"t{i}"] = int(
+            padded.str.contains(f" {t} ", regex=False).sum()
+        )
+    for i, p in enumerate(phr_arr):
+        row[f"p{i}"] = int(
+            padded.str.contains(f" {p} ", regex=False).sum()
+        )
+    return row
+
+
+def _bm25_fold_stats(
+    parts: List[dict], tok_arr: List[str], phr_arr: List[str]
+) -> Dict[str, Any]:
+    return {
+        "n": sum(r["n"] for r in parts),
+        "dl_sum": sum(r["dl_sum"] for r in parts),
+        "df_tok": {
+            t: sum(r[f"t{i}"] for r in parts) for i, t in enumerate(tok_arr)
+        },
+        "df_phr": {
+            p: sum(r[f"p{i}"] for r in parts) for i, p in enumerate(phr_arr)
+        },
+    }
+
+
 def _bm25_corpus_stats(
     nodes: "ray.data.Dataset", toks: List[str], phrases: List[str]
 ) -> Dict[str, Any]:
@@ -322,37 +363,12 @@ def _bm25_corpus_stats(
     def partial(df: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        keys = df["norm_key"].fillna("")
-        padded = " " + keys + " "
-        row = {
-            "n": len(df),
-            "dl_sum": int(keys.str.count(" ").where(keys != "", -1).sum())
-            + len(df),  # tokens = spaces+1 for non-empty, 0 for empty
-        }
-        for i, t in enumerate(tok_arr):
-            row[f"t{i}"] = int(
-                padded.str.contains(f" {t} ", regex=False).sum()
-            )
-        for i, p in enumerate(phr_arr):
-            row[f"p{i}"] = int(
-                padded.str.contains(f" {p} ", regex=False).sum()
-            )
-        return pd.DataFrame([row])
+        return pd.DataFrame([_bm25_stats_partial(df, tok_arr, phr_arr)])
 
     parts = nodes.select_columns(["norm_key"]).map_batches(
         partial, batch_format="pandas"
     ).take_all()
-    stats = {
-        "n": sum(r["n"] for r in parts),
-        "dl_sum": sum(r["dl_sum"] for r in parts),
-        "df_tok": {
-            t: sum(r[f"t{i}"] for r in parts) for i, t in enumerate(tok_arr)
-        },
-        "df_phr": {
-            p: sum(r[f"p{i}"] for r in parts) for i, p in enumerate(phr_arr)
-        },
-    }
-    return stats
+    return _bm25_fold_stats(parts, tok_arr, phr_arr)
 
 
 def _bm25_idf(df: int, n: int) -> float:
@@ -408,45 +424,60 @@ def _bm25_with_retry(nodes, question: str, k: int, stats_fn) -> "ray.data.Datase
     return res
 
 
-def _bm25_score(
-    nodes: "ray.data.Dataset", toks: List[str], phrases: List[str], k: int,
-    stats: Optional[Dict[str, Any]] = None,
-) -> "ray.data.Dataset":
-    if stats is None:
-        stats = _bm25_corpus_stats(nodes, toks, phrases)
+def _bm25_weights(
+    stats: Dict[str, Any], toks: List[str], phrases: List[str]
+) -> Tuple[list, list, float]:
     n = max(1, stats["n"])
     avgdl = max(1e-9, stats["dl_sum"] / n)
     tok_w = [(t, _bm25_idf(stats["df_tok"][t], n)) for t in toks
              if stats["df_tok"][t] > 0]
     phr_w = [(p, _bm25_idf(stats["df_phr"][p], n)) for p in phrases
              if stats["df_phr"][p] > 0]
-    lim = max(k, 16)
+    return tok_w, phr_w, avgdl
+
+
+def _bm25_score_table(
+    t: pa.Table, tok_w: list, phr_w: list, avgdl: float, lim: int
+) -> pa.Table:
+    """The per-batch BM25 scoring kernel shared by the distributed
+    channel and the LocalKG fast path."""
+    import pandas as pd
+    import re as _re
+
     k1, b = _BM25_K1, _BM25_B
+    keys = pd.Series(t["norm_key"].to_pylist()).fillna("")
+    padded = " " + keys + " "
+    dl = (keys.str.count(" ") + 1).where(keys != "", 0).to_numpy(float)
+    norm = k1 * (1.0 - b + b * dl / avgdl)
+    scores = np.zeros(len(keys), dtype=np.float64)
+    for tok, idf in tok_w:
+        # overlapping token-occurrence count via lookahead so
+        # " a a " counts tf=2 (adjacent matches share a space)
+        tf = padded.str.count(f"(?= {_re.escape(tok)} )").to_numpy(float)
+        scores += idf * (tf * (k1 + 1.0)) / np.where(tf > 0, tf + norm, 1.0) * (tf > 0)
+    for phr, idf in phr_w:
+        hit = padded.str.contains(f" {phr} ", regex=False).to_numpy()
+        scores += np.where(hit, idf * (k1 + 1.0) / (1.0 + norm), 0.0)
+    scores = np.round(scores, 6)
+    keep = np.nonzero(scores > 0)[0]
+    if len(keep) > lim:
+        ids = t["entity_id"].to_numpy(zero_copy_only=False)[keep]
+        keep = keep[np.lexsort((ids, -scores[keep]))[:lim]]
+    sub = t.select(["entity_id", "label", "name"]).take(pa.array(keep))
+    return sub.append_column("score", pa.array(scores[keep], pa.float64()))
+
+
+def _bm25_score(
+    nodes: "ray.data.Dataset", toks: List[str], phrases: List[str], k: int,
+    stats: Optional[Dict[str, Any]] = None,
+) -> "ray.data.Dataset":
+    if stats is None:
+        stats = _bm25_corpus_stats(nodes, toks, phrases)
+    tok_w, phr_w, avgdl = _bm25_weights(stats, toks, phrases)
+    lim = max(k, 16)
 
     def score(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        import re as _re
-
-        keys = pd.Series(t["norm_key"].to_pylist()).fillna("")
-        padded = " " + keys + " "
-        dl = (keys.str.count(" ") + 1).where(keys != "", 0).to_numpy(float)
-        norm = k1 * (1.0 - b + b * dl / avgdl)
-        scores = np.zeros(len(keys), dtype=np.float64)
-        for tok, idf in tok_w:
-            # overlapping token-occurrence count via lookahead so
-            # " a a " counts tf=2 (adjacent matches share a space)
-            tf = padded.str.count(f"(?= {_re.escape(tok)} )").to_numpy(float)
-            scores += idf * (tf * (k1 + 1.0)) / np.where(tf > 0, tf + norm, 1.0) * (tf > 0)
-        for phr, idf in phr_w:
-            hit = padded.str.contains(f" {phr} ", regex=False).to_numpy()
-            scores += np.where(hit, idf * (k1 + 1.0) / (1.0 + norm), 0.0)
-        scores = np.round(scores, 6)
-        keep = np.nonzero(scores > 0)[0]
-        if len(keep) > lim:
-            ids = t["entity_id"].to_numpy(zero_copy_only=False)[keep]
-            keep = keep[np.lexsort((ids, -scores[keep]))[:lim]]
-        sub = t.select(["entity_id", "label", "name"]).take(pa.array(keep))
-        return sub.append_column("score", pa.array(scores[keep], pa.float64()))
+        return _bm25_score_table(t, tok_w, phr_w, avgdl, lim)
 
     partial = nodes.map_batches(score, batch_format="pyarrow")
     return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
@@ -606,6 +637,7 @@ def hybrid_candidates(
     text_index_dir: Optional[str] = None,
     ann_index_dir: Optional[str] = None,
     ann_multiprobe: int = 2,
+    local_kg=None,
 ) -> List[Dict[str, Any]]:
     """Blend the two channels exactly as graphutil.py:401-447: max-score
     per entity within a channel, per-channel min-max normalization, then
@@ -618,17 +650,23 @@ def hybrid_candidates(
     an ``ann_index_dir`` (a :func:`build_node_ann_index` layout) the
     vector channel reads only its probed bucket partitions instead of
     scanning the nodes table — the reference's persistent vector
-    indexes (``ingestMD.py:692-702``)."""
+    indexes (``ingestMD.py:692-702``).  A ``local_kg``
+    (:class:`graphrag_local.LocalKG`) runs both channels in-process on
+    the pulled nodes projection — same kernels, no Ray jobs."""
     # the two channels are independent Ray jobs — overlap them
     from concurrent.futures import ThreadPoolExecutor
 
     def _vec():
+        if local_kg is not None:
+            return local_kg.vector_topk(qvec, k=k_vec)
         if ann_index_dir:
             return vector_index_topk(ann_index_dir, qvec, k=k_vec,
                                      multiprobe=ann_multiprobe).take_all()
         return vector_topk(nodes, qvec, k=k_vec).take_all()
 
     def _kw():
+        if local_kg is not None:
+            return local_kg.bm25_topk(question, k=k_kw)
         if text_index_dir:
             return bm25_index_topk(nodes, text_index_dir, question,
                                    k=k_kw).take_all()
@@ -881,6 +919,23 @@ def traverse_neighbors(
                     nxt.add(e)
         frontier = nxt
 
+    rels = fetch_rel_payload(edges, processed)
+    return {"node_ids": sorted(visited), "rels": rels}
+
+
+# only the fields the Graph Facts formatter reads — widening this to
+# every edge column (embeddings included) made the driver-side
+# row materialization the dominant cost
+REL_PAYLOAD_COLS = ("src_id", "dst_id", "rel_type", "term", "source_text")
+
+
+def fetch_rel_payload(
+    edges: "ray.data.Dataset", processed: "set[int]"
+) -> List[Dict[str, Any]]:
+    """One distributed filtered read of the formatter's edge columns
+    for every edge incident to a processed-frontier node — shared by
+    :func:`traverse_neighbors` and the LocalKG BFS when the edge
+    payload itself exceeds the local budget."""
     vref = ray.put(pa.array(sorted(processed), pa.int64()))
 
     def fetch(t: pa.Table) -> pa.Table:
@@ -891,16 +946,11 @@ def traverse_neighbors(
         )
         return t.filter(mask)
 
-    # only the fields the Graph Facts formatter reads — widening this to
-    # every edge column (embeddings included) made the driver-side
-    # row materialization the dominant cost
-    rel_cols = [c for c in ("src_id", "dst_id", "rel_type", "term",
-                            "source_text")
-                if c in edges.schema().names]
+    rel_cols = [c for c in REL_PAYLOAD_COLS if c in edges.schema().names]
     rels = edges.select_columns(rel_cols).map_batches(
         fetch, batch_format="pyarrow").take_all()
     rels.sort(key=lambda r: (r["src_id"], r["rel_type"], r["dst_id"], r.get("term") or ""))
-    return {"node_ids": sorted(visited), "rels": rels}
+    return rels
 
 
 def khop_entity_ids(
@@ -1004,6 +1054,8 @@ def graphrag(
     text_index_dir: Optional[str] = None,
     ann_index_dir: Optional[str] = None,
     cfg: Optional[PipelineConfig] = None,
+    local_kg=None,
+    local_max_bytes: Optional[int] = None,
 ) -> Dict[str, Any]:
     """The full /graphrag flow (main.py:221-400) over KG tables
     ``{nodes, edges, mentions, docs}``; returns facts + seeds + per-step
@@ -1011,9 +1063,25 @@ def graphrag(
 
     Channel depths follow the endpoint: ``k_vec = k_kw = max(12, top_k)``
     and the blend weights default to the RagBody defaults
-    ``alpha_vec=0.6 / beta_kw=0.4`` (main.py:268-272)."""
+    ``alpha_vec=0.6 / beta_kw=0.4`` (main.py:268-272).
+
+    Serving fast path: pass a prepared
+    :class:`graphrag_local.LocalKG` (pulled once, reused across
+    queries — the way a query server holds its indexes, like the
+    reference's Neo4j), or set ``local_max_bytes`` to pull one for
+    this call.  Every step whose tier fits the budget runs in-process
+    with the SAME kernels; oversized tiers stay on the distributed
+    path.  Default (both None) is fully distributed."""
     cfg = cfg or PipelineConfig()
     timings: Dict[str, float] = {}
+    t = time.time()
+    loc = local_kg
+    if loc is None and local_max_bytes:
+        from neo4j_document_pipeline_ray.pipelines.graphrag_local import LocalKG
+
+        loc = LocalKG.maybe_pull(tables, local_max_bytes)
+    timings["local_pull"] = time.time() - t
+
     t = time.time()
     qvec = embed_question(question, cfg)
     timings["embed"] = time.time() - t
@@ -1024,52 +1092,65 @@ def graphrag(
         tables["nodes"], question, qvec,
         k_vec=k_ch, k_kw=k_ch, alpha_vec=alpha_vec, beta_kw=beta_kw,
         text_index_dir=text_index_dir, ann_index_dir=ann_index_dir,
+        local_kg=loc,
     )
     timings["hybrid"] = time.time() - t
 
     if use_mmr and len(cands) > top_k:
         t = time.time()
         ids = [c["entity_id"] for c in cands]
-        emb_rows = _filter_by_ids(tables["nodes"], ids, "entity_id").select_columns(
-            ["entity_id", "embedding"]
-        ).take_all()
-        embs = {
-            int(r["entity_id"]): np.asarray(r["embedding"], dtype=np.float32)
-            for r in emb_rows
-        }
+        if loc is not None:
+            embs = loc.embeddings_for(ids)
+        else:
+            emb_rows = _filter_by_ids(tables["nodes"], ids, "entity_id").select_columns(
+                ["entity_id", "embedding"]
+            ).take_all()
+            embs = {
+                int(r["entity_id"]): np.asarray(r["embedding"], dtype=np.float32)
+                for r in emb_rows
+            }
         cands = mmr_select(cands, embs, k=top_k)
         timings["mmr"] = time.time() - t
     else:
         cands = cands[:top_k]
 
+    def _titles_for(ids):
+        if loc is not None and loc.has_titles:
+            return loc.doc_titles(ids)
+        return doc_titles_for_nodes(tables["mentions"], tables["docs"], ids)
+
     if use_cross_doc and len(cands) > 1:
         t = time.time()
-        titles = doc_titles_for_nodes(
-            tables["mentions"], tables["docs"], [c["entity_id"] for c in cands]
-        )
+        titles = _titles_for([c["entity_id"] for c in cands])
         cands = diversify_by_document(cands, titles, k=len(cands))
         timings["cross_doc"] = time.time() - t
 
     t = time.time()
-    first_doc = first_doc_for_nodes(tables["mentions"], [c["entity_id"] for c in cands])
+    cand_ids = [c["entity_id"] for c in cands]
+    if loc is not None and loc.has_mentions:
+        first_doc = loc.first_doc(cand_ids)
+    else:
+        first_doc = first_doc_for_nodes(tables["mentions"], cand_ids)
     seeds = one_seed_per_document(cands, first_doc)
-    expanded = traverse_neighbors(tables["edges"], seeds, max_hops=hops)
+    if loc is not None and loc.has_edges:
+        expanded = loc.traverse(seeds, hops, edges_ds=tables["edges"])
+    else:
+        expanded = traverse_neighbors(tables["edges"], seeds, max_hops=hops)
     timings["graph_traverse"] = time.time() - t
 
     t = time.time()
     node_ids = expanded["node_ids"]
-    info_rows = _filter_by_ids(tables["nodes"], node_ids, "entity_id").select_columns(
-        ["entity_id", "label", "name"]
-    ).take_all()
-    node_info = {
-        int(r["entity_id"]): {"label": r["label"], "name": r["name"]}
-        for r in info_rows
-    }
-    titles = (
-        doc_titles_for_nodes(tables["mentions"], tables["docs"], node_ids)
-        if include_source
-        else {}
-    )
+    if loc is not None:
+        node_info = loc.node_info(node_ids)
+    else:
+        info_rows = _filter_by_ids(tables["nodes"], node_ids, "entity_id").select_columns(
+            ["entity_id", "label", "name"]
+        ).take_all()
+        node_info = {
+            int(r["entity_id"]): {"label": r["label"], "name": r["name"]}
+            for r in info_rows
+        }
+    titles = _titles_for(node_ids) if include_source else {}
     facts = format_graph_context(
         expanded, node_info, titles, include_source=include_source
     )

@@ -382,3 +382,73 @@ class TestEndToEnd:
         first = gr.first_doc_for_nodes(tables["mentions"], res["seeds"])
         docs = [first[s] or str(s) for s in res["seeds"]]
         assert len(docs) == len(set(docs))
+
+
+class TestLocalKG:
+    """The size-gated serving fast path must be bit-identical to the
+    distributed steps (shared kernels) and degrade tier-by-tier."""
+
+    @pytest.fixture(scope="class")
+    def loc(self, ray_session, tables):
+        from neo4j_document_pipeline_ray.pipelines.graphrag_local import LocalKG
+
+        got = LocalKG.maybe_pull(tables, 256 << 20)
+        assert got is not None
+        return got
+
+    def test_all_tiers_pulled_at_generous_budget(self, loc):
+        assert loc.has_edges and loc.has_mentions and loc.has_titles
+        assert loc.edge_payload is not None
+
+    def test_vector_channel_identical(self, ray_session, tables, loc):
+        qvec = gr.embed_question(QUESTION)
+        dist = gr.vector_topk(tables["nodes"], qvec, k=8).take_all()
+        assert loc.vector_topk(qvec, k=8) == dist
+
+    def test_bm25_channel_identical(self, ray_session, tables, loc):
+        dist = gr.bm25_topk(tables["nodes"], QUESTION, k=12).take_all()
+        assert loc.bm25_topk(QUESTION, k=12) == dist
+
+    def test_provenance_identical(self, ray_session, tables, loc):
+        ids = [r["entity_id"] for r in tables["nodes"].take(20)]
+        assert loc.first_doc(ids) == gr.first_doc_for_nodes(
+            tables["mentions"], ids)
+        assert loc.doc_titles(ids) == gr.doc_titles_for_nodes(
+            tables["mentions"], tables["docs"], ids)
+
+    def test_traverse_identical(self, ray_session, tables, loc):
+        seeds = [tables["edges"].take(1)[0]["src_id"]]
+        for hops in (1, 2):
+            a = loc.traverse(seeds, hops)
+            b = gr.traverse_neighbors(tables["edges"], seeds, max_hops=hops)
+            assert a["node_ids"] == b["node_ids"], hops
+            assert a["rels"] == b["rels"], hops
+
+    def test_graphrag_end_to_end_identical(self, ray_session, tables, loc):
+        dist = gr.graphrag(tables, QUESTION, top_k=5, hops=2)
+        local = gr.graphrag(tables, QUESTION, top_k=5, hops=2, local_kg=loc)
+        for key in ("facts", "seeds", "candidates", "n_nodes", "n_rels"):
+            assert local[key] == dist[key], key
+
+    def test_tiny_budget_returns_none(self, ray_session, tables):
+        from neo4j_document_pipeline_ray.pipelines.graphrag_local import LocalKG
+
+        assert LocalKG.maybe_pull(tables, 10) is None
+
+    def test_partial_budget_drops_payload_but_stays_identical(
+            self, ray_session, tables, loc):
+        """Budget sized so nodes + id-pairs + mentions + docs fit but
+        the edge payload does not: BFS runs locally, the payload fetch
+        falls back to the distributed job, results unchanged."""
+        from neo4j_document_pipeline_ray.pipelines.graphrag_local import LocalKG
+
+        essentials = (loc.nodes.nbytes
+                      + (loc.edge_payload.nbytes // 4))
+        part = LocalKG.maybe_pull(tables, essentials)
+        if part is None or part.edge_payload is not None:
+            pytest.skip("corpus too small to split the tiers at this budget")
+        assert part.has_edges
+        dist = gr.graphrag(tables, QUESTION, top_k=5, hops=2)
+        local = gr.graphrag(tables, QUESTION, top_k=5, hops=2, local_kg=part)
+        for key in ("facts", "seeds", "candidates", "n_nodes", "n_rels"):
+            assert local[key] == dist[key], key
