@@ -546,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_document_pipeline_ray.extras.dedup import exact_dedup_sf
     from neo4j_document_pipeline_ray.extras.textstats import quality_stats, token_count
     from neo4j_document_pipeline_ray.pipelines import relational as rel
+    from neo4j_document_pipeline_ray.pipelines import windows as win
 
     # pre-materialize the synthetic corpus the oracle SQL reads
     _corpus(_SF001)
@@ -578,6 +579,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_hourly": rel.q_events_hourly,
         "rel_orders_top": rel.q_orders_top,
         "rel_union_distinct": rel.q_nation_region_union,
+        # --- temporal operators over the event stream (§2.8 class) ---
+        "events_sessions": win.q_events_sessions,
+        "events_sliding_window": win.q_events_sliding_window,
+        "events_band_pairs": win.q_events_band_pairs,
+        "events_asof_purchase": win.q_events_asof_purchase,
         # --- training-data curation extras ---
         "docs_token_count": token_count,
         "docs_quality": quality_stats,
@@ -759,6 +765,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from neo4j_document_pipeline_ray.functions.chunking import chunks_sql
     from neo4j_document_pipeline_ray.pipelines import relational as rel
+    from neo4j_document_pipeline_ray.pipelines import windows as win
 
     _corpus(_SF001)
 
@@ -876,6 +883,10 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_hourly": rel.Q_EVENTS_HOURLY_SQL,
         "rel_orders_top": rel.Q_ORDERS_TOP_SQL,
         "rel_union_distinct": rel.Q_NATION_REGION_UNION_SQL,
+        "events_sessions": win.events_sessions_sql(),
+        "events_sliding_window": win.events_sliding_window_sql(),
+        "events_band_pairs": win.events_band_pairs_sql(),
+        "events_asof_purchase": win.EVENTS_ASOF_PURCHASE_SQL,
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_quality": QUALITY_SQL,
         "docs_lang_id": LANG_ID_SQL,

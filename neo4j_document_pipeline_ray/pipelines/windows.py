@@ -1,0 +1,343 @@
+"""Temporal operators over the event stream: sessionization, sliding
+windows, band (range) self-joins, and as-of joins.
+
+The reference has no streaming/temporal layer (its event-shaped work is
+one-document-at-a-time Celery ingestion, ``tasks.py:11-27``), but a
+training-data engine at 100 TB needs the classic time-series operators
+that Ray Data lacks natively.  Each one here is expressed as the
+composition the engine's design rules prescribe:
+
+  sessionize     hash-partition by entity key -> per-partition
+                 vectorized gap-break scan (sort + diff + cumsum)
+  sliding window replicate each row to the ``window/slide`` covering
+                 windows inside ``map_batches`` (no shuffle added),
+                 then the usual two-phase hash aggregate
+  band join      bucket by ``floor(ts/band)``, replicate each row to
+                 its successor bucket, pair within buckets via a
+                 composite-key ``searchsorted`` (fully vectorized,
+                 exactly-once emission: a pair is emitted only where
+                 its EARLIER member is the replica copy)
+  as-of join     hash-partition by key -> per-partition grouped
+                 shift+ffill (the "most recent prior match" scan)
+
+Partitioning assumptions (documented per the engine's custom-operator
+rule): sessionize and as-of require each entity key's rows to fit in
+one partition group (a user's events — bounded in practice; a hot key
+would need a secondary time-range split); the band join requires each
+``(type, band-bucket)``'s rows to fit (bounded by band width ×  event
+rate).  All are checked against exact DuckDB window/inequality-join
+oracles at sf0.01 via ``oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from neo4j_document_pipeline_ray.stages.grouped import (
+    hash_aggregate,
+    partitioned_group_map,
+)
+
+_US = 1_000_000
+
+
+def _read_events(sf_dir: str, columns) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+def _value_milli_np(v: np.ndarray) -> np.ndarray:
+    """DuckDB-compatible ``round(value * 1000)`` (half away from zero;
+    numpy's default round is half-to-even).  Events carry positive
+    values only, but keep the sign-safe form."""
+    x = v * 1000.0
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+
+# --- sessionization (gap-based) --------------------------------------------
+
+def q_events_sessions(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
+    """Gap-based sessions per user: a new session starts when the gap to
+    the user's previous event exceeds ``gap_s``.  One output row per
+    session with start/end/count/value-sum.
+
+    Scale shape: one hash exchange on ``user_id``; inside a partition
+    everything is a single sort + vectorized diff/cumsum + C groupby —
+    no per-row or per-session Python.
+    """
+    gap_us = gap_s * _US
+    ev = _read_events(sf_dir, ["user_id", "ts", "value"])
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vm = _value_milli_np(df["value"].to_numpy())
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        brk = new_user | (np.r_[gap_us + 1, np.diff(t)] > gap_us)
+        sid = np.cumsum(brk)  # partition-local session label
+        g = pd.DataFrame({
+            "user_id": uid, "t": t, "vm": vm, "sid": sid,
+        }).groupby("sid", sort=False)
+        out = g.agg(
+            user_id=("user_id", "first"),
+            session_start_us=("t", "min"),
+            session_end_us=("t", "max"),
+            n_events=("t", "size"),
+            sum_value_milli=("vm", "sum"),
+        ).reset_index(drop=True)
+        return out.astype({"n_events": "int64", "sum_value_milli": "int64"})
+
+    return partitioned_group_map(ev, "user_id", sessionize, num_partitions=16)
+
+
+def events_sessions_sql(gap_s: int = 1800) -> str:
+    gap_us = gap_s * _US
+    return f"""
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM g
+)
+SELECT user_id,
+       min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM s GROUP BY user_id, sid
+"""
+
+
+# --- sliding-window aggregate ----------------------------------------------
+
+def q_events_sliding_window(
+    sf_dir: str, window_s: int = 3600, slide_s: int = 900
+) -> "ray.data.Dataset":
+    """Per-type aggregates over sliding windows of ``window_s`` seconds
+    advancing every ``slide_s`` (window starts are the multiples of the
+    slide; each event lands in ``window_s / slide_s`` windows).
+
+    The replication happens INSIDE ``map_batches`` — the exchange the
+    aggregate pays is over (type, window) partials, already shrunk by
+    the in-batch combine, not over the replicated rows.
+    """
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    reps = window_s // slide_s
+    slide_us = slide_s * _US
+    ev = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        m = pc.cast(pc.floor(pc.divide(epoch, slide_us)), pa.int64())
+        vm = pa.array(
+            _value_milli_np(
+                t["value"].combine_chunks().to_numpy(zero_copy_only=False)),
+            pa.int64(),
+        )
+        parts = []
+        for k in range(reps):
+            win = pc.multiply(pc.subtract(m, k), slide_us)
+            parts.append(pa.table({
+                "event_type": t["event_type"],
+                "win_start_us": win,
+                "value_milli": vm,
+            }))
+        return pa.concat_tables(parts)
+
+    return hash_aggregate(
+        ev.map_batches(expand, batch_format="pyarrow"),
+        ["event_type", "win_start_us"],
+        [(None, "count", "n"),
+         ("value_milli", "sum", "sum_value_milli"),
+         ("value_milli", "max", "max_value_milli")],
+    )
+
+
+def events_sliding_window_sql(window_s: int = 3600, slide_s: int = 900) -> str:
+    reps = window_s // slide_s
+    slide_us = slide_s * _US
+    return f"""
+SELECT event_type,
+       (CAST(floor(epoch_us(ts) / {slide_us}) AS BIGINT) - t.k) * {slide_us}
+         AS win_start_us,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+       max(CAST(round(value * 1000) AS BIGINT)) AS max_value_milli
+FROM events, range({reps}) t(k)
+GROUP BY event_type, win_start_us
+"""
+
+
+# --- band (range) self-join -------------------------------------------------
+
+def q_events_band_pairs(sf_dir: str, band_s: int = 60) -> "ray.data.Dataset":
+    """All pairs of same-type events within ``band_s`` seconds of each
+    other — the band-join special case of a range join, expressed as a
+    bucketed self-join: bucket by ``floor(ts/band)``, replicate each
+    event to its successor bucket, pair inside ``(type, bucket)`` groups.
+
+    Exactly-once emission: a qualifying pair's two members always
+    coexist in the earlier member's successor bucket (|dt| <= band), so
+    a pair is emitted only where its earlier member is the REPLICA copy.
+    The in-group pairing is a composite-key ``searchsorted`` — zero
+    Python per row, O(members + pairs) per group.
+    """
+    band_us = band_s * _US
+    ev = _read_events(sf_dir, ["event_id", "event_type", "ts"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        home = pc.cast(pc.floor(pc.divide(epoch, band_us)), pa.int64())
+        base = pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "epoch_us": epoch,
+        })
+        n = t.num_rows
+        own = base.append_column("bucket", home).append_column(
+            "is_rep", pa.array(np.zeros(n, dtype=bool)))
+        rep = base.append_column(
+            "bucket", pc.add(home, 1)).append_column(
+            "is_rep", pa.array(np.ones(n, dtype=bool)))
+        return pa.concat_tables([own, rep])
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "event_id_a": pd.Series([], dtype="int64"),
+                "event_id_b": pd.Series([], dtype="int64"),
+                "event_type": pd.Series([], dtype="object"),
+                "dt_us": pd.Series([], dtype="int64"),
+            })
+        # composite sort key: group ordinal g spaced 4*band apart, plus
+        # the in-bucket-relative timestamp (< 2*band) — searchsorted at
+        # +band can then never cross a group boundary.
+        g, _ = pd.factorize(
+            df["event_type"].astype(str) + "\x00" + df["bucket"].astype(str),
+            sort=True)
+        t = df["epoch_us"].to_numpy()
+        rel = t - (df["bucket"].to_numpy() - 1) * band_us
+        key = g.astype(np.int64) * (4 * band_us) + rel
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        eid = df["event_id"].to_numpy()[order]
+        t = t[order]
+        etype = df["event_type"].to_numpy()[order]
+        is_rep = df["is_rep"].to_numpy()[order]
+
+        hi = np.searchsorted(key, key + band_us, side="right")
+        idx = np.arange(len(key))
+        counts = hi - idx - 1
+        # emit only pairs whose earlier member is the replica copy
+        counts = np.where(is_rep, counts, 0)
+        total = int(counts.sum())
+        if not total:
+            return pair_partition(df.iloc[0:0])
+        lefts = np.repeat(idx, counts)
+        starts = np.repeat(np.cumsum(counts) - counts, counts)
+        rights = np.arange(total) - starts + lefts + 1
+        a, b = eid[lefts], eid[rights]
+        lo = np.minimum(a, b)
+        hi_id = np.maximum(a, b)
+        return pd.DataFrame({
+            "event_id_a": pd.Series(lo, dtype="int64"),
+            "event_id_b": pd.Series(hi_id, dtype="int64"),
+            "event_type": etype[lefts],
+            "dt_us": pd.Series(t[rights] - t[lefts], dtype="int64"),
+        })
+
+    replicated = ev.map_batches(replicate, batch_format="pyarrow")
+    return partitioned_group_map(
+        replicated, ["event_type", "bucket"], pair_partition,
+        num_partitions=16,
+    )
+
+
+def events_band_pairs_sql(band_s: int = 60) -> str:
+    band_us = band_s * _US
+    return f"""
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b, a.event_type,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS dt_us
+FROM events a JOIN events b
+  ON a.event_type = b.event_type AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {band_us}
+"""
+
+
+# --- as-of join --------------------------------------------------------------
+
+def q_events_asof_purchase(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: every event gets the user's most recent STRICTLY
+    prior ``purchase`` event (id + microseconds elapsed); ``-1`` when
+    the user has no prior purchase (sentinel instead of NULL so the
+    result hashes identically across engines' nullable-int handling).
+
+    Scale shape: one hash exchange on the key, then a per-partition
+    sort + grouped shift/ffill — the merge scan of a sort-merge as-of
+    join, vectorized.  Both join sides here are one table; two-table
+    as-of works identically by unioning tagged rows first.
+    """
+    ev = _read_events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        is_p = df["event_type"].to_numpy() == "purchase"
+        pid = pd.Series(np.where(is_p, eid, np.nan))
+        pts = pd.Series(np.where(is_p, t, np.nan))
+        grp = pd.Series(uid)
+        # shift(1) then ffill within user == last purchase at a strictly
+        # earlier row in (user, ts) order
+        prior_id = pid.groupby(grp, sort=False).shift(1)
+        prior_id = prior_id.groupby(grp, sort=False).ffill()
+        prior_ts = pts.groupby(grp, sort=False).shift(1)
+        prior_ts = prior_ts.groupby(grp, sort=False).ffill()
+        since = t - prior_ts.to_numpy()
+        return pd.DataFrame({
+            "event_id": pd.Series(eid, dtype="int64"),
+            "user_id": pd.Series(uid, dtype="int64"),
+            "event_type": df["event_type"].to_numpy(),
+            "prior_purchase_id": pd.Series(
+                np.where(np.isnan(prior_id), -1, prior_id), dtype="int64"),
+            "us_since_purchase": pd.Series(
+                np.where(np.isnan(since), -1, since), dtype="int64"),
+        })
+
+    return partitioned_group_map(ev, "user_id", asof, num_partitions=16)
+
+
+EVENTS_ASOF_PURCHASE_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type,
+    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+      OVER win AS ppid,
+    epoch_us(ts) -
+    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+      OVER win AS since
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, event_type,
+       CAST(coalesce(ppid, -1) AS BIGINT) AS prior_purchase_id,
+       CAST(coalesce(since, -1) AS BIGINT) AS us_since_purchase
+FROM w
+"""

@@ -1,0 +1,169 @@
+"""Temporal operators (pipelines/windows.py) against independent
+brute-force references computed in-process on the sf0.001 events table
+(1,000 rows — small enough for O(n^2) truth)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_df():
+    df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    df["epoch_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    return df
+
+
+class TestSessions:
+    def test_matches_bruteforce(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            _value_milli_np,
+            q_events_sessions,
+        )
+
+        gap_us = 1800 * 1_000_000
+        got = (
+            q_events_sessions(SF, gap_s=1800).to_pandas()
+            .sort_values(["user_id", "session_start_us"])
+            .reset_index(drop=True)
+        )
+
+        rows = []
+        for uid, g in events_df.sort_values("epoch_us").groupby("user_id"):
+            t = g["epoch_us"].to_numpy()
+            vm = _value_milli_np(g["value"].to_numpy())
+            brk = np.r_[True, np.diff(t) > gap_us]
+            sid = np.cumsum(brk)
+            for s in np.unique(sid):
+                m = sid == s
+                rows.append((uid, t[m].min(), t[m].max(),
+                             int(m.sum()), int(vm[m].sum())))
+        want = pd.DataFrame(rows, columns=[
+            "user_id", "session_start_us", "session_end_us",
+            "n_events", "sum_value_milli",
+        ]).sort_values(["user_id", "session_start_us"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[want.columns].astype("int64"), want.astype("int64"))
+
+    def test_gap_parameter_merges_sessions(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.windows import q_events_sessions
+
+        tight = q_events_sessions(SF, gap_s=600).count()
+        loose = q_events_sessions(SF, gap_s=6 * 3600).count()
+        assert loose < tight  # larger gap merges sessions
+
+
+class TestSlidingWindow:
+    def test_each_event_in_exactly_reps_windows(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_sliding_window,
+        )
+
+        got = q_events_sliding_window(SF).to_pandas()
+        assert got["n"].sum() == 4 * len(events_df)
+        # every window start is a multiple of the slide
+        assert (got["win_start_us"] % (900 * 1_000_000) == 0).all()
+
+    def test_window_membership_semantics(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_sliding_window,
+        )
+
+        got = q_events_sliding_window(SF).to_pandas()
+        # brute force one (type, window) cell
+        row = got.sort_values(["event_type", "win_start_us"]).iloc[37]
+        lo = row["win_start_us"]
+        hi = lo + 3600 * 1_000_000
+        mask = (
+            (events_df["event_type"] == row["event_type"])
+            & (events_df["epoch_us"] >= lo)
+            & (events_df["epoch_us"] < hi)
+        )
+        assert int(mask.sum()) == row["n"]
+
+    def test_rejects_non_multiple(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_sliding_window,
+        )
+
+        with pytest.raises(ValueError):
+            q_events_sliding_window(SF, window_s=1000, slide_s=300)
+
+
+class TestBandPairs:
+    def _brute(self, events_df, band_us):
+        out = set()
+        by_type = events_df.groupby("event_type")
+        for _etype, g in by_type:
+            t = g["epoch_us"].to_numpy()
+            eid = g["event_id"].to_numpy()
+            d = np.abs(t[:, None] - t[None, :]) <= band_us
+            iu, ju = np.where(np.triu(d, k=1))
+            for i, j in zip(iu, ju):
+                a, b = sorted((int(eid[i]), int(eid[j])))
+                out.add((a, b, int(abs(t[i] - t[j]))))
+        return out
+
+    def test_matches_bruteforce(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_band_pairs,
+        )
+
+        band_s = 3600  # wide band -> plenty of pairs at 1k rows
+        got = q_events_band_pairs(SF, band_s=band_s).to_pandas()
+        got_set = set(zip(got["event_id_a"], got["event_id_b"], got["dt_us"]))
+        assert len(got_set) == len(got)  # exactly-once emission
+        assert got_set == self._brute(events_df, band_s * 1_000_000)
+
+    def test_narrow_band_subset_of_wide(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_band_pairs,
+        )
+
+        narrow = q_events_band_pairs(SF, band_s=1800).to_pandas()
+        wide = q_events_band_pairs(SF, band_s=3600).to_pandas()
+        nset = set(zip(narrow["event_id_a"], narrow["event_id_b"]))
+        wset = set(zip(wide["event_id_a"], wide["event_id_b"]))
+        assert nset < wset
+
+
+class TestAsof:
+    def test_matches_bruteforce(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_asof_purchase,
+        )
+
+        got = (
+            q_events_asof_purchase(SF).to_pandas()
+            .set_index("event_id").sort_index()
+        )
+        assert len(got) == len(events_df)
+        purchases = events_df[events_df["event_type"] == "purchase"]
+        for _, e in events_df.sample(100, random_state=7).iterrows():
+            prior = purchases[
+                (purchases["user_id"] == e["user_id"])
+                & (purchases["epoch_us"] < e["epoch_us"])
+            ]
+            r = got.loc[e["event_id"]]
+            if len(prior):
+                best = prior.loc[prior["epoch_us"].idxmax()]
+                assert r["prior_purchase_id"] == best["event_id"]
+                assert r["us_since_purchase"] == e["epoch_us"] - best["epoch_us"]
+            else:
+                assert r["prior_purchase_id"] == -1
+                assert r["us_since_purchase"] == -1
+
+    def test_purchase_self_is_strictly_prior(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_asof_purchase,
+        )
+
+        got = q_events_asof_purchase(SF).to_pandas()
+        p = got[got["event_type"] == "purchase"]
+        # a purchase never matches itself (strict inequality)
+        assert (p["prior_purchase_id"] != p["event_id"]).all()
+        matched = p[p["prior_purchase_id"] >= 0]
+        assert (matched["us_since_purchase"] > 0).all()
