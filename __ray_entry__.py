@@ -220,6 +220,34 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_index_topk(idx, query_vector(sf_dir), k=10, multiprobe=2)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF top-k through the coarse-quantizer index path: centroid-
+    partitioned parquet built once per source fingerprint, query reads
+    only the nprobe nearest-centroid partitions.  APPROXIMATE by design
+    (k-means training is not SQL-expressible -> rows-only here); the
+    pytest oracle pins nprobe=n_centroids == brute force and recall."""
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        query_vector,
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    idx = os.path.join(
+        "/tmp/graft_ivf_index",
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{st.st_size}-{int(st.st_mtime)}",
+    )
+    if not os.path.isdir(idx):
+        build_ivf_index(rd.read_parquet(emb_path), idx, n_centroids=16)
+    return ivf_index_topk(idx, query_vector(sf_dir), k=10, nprobe=4)
+
+
 def _q_minhash_pairs(sf_dir: str):
     import os
 
@@ -597,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_label_topk": _q_ann_label_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
         "mm_features": _q_mm_features,
         "mm_resize": _q_mm_resize,

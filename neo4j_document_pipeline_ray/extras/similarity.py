@@ -254,33 +254,14 @@ def probe_partition_files(index_dir: str, query: np.ndarray,
     :func:`build_ann_index` layout (n_planes from the index's meta)."""
     meta = read_index_meta(index_dir)
     probe = set(_probe_buckets(query, multiprobe, meta["n_planes"]))
-    files = []
-    for name in sorted(os.listdir(index_dir)):
-        if not name.startswith("bucket="):
-            continue
-        if int(name.split("=", 1)[1]) not in probe:
-            continue
-        d = os.path.join(index_dir, name)
-        files.extend(
-            sorted(os.path.join(d, f) for f in os.listdir(d)
-                   if f.endswith(".parquet"))
-        )
-    return files
+    return _partition_files(index_dir, "bucket", probe)
 
 
-def lsh_index_topk(
-    index_dir: str,
-    query: np.ndarray,
-    k: int = 10,
-    multiprobe: int = 1,
-) -> "ray.data.Dataset":
-    """Approximate top-k against a :func:`build_ann_index` layout: read
-    ONLY the partitions of the probed buckets (multiprobe=1 probes 9 of
-    256 — a few percent of rows leave storage), then score and merge
-    partial top-ks.  Produces results identical to :func:`lsh_topk`
-    with the same ``multiprobe`` (pinned in the suite), without the
-    full scan."""
-    files = probe_partition_files(index_dir, query, multiprobe)
+def _pruned_topk(files: list, query: np.ndarray, k: int) -> "ray.data.Dataset":
+    """Exact cosine top-k over the given parquet files only: per-batch
+    partial top-k with the global-sort tie-break (sim desc, vec_id asc),
+    then a tiny final sort/limit.  Shared by the LSH and IVF index
+    queries — the index layouts differ, the pruned scan does not."""
     if not files:
         return ray.data.from_arrow(pa.table({
             "vec_id": pa.array([], pa.int64()),
@@ -309,16 +290,29 @@ def lsh_index_topk(
     return scored.sort(["sim", "vec_id"], descending=[True, False]).limit(k)
 
 
-def index_scan_fraction(index_dir: str, query: np.ndarray,
-                        multiprobe: int = 1) -> float:
-    """Fraction of indexed rows a query would read (footer counts only)."""
+def _partition_files(index_dir: str, prefix: str, ids: set) -> list:
+    """Parquet files of the ``<prefix>=<id>`` partitions in ``ids``."""
+    files = []
+    for name in sorted(os.listdir(index_dir)):
+        if not name.startswith(prefix + "="):
+            continue
+        if int(name.split("=", 1)[1]) not in ids:
+            continue
+        d = os.path.join(index_dir, name)
+        files.extend(
+            sorted(os.path.join(d, f) for f in os.listdir(d)
+                   if f.endswith(".parquet"))
+        )
+    return files
+
+
+def _partition_scan_fraction(index_dir: str, prefix: str, ids: set) -> float:
+    """Fraction of indexed rows the probed partitions hold (footers only)."""
     import pyarrow.parquet as pq
 
-    probe = set(_probe_buckets(
-        query, multiprobe, read_index_meta(index_dir)["n_planes"]))
     total = read = 0
     for name in os.listdir(index_dir):
-        if not name.startswith("bucket="):
+        if not name.startswith(prefix + "="):
             continue
         d = os.path.join(index_dir, name)
         rows = sum(
@@ -326,9 +320,147 @@ def index_scan_fraction(index_dir: str, query: np.ndarray,
             for f in os.listdir(d) if f.endswith(".parquet")
         )
         total += rows
-        if int(name.split("=", 1)[1]) in probe:
+        if int(name.split("=", 1)[1]) in ids:
             read += rows
     return read / total if total else 0.0
+
+
+def lsh_index_topk(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    multiprobe: int = 1,
+) -> "ray.data.Dataset":
+    """Approximate top-k against a :func:`build_ann_index` layout: read
+    ONLY the partitions of the probed buckets (multiprobe=1 probes 9 of
+    256 — a few percent of rows leave storage), then score and merge
+    partial top-ks.  Produces results identical to :func:`lsh_topk`
+    with the same ``multiprobe`` (pinned in the suite), without the
+    full scan."""
+    files = probe_partition_files(index_dir, query, multiprobe)
+    return _pruned_topk(files, query, k)
+
+
+def index_scan_fraction(index_dir: str, query: np.ndarray,
+                        multiprobe: int = 1) -> float:
+    """Fraction of indexed rows a query would read (footer counts only)."""
+    probe = set(_probe_buckets(
+        query, multiprobe, read_index_meta(index_dir)["n_planes"]))
+    return _partition_scan_fraction(index_dir, "bucket", probe)
+
+
+# --- IVF (coarse-quantizer) index ------------------------------------------
+#
+# The second scale path the LSH layout doesn't cover: hyperplane signs
+# ignore the data distribution, so clustered corpora waste probes on
+# empty sign-buckets.  IVF trains a coarse quantizer (spherical k-means)
+# on a bounded sample and partitions the index by nearest centroid —
+# probing the ``nprobe`` centroids closest to the query reads only
+# those partitions (FAISS's IndexIVFFlat layout, expressed as parquet
+# partitioning; training on a bounded sample is standard IVF practice).
+
+
+def train_ivf_centroids(
+    sample: np.ndarray, n_centroids: int, iters: int = 5
+) -> np.ndarray:
+    """Deterministic spherical k-means: init = the first ``n_centroids``
+    sample rows, fixed iteration count, ties to the lowest centroid id
+    (argmax semantics).  The sample is normalized; empty centroids keep
+    their previous position."""
+    n = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    if len(n) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} training rows, got {len(n)}")
+    c = n[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (n @ c.T).argmax(axis=1)
+        for j in range(n_centroids):  # k iterations, not row iterations
+            sel = n[assign == j]
+            if len(sel):
+                v = sel.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    c[j] = v / norm
+    return c
+
+
+def build_ivf_index(
+    embeddings: "ray.data.Dataset", index_dir: str,
+    n_centroids: int = 16, iters: int = 5, train_rows: int = 4096,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    payload_cols: tuple = (),
+) -> dict:
+    """Materialize an IVF index: train centroids on the first
+    ``train_rows`` rows (deterministic: block order follows sorted input
+    files), then one assignment pass writes the embeddings as parquet
+    PARTITIONED by nearest-centroid id.  Centroids travel in
+    ``_meta.json`` so a query re-ranks them without touching the data.
+    Build is atomic (temp dir + ``os.replace``), like
+    :func:`build_ann_index`."""
+    import json
+    import shutil
+
+    sample_rows = embeddings.limit(train_rows).take_all()
+    sample = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
+    cents = train_ivf_centroids(sample, n_centroids, iters)
+    pay = tuple(payload_cols)
+
+    def with_centroid(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, col=emb_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        assign = ((m / norms[:, None]) @ cents.T).argmax(axis=1)
+        cols = {"vec_id": t[id_col]}
+        for c in pay:
+            cols[c] = t[c]
+        cols["embedding"] = t[emb_col]
+        return pa.table(cols).append_column(
+            "centroid", pa.array(assign.astype(np.int64), pa.int64()))
+
+    tmp_dir = index_dir.rstrip("/") + ".tmp"
+    for d in (tmp_dir, index_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    embeddings.map_batches(with_centroid, batch_format="pyarrow") \
+        .write_parquet(tmp_dir, partition_cols=["centroid"])
+    meta = {
+        "dim": int(cents.shape[1]), "n_centroids": n_centroids,
+        "n_rows": _index_rows(tmp_dir), "payload_cols": list(pay),
+        "centroids": cents.tolist(),
+    }
+    with open(os.path.join(tmp_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_dir, index_dir)
+    return meta
+
+
+def ivf_probe_centroids(index_dir: str, query: np.ndarray,
+                        nprobe: int = 4) -> list:
+    """The ``nprobe`` centroid ids nearest the query (cosine), from the
+    index's own metadata."""
+    meta = read_index_meta(index_dir)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = query / max(np.linalg.norm(query), 1e-12)
+    order = np.argsort(-(cents @ q), kind="stable")
+    return [int(i) for i in order[:nprobe]]
+
+
+def ivf_index_topk(
+    index_dir: str, query: np.ndarray, k: int = 10, nprobe: int = 4
+) -> "ray.data.Dataset":
+    """Approximate top-k against a :func:`build_ivf_index` layout: exact
+    cosine over ONLY the ``nprobe`` probed centroid partitions.  With
+    ``nprobe = n_centroids`` this equals the brute-force scan exactly
+    (pinned in the suite)."""
+    probe = set(ivf_probe_centroids(index_dir, query, nprobe))
+    return _pruned_topk(_partition_files(index_dir, "centroid", probe),
+                        query, k)
+
+
+def ivf_scan_fraction(index_dir: str, query: np.ndarray,
+                      nprobe: int = 4) -> float:
+    """Fraction of indexed rows an IVF query reads (footer counts only)."""
+    probe = set(ivf_probe_centroids(index_dir, query, nprobe))
+    return _partition_scan_fraction(index_dir, "centroid", probe)
 
 
 def embedding_near_dup_pairs(

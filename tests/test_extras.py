@@ -472,6 +472,86 @@ class TestSimilarity:
             assert sims == sorted(sims, reverse=True)
 
 
+class TestIVF:
+    @pytest.fixture()
+    def emb(self, ray_session):
+        import ray.data as rd
+
+        return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_full_probe_equals_brute_force(self, ray_session, emb, tmp_path):
+        """nprobe = n_centroids reads every partition, so the IVF path
+        must reproduce the exact scan bit-for-bit."""
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            brute_force_topk,
+            build_ivf_index,
+            ivf_index_topk,
+            query_vector,
+        )
+
+        q = query_vector("/root/testdata/sf0.001")
+        idx = str(tmp_path / "ivf_index")
+        meta = build_ivf_index(emb, idx, n_centroids=16)
+        assert meta["n_rows"] == 500
+        got = ivf_index_topk(idx, q, k=10, nprobe=16).take_all()
+        want = brute_force_topk(emb, q, k=10).take_all()
+        assert [(r["vec_id"], r["sim"]) for r in got] == [
+            (r["vec_id"], r["sim"]) for r in want
+        ]
+
+    def test_pruned_probe_recall_and_scan_fraction(self, ray_session, emb, tmp_path):
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            brute_force_topk,
+            build_ivf_index,
+            ivf_index_topk,
+            ivf_scan_fraction,
+            query_vector,
+        )
+
+        q = query_vector("/root/testdata/sf0.001")
+        idx = str(tmp_path / "ivf_index")
+        build_ivf_index(emb, idx, n_centroids=16)
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).take_all()}
+        approx = {r["vec_id"] for r in
+                  ivf_index_topk(idx, q, k=10, nprobe=4).take_all()}
+        assert len(exact & approx) >= 7  # recall@10 (measured 0.9 here)
+        frac = ivf_scan_fraction(idx, q, nprobe=4)
+        assert 0 < frac < 0.5, f"IVF scan fraction {frac:.2%}"
+
+    def test_probe_ranks_query_centroid_first(self, ray_session, emb, tmp_path):
+        """The partition holding the query vector itself must be the
+        first probed centroid."""
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            build_ivf_index,
+            ivf_probe_centroids,
+            query_vector,
+        )
+
+        q = query_vector("/root/testdata/sf0.001")
+        idx = str(tmp_path / "ivf_index")
+        build_ivf_index(emb, idx, n_centroids=16)
+        first = ivf_probe_centroids(idx, q, nprobe=1)[0]
+        part = pq.read_table(f"{idx}/centroid={first}")
+        assert 0 in set(part["vec_id"].to_pylist())
+
+    def test_training_is_deterministic(self):
+        import numpy as np
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            train_ivf_centroids,
+        )
+
+        rng = np.random.default_rng(3)
+        sample = rng.standard_normal((200, 8))
+        a = train_ivf_centroids(sample, 4)
+        b = train_ivf_centroids(sample.copy(), 4)
+        assert np.array_equal(a, b)
+        with pytest.raises(ValueError):
+            train_ivf_centroids(sample[:3], 4)
+
+
 class TestTextStats:
     def test_token_count_matches_python(self, ray_session):
         import pyarrow.parquet as pq
