@@ -138,6 +138,11 @@ def run_bench() -> dict:
     timed("rel_segment_topk", rel.q_segment_revenue_topk)
     timed("rel_events_hourly", rel.q_events_hourly)
 
+    from neo4j_document_pipeline_ray.pipelines import windows as win
+
+    timed("events_sessions", win.q_events_sessions)
+    timed("events_band_pairs", win.q_events_band_pairs)
+
     from neo4j_document_pipeline_ray.extras.dedup import (
         exact_dedup_sf,
         minhash_dedup_pairs,
