@@ -572,7 +572,13 @@ def _q_mm_frames(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_document_pipeline_ray.extras.dedup import exact_dedup_sf
-    from neo4j_document_pipeline_ray.extras.textstats import quality_stats, token_count
+    from neo4j_document_pipeline_ray.extras.sampling import docs_stratified_sample
+    from neo4j_document_pipeline_ray.extras.textstats import (
+        length_quantiles,
+        quality_stats,
+        token_count,
+        top_tokens,
+    )
     from neo4j_document_pipeline_ray.pipelines import relational as rel
     from neo4j_document_pipeline_ray.pipelines import windows as win
 
@@ -615,6 +621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data curation extras ---
         "docs_token_count": token_count,
         "docs_quality": quality_stats,
+        "docs_top_tokens": top_tokens,
+        "docs_length_quantiles": length_quantiles,
+        "docs_stratified_sample": docs_stratified_sample,
         "docs_exact_dedup": exact_dedup_sf,
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprints,
@@ -786,11 +795,16 @@ def oracle_sql() -> dict[str, str]:
         NGRAM_JACCARD_SQL,
         SIMHASH_PAIRS_SQL,
     )
+    from neo4j_document_pipeline_ray.extras.sampling import (
+        docs_stratified_sample_sql,
+    )
     from neo4j_document_pipeline_ray.extras.textstats import (
         FINGERPRINT_SQL,
         LANG_ID_SQL,
         QUALITY_SQL,
         TOKEN_COUNT_SQL,
+        length_quantiles_sql,
+        top_tokens_sql,
     )
     from neo4j_document_pipeline_ray.functions.chunking import chunks_sql
     from neo4j_document_pipeline_ray.pipelines import relational as rel
@@ -918,6 +932,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_purchase": win.EVENTS_ASOF_PURCHASE_SQL,
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_quality": QUALITY_SQL,
+        "docs_top_tokens": top_tokens_sql(),
+        "docs_length_quantiles": length_quantiles_sql(),
+        "docs_stratified_sample": docs_stratified_sample_sql(),
         "docs_lang_id": LANG_ID_SQL,
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,

@@ -231,3 +231,103 @@ def _fingerprint_sql() -> str:
 
 
 FINGERPRINT_SQL = _fingerprint_sql()
+
+
+# --- vocabulary heavy hitters ----------------------------------------------
+
+def top_tokens(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
+    """Global top-k most frequent lowercase whitespace tokens — the
+    vocabulary heavy-hitter pass of a corpus audit.  Textbook two-phase
+    shape: every batch collapses to its own (token, count) partials
+    (``value_counts`` on the flattened split array), so the exchange
+    carries vocabularies, not tokens; ties break lexicographically."""
+    ds = _read_documents(sf_dir, ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    agg = hash_aggregate(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        "token", [("n", "sum", "n")],
+    )
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def top_tokens_sql(k: int = 50) -> str:
+    return f"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+    FROM documents WHERE trim(text) <> ''
+)
+SELECT token, count(*) AS n
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {k}
+"""
+
+
+# --- exact distributed quantiles -------------------------------------------
+
+_QUANTILES = ((1, 2), (9, 10), (99, 100))  # P50 / P90 / P99 as exact rationals
+
+
+def length_quantiles(sf_dir: str, col: str = "n_chars"):
+    """EXACT quantiles of an integer column at any scale, without a
+    global sort: per-batch ``value_counts`` partials -> one small
+    (value, count) hash aggregate (cardinality = distinct lengths, not
+    rows) -> the quantile read off the merged histogram.  Matches
+    DuckDB ``quantile_disc`` (k-th smallest, k = ceil(q*n), computed in
+    integer math so no float-ceil edge cases).  Returns a pyarrow
+    Table (three rows — driver-side finalization on the tiny
+    histogram, like the other small finals)."""
+    import numpy as np
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    ds = _read_documents(sf_dir, [col])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vc = t[col].combine_chunks().value_counts()
+        return pa.table({
+            "v": pc.cast(vc.field("values"), pa.int64()),
+            "c": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    hist = hash_aggregate(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        "v", [("c", "sum", "c")],
+    ).sort("v").take_all()
+    vals = np.asarray([r["v"] for r in hist], dtype=np.int64)
+    cnts = np.asarray([r["c"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for num, den in _QUANTILES:
+        kth = (num * n + den - 1) // den  # ceil(q*n) exactly
+        idx = int(np.searchsorted(cum, kth))
+        out_q.append(num / den)
+        out_v.append(int(vals[idx]))
+    return pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.int64()),
+    })
+
+
+def length_quantiles_sql(col: str = "n_chars") -> str:
+    qs = ", ".join(f"{num}/{den}::DOUBLE" for num, den in _QUANTILES)
+    vs = ", ".join(
+        f"quantile_disc({col}, {num}::DOUBLE/{den})" for num, den in _QUANTILES)
+    return f"""
+SELECT unnest([{qs}]) AS q, unnest([{vs}]) AS value FROM documents
+"""

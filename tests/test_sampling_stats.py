@@ -1,0 +1,80 @@
+"""Curation extras: heavy-hitter tokens, exact quantiles, stratified
+sampling — checked against in-process Python truth on sf0.001."""
+
+import collections
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+class TestTopTokens:
+    def test_matches_counter(self, ray_session, docs_df):
+        from neo4j_document_pipeline_ray.extras.textstats import top_tokens
+
+        got = top_tokens(SF, k=20).take_all()
+        c = collections.Counter()
+        for text in docs_df["text"]:
+            c.update(tok for tok in text.lower().split() if tok)
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert [(r["token"], r["n"]) for r in got] == want
+
+
+class TestLengthQuantiles:
+    def test_matches_kth_smallest(self, ray_session, docs_df):
+        from neo4j_document_pipeline_ray.extras.textstats import length_quantiles
+
+        got = length_quantiles(SF).to_pydict()
+        v = np.sort(docs_df["n_chars"].to_numpy())
+        n = len(v)
+        for q, val in zip(got["q"], got["value"]):
+            kth = int(np.ceil(round(q * n, 9)))  # ceil(q*n), float-safe
+            assert val == v[kth - 1], (q, val, v[kth - 1])
+
+
+class TestStratifiedSample:
+    def test_ranks_and_counts(self, ray_session, docs_df):
+        from neo4j_document_pipeline_ray.extras.sampling import (
+            docs_stratified_sample,
+        )
+
+        got = docs_stratified_sample(SF, per_stratum=7).to_pandas()
+        per = got.groupby("lang")["sample_rank"].agg(["count", "min", "max"])
+        for lang, row in per.iterrows():
+            avail = int((docs_df["lang"] == lang).sum())
+            expect = min(7, avail)
+            assert row["count"] == expect
+            assert row["min"] == 1 and row["max"] == expect
+        # ranks are contiguous 1..n per stratum
+        for _lang, g in got.groupby("lang"):
+            assert sorted(g["sample_rank"]) == list(range(1, len(g) + 1))
+
+    def test_deterministic_and_nested(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.sampling import (
+            docs_stratified_sample,
+        )
+
+        a = docs_stratified_sample(SF, per_stratum=5).to_pandas()
+        b = docs_stratified_sample(SF, per_stratum=5).to_pandas()
+        key = ["doc_id", "lang", "sample_rank"]
+        assert sorted(map(tuple, a[key].values.tolist())) == \
+               sorted(map(tuple, b[key].values.tolist()))
+        wide = docs_stratified_sample(SF, per_stratum=20).to_pandas()
+        narrow_set = set(map(tuple, a[key].values.tolist()))
+        wide_set = set(map(tuple, wide[key].values.tolist()))
+        assert narrow_set <= wide_set  # same hash order -> nested samples
+
+    def test_sample_key_vectorized_matches_scalar(self):
+        from neo4j_document_pipeline_ray.extras.sampling import sample_key
+
+        ids = np.array([0, 1, 7, 123456789], dtype=np.int64)
+        got = sample_key(ids)
+        want = [(i * 2654435761) % (2**32) for i in ids.tolist()]
+        assert got.tolist() == want
