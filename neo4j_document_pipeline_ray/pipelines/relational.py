@@ -27,9 +27,12 @@ import pyarrow.compute as pc
 
 import ray.data
 
+import numpy as np
+
 from neo4j_document_pipeline_ray.stages.grouped import (
     broadcast_join,
     hash_aggregate,
+    partitioned_group_map,
     safe_join,
 )
 
@@ -238,6 +241,59 @@ SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
 FROM orders
 ORDER BY total_cents DESC, o_orderkey
 LIMIT 20
+"""
+
+
+# --- anti-join (§2.4 join-variant: set subtraction at scale) ---
+
+def q_orders_no_lineitem(sf_dir: str) -> "ray.data.Dataset":
+    """Orders with NO lineitem rows — a distributed anti-join.  Ray
+    Data has no anti join type, so it is composed from the engine's
+    primitives: tag both sides, union (one schema, right side carries
+    null payload), hash-partition by the key, and subtract per
+    partition with a vectorized ``isin``.  Both sides shrink before
+    the exchange: the probe side collapses to per-batch distinct keys
+    (~4x here), and only the key + payload columns travel."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "total_cents": _cents(t["o_totalprice"]),
+            "is_left": pa.array(np.ones(t.num_rows, dtype=bool)),
+        })
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t["l_orderkey"].combine_chunks())
+        return pa.table({
+            "o_orderkey": keys,
+            "total_cents": pa.nulls(len(keys), pa.int64()),
+            "is_left": pa.array(np.zeros(len(keys), dtype=bool)),
+        })
+
+    tagged = orders.map_batches(tag_left, batch_format="pyarrow").union(
+        li.map_batches(tag_right, batch_format="pyarrow"))
+
+    def subtract(df):
+        import pandas as pd
+
+        present = df.loc[~df["is_left"], "o_orderkey"].unique()
+        keep = df[df["is_left"] & ~df["o_orderkey"].isin(present)]
+        return pd.DataFrame({
+            "o_orderkey": keep["o_orderkey"].astype("int64"),
+            "total_cents": keep["total_cents"].astype("int64"),
+        })
+
+    return partitioned_group_map(tagged, "o_orderkey", subtract,
+                                 num_partitions=16)
+
+
+Q_ORDERS_NO_LINEITEM_SQL = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 """
 
 
