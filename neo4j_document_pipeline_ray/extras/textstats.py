@@ -312,6 +312,9 @@ def length_quantiles(sf_dir: str, col: str = "n_chars"):
     cnts = np.asarray([r["c"] for r in hist], dtype=np.int64)
     cum = np.cumsum(cnts)
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64())})
     out_q, out_v = [], []
     for num, den in _QUANTILES:
         kth = (num * n + den - 1) // den  # ceil(q*n) exactly
