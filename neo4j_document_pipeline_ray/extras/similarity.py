@@ -383,24 +383,51 @@ def train_ivf_centroids(
     return c
 
 
+def _hash_sample(embeddings: "ray.data.Dataset", id_col: str,
+                 emb_col: str, train_rows: int) -> np.ndarray:
+    """Deterministic unbiased training sample: keep rows whose stable
+    id-hash falls under ``~1.5 * train_rows / n`` of the hash space
+    (so a sorted or clustered input ordering cannot bias the
+    centroids), then cap at ``train_rows``.  One cheap count + one
+    filtered pass — build-time only."""
+    import pandas as pd
+
+    n = embeddings.count()
+    if n <= train_rows:
+        rows = embeddings.take_all()
+        return np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+
+    threshold = min(1 << 32, int((1 << 32) * 1.5 * train_rows / n))
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t[id_col].to_pandas(), index=False).to_numpy()
+        return t.filter(pa.array((h % (1 << 32)) < threshold))
+
+    rows = embeddings.map_batches(keep, batch_format="pyarrow") \
+        .limit(train_rows).take_all()
+    if len(rows) < train_rows // 4:  # pathological id distribution
+        rows = embeddings.limit(train_rows).take_all()
+    return np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+
+
 def build_ivf_index(
     embeddings: "ray.data.Dataset", index_dir: str,
     n_centroids: int = 16, iters: int = 5, train_rows: int = 4096,
     id_col: str = "vec_id", emb_col: str = "embedding",
     payload_cols: tuple = (),
 ) -> dict:
-    """Materialize an IVF index: train centroids on the first
-    ``train_rows`` rows (deterministic: block order follows sorted input
-    files), then one assignment pass writes the embeddings as parquet
-    PARTITIONED by nearest-centroid id.  Centroids travel in
-    ``_meta.json`` so a query re-ranks them without touching the data.
-    Build is atomic (temp dir + ``os.replace``), like
-    :func:`build_ann_index`."""
+    """Materialize an IVF index: train centroids on a deterministic
+    id-hash sample of ``train_rows`` rows (unbiased by input ordering —
+    see :func:`_hash_sample`), then one assignment pass writes the
+    embeddings as parquet PARTITIONED by nearest-centroid id.
+    Centroids travel in ``_meta.json`` so a query re-ranks them without
+    touching the data.  Build is atomic (temp dir + ``os.replace``),
+    like :func:`build_ann_index`."""
     import json
     import shutil
 
-    sample_rows = embeddings.limit(train_rows).take_all()
-    sample = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
+    sample = _hash_sample(embeddings, id_col, emb_col, train_rows)
     cents = train_ivf_centroids(sample, n_centroids, iters)
     pay = tuple(payload_cols)
 

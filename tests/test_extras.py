@@ -536,6 +536,28 @@ class TestIVF:
         part = pq.read_table(f"{idx}/centroid={first}")
         assert 0 in set(part["vec_id"].to_pylist())
 
+    def test_hash_sample_deterministic_and_unbiased(self, ray_session, emb):
+        """The training sample is a pure function of the ids (stable
+        across runs) and not a prefix of the input order."""
+        import numpy as np
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.similarity import _hash_sample
+
+        a = _hash_sample(emb, "vec_id", "embedding", 100)
+        b = _hash_sample(
+            rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet"),
+            "vec_id", "embedding", 100)
+        assert np.array_equal(a, b)
+        assert 25 <= len(a) <= 100  # 1.5x-threshold sample, capped
+        # prefix-bias check: reconstruct which ids got sampled
+        import pyarrow.parquet as pq
+        t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        by_vec = {tuple(np.asarray(e, dtype=np.float64)): i
+                  for i, e in enumerate(t["embedding"].to_pylist())}
+        picked = [by_vec[tuple(row)] for row in a]
+        assert max(picked) > 250  # reaches past the first half of input
+
     def test_training_is_deterministic(self):
         import numpy as np
 
