@@ -446,6 +446,16 @@ def _q_kg_khop(sf_dir: str):
     return pd.DataFrame({"entity_id": pd.Series(ids, dtype="int64")})
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Integer PageRank over the KG edge table (3 rounds, 85/100
+    damping, scale 1e9) — the bulk graph-analytics pass Neo4j would
+    provide in the reference.  Integer arithmetic makes the distributed
+    result bit-identical to the unrolled-SQL oracle."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import pagerank
+
+    return pagerank(_kg(sf_dir)["edges"], iters=3)
+
+
 def _q_kg_graphrag(sf_dir: str):
     import pandas as pd
 
@@ -605,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_lang_stats": _q_pages_lang_stats,
         "kg_label_counts": _q_kg_label_counts,
         "kg_rel_counts": _q_kg_rel_counts,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_graphrag": _q_kg_graphrag,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
@@ -788,6 +799,41 @@ def _khop_sql(nsub: str, nobj: str) -> str:
     """
 
 
+def _pagerank_sql(nsub: str, nobj: str, iters: int = 3) -> str:
+    """Unrolled integer-PageRank mirror of pipelines/graph_algo.py —
+    exact because both sides use only BIGINT floor arithmetic."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import PR_SCALE
+
+    num, den = 85, 100
+    base = (PR_SCALE * (den - num)) // den
+    ctes = [f"""
+        e AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), nodes AS (
+            SELECT s AS id FROM e UNION SELECT d FROM e
+        ), deg AS (
+            SELECT s, count(*) AS outdeg FROM e GROUP BY s
+        ), i0 AS (
+            SELECT id, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes
+        )"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        i{k} AS (
+            SELECT n.id,
+                   CAST({base} + ({num} * coalesce(si.s_in, 0)) // {den}
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.d AS id, sum(p.r // dg.outdeg) AS s_in
+                FROM e JOIN i{k-1} p ON e.s = p.id
+                       JOIN deg dg ON dg.s = e.s
+                GROUP BY e.d
+            ) si ON n.id = si.id
+        )""")
+    return ("WITH " + ",".join(ctes)
+            + f" SELECT id AS entity_id, r AS rank_scaled FROM i{iters}")
+
+
 def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.dedup import (
         EXACT_DEDUP_SQL,
@@ -891,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         # the scan path, so it shares the same oracle
         "kg_bm25_index_topk": _bm25_topk_sql(nname),
         "kg_khop": _khop_sql(nsub, nobj),
+        "kg_pagerank": _pagerank_sql(nsub, nobj),
         "pages_lang_stats": f"""
             SELECT lang, count(*) AS n,
                    strftime(min(warc_ts), '%Y-%m-%d %H:%M:%S') AS first_ts,

@@ -1,0 +1,56 @@
+"""Integer PageRank: distributed result must replay bit-for-bit against
+the pure-Python integer reference (the same determinism contract the
+SQL oracle relies on)."""
+
+import pyarrow as pa
+import pytest
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src_id": pa.array([a for a, _ in pairs], pa.int64()),
+        "dst_id": pa.array([b for _, b in pairs], pa.int64()),
+    }))
+
+
+class TestPagerank:
+    def test_matches_integer_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            pagerank,
+            pagerank_reference,
+        )
+
+        # a small graph with a hub, a sink, a dangling node, a cycle,
+        # and duplicate edges (must collapse to DISTINCT pairs)
+        pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 6),
+                 (6, 5), (1, 2), (7, 3)]  # 7 -> 3 and 7 dangles after
+        got = {r["entity_id"]: r["rank_scaled"]
+               for r in pagerank(_edges_ds(pairs), iters=4).take_all()}
+        want = pagerank_reference(pairs, iters=4)
+        assert got == want
+
+    def test_sink_outranks_source(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import pagerank
+
+        # stars into node 0; node 0 points back to 1 only
+        pairs = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+        got = {r["entity_id"]: r["rank_scaled"]
+               for r in pagerank(_edges_ds(pairs), iters=3).take_all()}
+        assert got[0] == max(got.values())
+        assert got[0] > got[2] > 0
+
+    def test_iterations_converge_toward_fixpoint(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            pagerank_reference,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 2)]
+        r3 = pagerank_reference(pairs, iters=3)
+        r8 = pagerank_reference(pairs, iters=8)
+        r9 = pagerank_reference(pairs, iters=9)
+        # successive-iterate distance shrinks (geometric contraction)
+        d38 = sum(abs(r3[k] - r8[k]) for k in r3)
+        d89 = sum(abs(r8[k] - r9[k]) for k in r8)
+        assert d89 < d38
