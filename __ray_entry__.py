@@ -456,6 +456,12 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(_kg(sf_dir)["edges"], iters=3)
 
 
+def _q_kg_degree_topk(sf_dir: str):
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import degree_topk
+
+    return degree_topk(_kg(sf_dir)["edges"], k=20)
+
+
 def _q_kg_graphrag(sf_dir: str):
     import pandas as pd
 
@@ -616,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_label_counts": _q_kg_label_counts,
         "kg_rel_counts": _q_kg_rel_counts,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_degree_topk": _q_kg_degree_topk,
         "kg_graphrag": _q_kg_graphrag,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
@@ -938,6 +945,23 @@ def oracle_sql() -> dict[str, str]:
         "kg_bm25_index_topk": _bm25_topk_sql(nname),
         "kg_khop": _khop_sql(nsub, nobj),
         "kg_pagerank": _pagerank_sql(nsub, nobj),
+        "kg_degree_topk": f"""
+            WITH e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+                FROM read_parquet('{_TRUTH_001}')
+            ), ends AS (
+                SELECT s AS entity_id, 1 AS is_out FROM e
+                UNION ALL
+                SELECT d, 0 FROM e
+            )
+            SELECT entity_id,
+                   CAST(sum(is_out) AS BIGINT) AS out_deg,
+                   count(*) - CAST(sum(is_out) AS BIGINT) AS in_deg,
+                   count(*) AS degree
+            FROM ends GROUP BY entity_id
+            ORDER BY degree DESC, entity_id
+            LIMIT 20
+        """,
         "pages_lang_stats": f"""
             SELECT lang, count(*) AS n,
                    strftime(min(warc_ts), '%Y-%m-%d %H:%M:%S') AS first_ts,

@@ -134,3 +134,47 @@ def pagerank_reference(edge_pairs, iters: int = 3, scale: int = PR_SCALE,
             s_in[v] += r[u] // outdeg[u]
         r = {v: base + (num * s_in[v]) // den for v in nodes}
     return r
+
+
+def degree_topk(
+    edges: "ray.data.Dataset", k: int = 20,
+    src_col: str = "src_id", dst_col: str = "dst_id",
+) -> "ray.data.Dataset":
+    """Top-k nodes by total degree over DISTINCT ``(src, dst)`` pairs,
+    with the out/in split — the hub report of a KG audit.  ONE exchange:
+    each distinct edge emits two tagged endpoint rows and a single hash
+    aggregate produces out (sum of tags), total (count) and in
+    (difference); ties break on entity_id."""
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col]),
+        [src_col, dst_col], [(None, "count", "_m")],
+    ).drop_columns(["_m"])
+
+    def ends(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "entity_id": pa.concat_arrays([
+                t[src_col].combine_chunks(), t[dst_col].combine_chunks(),
+            ]),
+            "is_out": pa.concat_arrays([
+                pa.array([1] * n, pa.int64()), pa.array([0] * n, pa.int64()),
+            ]),
+        })
+
+    agg = hash_aggregate(
+        e.map_batches(ends, batch_format="pyarrow"),
+        "entity_id",
+        [("is_out", "sum", "out_deg"), (None, "count", "degree")],
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity_id": t["entity_id"],
+            "out_deg": t["out_deg"],
+            "in_deg": pc.subtract(t["degree"], t["out_deg"]),
+            "degree": t["degree"],
+        })
+
+    return (agg.map_batches(split, batch_format="pyarrow")
+            .sort(["degree", "entity_id"], descending=[True, False])
+            .limit(k))
