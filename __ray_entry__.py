@@ -462,6 +462,17 @@ def _q_kg_degree_topk(sf_dir: str):
     return degree_topk(_kg(sf_dir)["edges"], k=20)
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Per-node triangle counts over the KG edge table (Neo4j GDS
+    triangleCount analog) — degree-ordered node-iterator, wedge
+    closure by hash-partitioned intersection."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        triangle_counts,
+    )
+
+    return triangle_counts(_kg(sf_dir)["edges"])
+
+
 def _q_kg_graphrag(sf_dir: str):
     import pandas as pd
 
@@ -623,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rel_counts": _q_kg_rel_counts,
         "kg_pagerank": _q_kg_pagerank,
         "kg_degree_topk": _q_kg_degree_topk,
+        "kg_triangles": _q_kg_triangles,
         "kg_graphrag": _q_kg_graphrag,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
@@ -961,6 +973,26 @@ def oracle_sql() -> dict[str, str]:
             FROM ends GROUP BY entity_id
             ORDER BY degree DESC, entity_id
             LIMIT 20
+        """,
+        "kg_triangles": f"""
+            WITH e0 AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+                FROM read_parquet('{_TRUTH_001}')
+            ), e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e0 WHERE s <> d
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ), ends AS (
+                SELECT x AS entity_id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT entity_id, count(*) AS n_triangles
+            FROM ends GROUP BY entity_id
         """,
         "pages_lang_stats": f"""
             SELECT lang, count(*) AS n,

@@ -54,3 +54,49 @@ class TestPagerank:
         d38 = sum(abs(r3[k] - r8[k]) for k in r3)
         d89 = sum(abs(r8[k] - r9[k]) for k in r8)
         assert d89 < d38
+
+
+class TestTriangles:
+    def test_matches_python_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            triangle_counts,
+            triangle_counts_reference,
+        )
+
+        # K4 on {1,2,3,4} (4 triangles), a pendant, a self-loop,
+        # duplicate + reversed edges (direction must not matter),
+        # and a disjoint triangle {10,11,12}
+        pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 5), (2, 1), (1, 2),
+                 (10, 11), (11, 12), (12, 10)]
+        got = {r["entity_id"]: r["n_triangles"]
+               for r in triangle_counts(_edges_ds(pairs)).take_all()}
+        want = triangle_counts_reference(pairs)
+        assert got == want
+        assert got[1] == 3  # each K4 vertex sits in 3 triangles
+        assert got[10] == 1
+        assert 5 not in got  # pendant joins no triangle
+
+    def test_triangle_free_graph_is_empty(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            triangle_counts,
+        )
+
+        # a path and a star: no triangles anywhere
+        pairs = [(1, 2), (2, 3), (3, 4), (9, 5), (9, 6), (9, 7)]
+        assert triangle_counts(_edges_ds(pairs)).take_all() == []
+
+    def test_hub_graph_matches(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            triangle_counts,
+            triangle_counts_reference,
+        )
+
+        # hot hub: node 0 connected to all, plus a ring — exercises
+        # the degree-ordering orientation (hub must not explode wedges)
+        n = 40
+        pairs = [(0, i) for i in range(1, n)]
+        pairs += [(i, i % (n - 1) + 1) for i in range(1, n)]
+        got = {r["entity_id"]: r["n_triangles"]
+               for r in triangle_counts(_edges_ds(pairs)).take_all()}
+        assert got == triangle_counts_reference(pairs)
