@@ -473,6 +473,17 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(_kg(sf_dir)["edges"])
 
 
+def _q_kg_cooccur_topk(sf_dir: str):
+    """Top entity pairs by doc-level co-occurrence lift over the
+    mentions table — the relatedness signal for KG edge proposal /
+    conflation review.  Integer lift, so the SQL replay hash-matches."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        cooccurrence_topk,
+    )
+
+    return cooccurrence_topk(_kg(sf_dir)["mentions"], k=50, min_count=2)
+
+
 def _q_kg_graphrag(sf_dir: str):
     import pandas as pd
 
@@ -635,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_triangles": _q_kg_triangles,
+        "kg_cooccur_topk": _q_kg_cooccur_topk,
         "kg_graphrag": _q_kg_graphrag,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
@@ -993,6 +1005,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT entity_id, count(*) AS n_triangles
             FROM ends GROUP BY entity_id
+        """,
+        "kg_cooccur_topk": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            ), m AS (
+                SELECT DISTINCT doc_id, {_eid_sql(nname)} AS entity_id FROM (
+                    SELECT doc_id, subject AS name FROM t
+                    UNION ALL SELECT doc_id, object FROM t
+                )
+            ), nd AS (
+                SELECT count(DISTINCT doc_id) AS n FROM m
+            ), c AS (
+                SELECT entity_id, count(*) AS cnt FROM m GROUP BY 1
+            ), p2 AS (
+                SELECT m1.entity_id AS entity_a, m2.entity_id AS entity_b,
+                       count(*) AS n_docs_both
+                FROM m m1 JOIN m m2 ON m1.doc_id = m2.doc_id
+                                    AND m1.entity_id < m2.entity_id
+                GROUP BY 1, 2
+            )
+            SELECT entity_a, entity_b, n_docs_both,
+                   CAST((n_docs_both * (SELECT n FROM nd) * 1000000)
+                        // (ca.cnt * cb.cnt) AS BIGINT) AS lift_scaled
+            FROM p2
+            JOIN c ca ON ca.entity_id = entity_a
+            JOIN c cb ON cb.entity_id = entity_b
+            WHERE n_docs_both >= 2
+            ORDER BY lift_scaled DESC, entity_a, entity_b
+            LIMIT 50
         """,
         "pages_lang_stats": f"""
             SELECT lang, count(*) AS n,

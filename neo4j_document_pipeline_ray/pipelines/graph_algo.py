@@ -366,3 +366,152 @@ def triangle_counts_reference(edge_pairs) -> dict:
                 for n in (a, b, c):
                     counts[n] = counts.get(n, 0) + 1
     return counts
+
+
+# --- entity co-occurrence --------------------------------------------------
+
+COOC_SCALE = 10**6
+
+
+def cooccurrence_topk(
+    mentions: "ray.data.Dataset",
+    k: int = 50,
+    min_count: int = 2,
+    scale: int = COOC_SCALE,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Top-k entity pairs by co-occurrence lift over the mentions table
+    (``doc_id, entity_id``, distinct) — the relatedness signal a KG
+    curation pass uses to propose missing edges / flag conflations.
+
+    ``lift = P(a,b) / (P(a) P(b))`` with doc-level probabilities; kept
+    INTEGER (``lift_scaled = (c_ab * n_docs * scale) // (c_a * c_b)``)
+    so the distributed result hash-matches a DuckDB replay — float
+    log-PMI cannot promise that.  ``n_docs * c_ab * scale`` must fit
+    int64: fine to ~10^9 docs at the default scale; beyond that drop
+    ``scale`` or switch the final projection to float PMI.
+
+    Shape: pair generation is per-doc (numpy triu inside a hash
+    partition — a doc's entity set is small and already distinct);
+    pair counts and entity counts are two-phase hash aggregates;
+    entity counts are node-sided O(V) and ride ``broadcast_join``'s
+    size gate; top-k is a per-batch partial with the global-sort
+    tie-break (lift desc, entity_a, entity_b).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ments = mentions.select_columns(["doc_id", "entity_id"])
+
+    # n_docs: count of distinct docs (one tiny aggregate; the scalar
+    # is closed over, not re-shipped per batch)
+    n_docs = hash_aggregate(
+        ments.select_columns(["doc_id"]), "doc_id", [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).count()
+
+    ecnt = hash_aggregate(
+        ments, "entity_id", [(None, "count", "cnt")],
+        num_partitions=num_partitions,
+    )
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["doc_id", "entity_id"], kind="mergesort")
+        d = df["doc_id"].to_numpy()
+        e = df["entity_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        ends_ = np.r_[starts[1:], len(d)]
+        xs, ys = [], []
+        for s, t_ in zip(starts, ends_):
+            n = t_ - s
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            ent = e[s:t_]  # sorted, so pairs come out (lo, hi)
+            xs.append(ent[i])
+            ys.append(ent[j])
+        if not xs:
+            return pd.DataFrame({
+                "entity_a": pd.Series([], dtype="int64"),
+                "entity_b": pd.Series([], dtype="int64"),
+            })
+        return pd.DataFrame({
+            "entity_a": np.concatenate(xs),
+            "entity_b": np.concatenate(ys),
+        })
+
+    pair_ds = partitioned_group_map(
+        ments, "doc_id", pairs, num_partitions=num_partitions)
+
+    pcnt = hash_aggregate(
+        pair_ds, ["entity_a", "entity_b"], [(None, "count", "n_docs_both")],
+        num_partitions=num_partitions,
+    )
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_docs_both"], min_count))
+
+    pcnt = pcnt.map_batches(flt, batch_format="pyarrow")
+
+    with_a = broadcast_join(pcnt, ecnt, on=("entity_a",),
+                            right_on=("entity_id",))
+    with_a = with_a.map_batches(
+        lambda t: t.rename_columns(
+            [{"cnt": "cnt_a"}.get(c, c) for c in t.schema.names]),
+        batch_format="pyarrow")
+    both = broadcast_join(with_a, ecnt, on=("entity_b",),
+                          right_on=("entity_id",))
+
+    def score(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cab = t["n_docs_both"].to_numpy()
+        ca = t["cnt_a"].to_numpy()
+        cb = t["cnt"].to_numpy()
+        lift = (cab.astype(np.int64) * n_docs * scale) // (ca * cb)
+        out = pa.table({
+            "entity_a": t["entity_a"],
+            "entity_b": t["entity_b"],
+            "n_docs_both": t["n_docs_both"],
+            "lift_scaled": pa.array(lift, pa.int64()),
+        })
+        if out.num_rows > k:
+            # partial top-k with the SAME tie-break as the global sort
+            order = np.lexsort((
+                out["entity_b"].to_numpy(), out["entity_a"].to_numpy(),
+                -out["lift_scaled"].to_numpy(),
+            ))[:k]
+            out = out.take(pa.array(np.sort(order)))
+        return out
+
+    scored = both.map_batches(score, batch_format="pyarrow")
+    return scored.sort(
+        ["lift_scaled", "entity_a", "entity_b"],
+        descending=[True, False, False],
+    ).limit(k)
+
+
+def cooccurrence_reference(mention_pairs, n_docs: int = None,
+                           min_count: int = 2,
+                           scale: int = COOC_SCALE) -> dict:
+    """Pure-Python replay of the exact integer lift (test oracle).
+    Returns {(a, b): (c_ab, lift_scaled)} for pairs with c_ab >= min_count."""
+    ments = sorted(set(mention_pairs))
+    docs = sorted({d for d, _ in ments})
+    nd = n_docs if n_docs is not None else len(docs)
+    cnt: dict = {}
+    for _, e in ments:
+        cnt[e] = cnt.get(e, 0) + 1
+    by_doc: dict = {}
+    for d, e in ments:
+        by_doc.setdefault(d, []).append(e)
+    cab: dict = {}
+    for d, es in by_doc.items():
+        es = sorted(es)
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                cab[(es[i], es[j])] = cab.get((es[i], es[j]), 0) + 1
+    return {
+        p: (c, (c * nd * scale) // (cnt[p[0]] * cnt[p[1]]))
+        for p, c in cab.items() if c >= min_count
+    }

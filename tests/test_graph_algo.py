@@ -100,3 +100,48 @@ class TestTriangles:
         got = {r["entity_id"]: r["n_triangles"]
                for r in triangle_counts(_edges_ds(pairs)).take_all()}
         assert got == triangle_counts_reference(pairs)
+
+
+class TestCooccurrence:
+    def _mentions_ds(self, pairs):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([d for d, _ in pairs], pa.string()),
+            "entity_id": pa.array([e for _, e in pairs], pa.int64()),
+        }))
+
+    def test_matches_python_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            cooccurrence_reference,
+            cooccurrence_topk,
+        )
+
+        # 4 docs; (1,2) co-occur in d1, d2 and d3; d4 is a singleton
+        pairs = [("d1", 1), ("d1", 2), ("d1", 3),
+                 ("d2", 1), ("d2", 2),
+                 ("d3", 2), ("d3", 3), ("d3", 1),
+                 ("d4", 9)]
+        got = {(r["entity_a"], r["entity_b"]): (r["n_docs_both"], r["lift_scaled"])
+               for r in cooccurrence_topk(
+                   self._mentions_ds(pairs), k=10, min_count=2).take_all()}
+        want = cooccurrence_reference(pairs, min_count=2)
+        assert got == want
+        # (1,2): c_ab=3, c_1=3, c_2=3, n=4 -> 3*4*1e6 // 9
+        assert got[(1, 2)] == (3, (3 * 4 * 10**6) // 9)
+
+    def test_min_count_filters_and_k_truncates(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            cooccurrence_topk,
+        )
+
+        pairs = [("d1", 1), ("d1", 2),   # (1,2) once only
+                 ("d2", 3), ("d2", 4),
+                 ("d3", 3), ("d3", 4),
+                 ("d4", 5), ("d4", 6),
+                 ("d5", 5), ("d5", 6)]
+        rows = cooccurrence_topk(
+            self._mentions_ds(pairs), k=1, min_count=2).take_all()
+        assert len(rows) == 1
+        # (3,4) and (5,6) tie on lift; tie-break = smaller entity_a
+        assert (rows[0]["entity_a"], rows[0]["entity_b"]) == (3, 4)
