@@ -339,6 +339,14 @@ def _q_lang_id(sf_dir: str):
     return lang_id(sf_dir)
 
 
+def _q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition signals (dup-line / dup-char /
+    top-2-gram fractions, integer-scaled) over documents."""
+    from neo4j_document_pipeline_ray.extras.textstats import repetition_stats
+
+    return repetition_stats(sf_dir)
+
+
 def _q_fingerprints(sf_dir: str):
     from neo4j_document_pipeline_ray.extras.textstats import fingerprints
 
@@ -670,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": exact_dedup_sf,
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprints,
+        "docs_repetition": _q_docs_repetition,
         "docs_ngram_jaccard": _q_ngram_jaccard,
         "docs_minhash_pairs": _q_minhash_pairs,
         "docs_minhash_components": _q_minhash_components,
@@ -878,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from neo4j_document_pipeline_ray.extras.textstats import (
         FINGERPRINT_SQL,
+        REPETITION_SQL,
         LANG_ID_SQL,
         QUALITY_SQL,
         TOKEN_COUNT_SQL,
@@ -1085,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": docs_stratified_sample_sql(),
         "docs_lang_id": LANG_ID_SQL,
         "docs_fingerprint": FINGERPRINT_SQL,
+        "docs_repetition": REPETITION_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
         # exact given the band recall guarantee (hamming <= 3 over 4

@@ -334,3 +334,189 @@ def length_quantiles_sql(col: str = "n_chars") -> str:
     return f"""
 SELECT unnest([{qs}]) AS q, unnest([{vs}]) AS value FROM documents
 """
+
+
+# --- repetition signals (Gopher-style) -------------------------------------
+
+REP_SCALE = 10**6
+
+
+def repetition_batch(t: pa.Table) -> pa.Table:
+    """Per-document repetition signals (the Gopher repetition filters,
+    Rae et al. 2021 Table A1), integer-scaled so a DuckDB replay
+    hash-matches:
+
+    * ``dup_line_frac_scaled``    — duplicate lines / lines
+    * ``dup_char_frac_scaled``    — chars in line occurrences beyond
+      the first / total line chars
+    * ``top_2gram_frac_scaled``   — chars covered by the most frequent
+      word 2-gram / total word chars (tie: lexicographically smallest
+      gram)
+
+    Lines are ``\\n``-split and RE2-trimmed (empty dropped); words are
+    ``\\s+``-split.  Entirely batch-local (a document is one row), so
+    the stage fuses into the read with no exchange; the per-batch body
+    is Arrow/pandas vectorized end to end.
+    """
+    import pandas as pd
+
+    n = t.num_rows
+    doc_ids = t["doc_id"].combine_chunks()
+    text = t["text"].combine_chunks()
+
+    trim_re = r"^\s+|\s+$"
+
+    # ---- lines ----
+    lines = pc.split_pattern(text, "\n")
+    lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    flat = pc.replace_substring_regex(pc.list_flatten(lines), trim_re, "")
+    idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    ldf = pd.DataFrame({
+        "i": idx[keep],
+        "line": flat.filter(pa.array(keep)).to_pandas(),
+    })
+    ldf["chars"] = ldf["line"].str.len().astype("int64")
+    lc = (ldf.groupby(["i", "line"], sort=False)
+             .agg(c=("chars", "size"), chars=("chars", "first"))
+             .reset_index())
+    lc["tc"] = lc["c"] * lc["chars"]
+    lc["dc"] = (lc["c"] - 1) * lc["chars"]
+    lg = lc.groupby("i")
+    la = pd.DataFrame({
+        "n_lines": lg["c"].sum(),
+        "n_distinct": lg["c"].size(),
+        "total_chars": lg["tc"].sum(),
+        "dup_chars": lg["dc"].sum(),
+    })
+
+    # ---- word 2-grams ----
+    trimmed = pc.replace_substring_regex(text, trim_re, "")
+    words = pc.split_pattern_regex(trimmed, r"\s+")
+    wlens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    wflat = pc.list_flatten(words)
+    widx = np.repeat(np.arange(n, dtype=np.int64), wlens)
+    wkeep = pc.not_equal(wflat, "").to_numpy(zero_copy_only=False)
+    widx = widx[wkeep]
+    warr = wflat.filter(pa.array(wkeep))
+    wchar = pc.utf8_length(warr).to_numpy(zero_copy_only=False).astype(np.int64)
+    wtot = pd.Series(wchar).groupby(pd.Series(widx)).sum()
+
+    w = warr.to_pandas().to_numpy()
+    same_doc = widx[1:] == widx[:-1] if len(widx) else np.zeros(0, bool)
+    if same_doc.any():
+        g1 = w[:-1][same_doc]
+        g2 = w[1:][same_doc]
+        gdf = pd.DataFrame({
+            "i": widx[:-1][same_doc],
+            "gram": pd.Series(g1) + " " + pd.Series(g2),
+            "gchars": wchar[:-1][same_doc] + wchar[1:][same_doc],
+        })
+        gc = (gdf.groupby(["i", "gram"], sort=False)
+                 .agg(c=("gchars", "size"), gchars=("gchars", "first"))
+                 .reset_index())
+        top = (gc.sort_values(["i", "c", "gram"],
+                              ascending=[True, False, True], kind="mergesort")
+                 .drop_duplicates("i").set_index("i"))
+    else:
+        top = pd.DataFrame({"c": [], "gchars": []},
+                           index=pd.Index([], name="i"))
+
+    # ---- assemble (every input doc gets a row; missing -> 0) ----
+    base = np.arange(n, dtype=np.int64)
+    n_lines = la["n_lines"].reindex(base, fill_value=0).to_numpy(np.int64)
+    n_dist = la["n_distinct"].reindex(base, fill_value=0).to_numpy(np.int64)
+    tchars = la["total_chars"].reindex(base, fill_value=0).to_numpy(np.int64)
+    dchars = la["dup_chars"].reindex(base, fill_value=0).to_numpy(np.int64)
+    topc = top["c"].reindex(base, fill_value=0).to_numpy(np.int64)
+    topg = top["gchars"].reindex(base, fill_value=0).to_numpy(np.int64)
+    wtotv = wtot.reindex(base, fill_value=0).to_numpy(np.int64)
+
+    dup_line = np.where(
+        n_lines > 0, ((n_lines - n_dist) * REP_SCALE) // np.maximum(n_lines, 1), 0)
+    dup_char = np.where(
+        tchars > 0, (dchars * REP_SCALE) // np.maximum(tchars, 1), 0)
+    top_gram = np.where(
+        wtotv > 0, (topc * topg * REP_SCALE) // np.maximum(wtotv, 1), 0)
+
+    return pa.table({
+        "doc_id": doc_ids,
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "dup_line_frac_scaled": pa.array(dup_line, pa.int64()),
+        "dup_char_frac_scaled": pa.array(dup_char, pa.int64()),
+        "top_2gram_frac_scaled": pa.array(top_gram, pa.int64()),
+    })
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition signals over the documents table."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+REPETITION_SQL = r"""
+WITH base AS (
+    SELECT doc_id, text FROM documents
+), lines0 AS (
+    SELECT doc_id,
+           regexp_replace(unnest(string_split(text, chr(10))),
+                          '^\s+|\s+$', '', 'g') AS line
+    FROM base
+), lines AS (
+    SELECT doc_id, line FROM lines0 WHERE line <> ''
+), lc AS (
+    SELECT doc_id, line, count(*) AS c, len(line) AS chars
+    FROM lines GROUP BY 1, 2
+), la AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c * chars) AS BIGINT) AS total_chars,
+           CAST(sum((c - 1) * chars) AS BIGINT) AS dup_chars
+    FROM lc GROUP BY 1
+), words0 AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS l
+    FROM base
+), w AS (
+    SELECT doc_id, unnest(l) AS wd,
+           unnest(range(1, len(l) + 1)) AS i
+    FROM words0
+    WHERE len(l) > 0
+), w2 AS (
+    SELECT doc_id, wd, i FROM w WHERE wd <> ''
+), wtot AS (
+    SELECT doc_id, CAST(sum(len(wd)) AS BIGINT) AS wchars
+    FROM w2 GROUP BY 1
+), g AS (
+    SELECT a.doc_id, a.wd AS w1, b.wd AS w2
+    FROM w2 a JOIN w2 b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), gc AS (
+    SELECT doc_id, w1 || ' ' || w2 AS gram,
+           len(w1) + len(w2) AS gchars, count(*) AS c
+    FROM g GROUP BY 1, 2, 3
+), top AS (
+    SELECT doc_id, c, gchars FROM (
+        SELECT doc_id, c, gchars,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+        FROM gc
+    ) WHERE rn = 1
+)
+SELECT b.doc_id,
+       coalesce(la.n_lines, 0) AS n_lines,
+       CAST(CASE WHEN coalesce(la.n_lines, 0) = 0 THEN 0
+            ELSE ((la.n_lines - la.n_distinct) * 1000000) // la.n_lines
+            END AS BIGINT) AS dup_line_frac_scaled,
+       CAST(CASE WHEN coalesce(la.total_chars, 0) = 0 THEN 0
+            ELSE (la.dup_chars * 1000000) // la.total_chars
+            END AS BIGINT) AS dup_char_frac_scaled,
+       CAST(CASE WHEN coalesce(wtot.wchars, 0) = 0 OR top.c IS NULL THEN 0
+            ELSE (top.c * top.gchars * 1000000) // wtot.wchars
+            END AS BIGINT) AS top_2gram_frac_scaled
+FROM base b
+LEFT JOIN la ON la.doc_id = b.doc_id
+LEFT JOIN wtot ON wtot.doc_id = b.doc_id
+LEFT JOIN top ON top.doc_id = b.doc_id
+"""

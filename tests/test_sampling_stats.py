@@ -78,3 +78,53 @@ class TestStratifiedSample:
         got = sample_key(ids)
         want = [(i * 2654435761) % (2**32) for i in ids.tolist()]
         assert got.tolist() == want
+
+
+class TestRepetition:
+    def test_edge_cases_match_hand_computed(self, ray_session):
+        import pyarrow as pa
+
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            REP_SCALE,
+            repetition_batch,
+        )
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([
+                "a b\na b\nc",          # dup line "a b" (x2), 3 lines
+                "",                     # empty doc
+                "   \n\t\n",            # whitespace only
+                "x y x y x y",          # top 2-gram "x y" 3x of 5 grams
+                "solo",                 # 1 word, no grams, 1 line
+            ], pa.string()),
+        })
+        out = {r["doc_id"]: r for r in repetition_batch(t).to_pylist()}
+
+        d1 = out[1]
+        assert d1["n_lines"] == 3
+        # 3 lines, 2 distinct -> 1/3 duplicated
+        assert d1["dup_line_frac_scaled"] == (1 * REP_SCALE) // 3
+        # dup chars: second "a b" occurrence = 3 chars of 7 total
+        assert d1["dup_char_frac_scaled"] == (3 * REP_SCALE) // 7
+        # grams in "a b" lines... whole doc words: a b a b c ->
+        # grams: "a b","b a","a b","b c"; top "a b" 2x, covers 2*2=4
+        # chars of 5 word chars
+        assert d1["top_2gram_frac_scaled"] == (4 * REP_SCALE) // 5
+
+        for empty_id in (2, 3):
+            e = out[empty_id]
+            assert e["n_lines"] == 0
+            assert e["dup_line_frac_scaled"] == 0
+            assert e["dup_char_frac_scaled"] == 0
+            assert e["top_2gram_frac_scaled"] == 0
+
+        d4 = out[4]
+        assert d4["n_lines"] == 1
+        assert d4["dup_line_frac_scaled"] == 0
+        # "x y" 3x among grams, covers 3*2=6 of 6 word chars
+        assert d4["top_2gram_frac_scaled"] == REP_SCALE
+
+        d5 = out[5]
+        assert d5["n_lines"] == 1
+        assert d5["top_2gram_frac_scaled"] == 0
