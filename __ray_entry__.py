@@ -347,6 +347,15 @@ def _q_docs_repetition(sf_dir: str):
     return repetition_stats(sf_dir)
 
 
+def _q_docs_salient_terms(sf_dir: str):
+    """Top-3 salient tokens per doc (integer TF-IDF surrogate): batch-
+    local tf, one hash-aggregated df table broadcast back, per-batch
+    top-k - the keyword-extraction pass of a corpus index."""
+    from neo4j_document_pipeline_ray.extras.textstats import salient_terms
+
+    return salient_terms(sf_dir, k=3)
+
+
 def _q_fingerprints(sf_dir: str):
     from neo4j_document_pipeline_ray.extras.textstats import fingerprints
 
@@ -679,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprints,
         "docs_repetition": _q_docs_repetition,
+        "docs_salient_terms": _q_docs_salient_terms,
         "docs_ngram_jaccard": _q_ngram_jaccard,
         "docs_minhash_pairs": _q_minhash_pairs,
         "docs_minhash_components": _q_minhash_components,
@@ -888,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.textstats import (
         FINGERPRINT_SQL,
         REPETITION_SQL,
+        salient_terms_sql,
         LANG_ID_SQL,
         QUALITY_SQL,
         TOKEN_COUNT_SQL,
@@ -1096,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": LANG_ID_SQL,
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_repetition": REPETITION_SQL,
+        "docs_salient_terms": salient_terms_sql(3),
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
         # exact given the band recall guarantee (hamming <= 3 over 4

@@ -520,3 +520,128 @@ LEFT JOIN la ON la.doc_id = b.doc_id
 LEFT JOIN wtot ON wtot.doc_id = b.doc_id
 LEFT JOIN top ON top.doc_id = b.doc_id
 """
+
+
+# --- per-document salient terms (integer TF-IDF) ---------------------------
+
+SALIENCE_SCALE = 10**6
+
+
+def salient_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Top-``k`` salient tokens per document — the keyword-extraction
+    pass of a corpus index.  Salience is an integer TF-IDF surrogate
+    (exact, so the DuckDB replay hash-matches; float ``log`` idf
+    cannot):
+
+        ``salience_scaled = (tf * N * scale) // (doc_len * df)``
+
+    i.e. the token's in-doc rate lifted by its corpus rarity.  Tokens
+    are the vocabulary of :func:`top_tokens` (lowercase, ``\\s+``).
+
+    Distributed shape: per-(doc, token) counts are batch-local (a doc
+    is one row); the document-frequency table is ONE two-phase hash
+    aggregate over those partials (the exchange carries vocabularies,
+    not tokens) and comes back through ``broadcast_join``'s size gate,
+    so the doc-side rows never shuffle; the final per-doc top-k is a
+    vectorized sort + head inside each batch.  ``tf * N * scale`` must
+    fit int64 — at >1e9-doc corpora drop ``scale`` or pre-prune the
+    vocabulary (min-df), as a production index would anyway.
+    """
+    import pandas as pd
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({
+            "doc_id": doc_ids[idx[keep]],
+            "token": flat.filter(pa.array(keep)).to_pandas(),
+        })
+        tf = (f.groupby(["doc_id", "token"], sort=False)
+                .size().rename("tf").reset_index())
+        dlen = f.groupby("doc_id").size().rename("n_toks")
+        tf = tf.join(dlen, on="doc_id")
+        return pa.table({
+            "doc_id": pa.array(tf["doc_id"].to_numpy(), pa.int64()),
+            "token": pa.array(tf["token"], pa.string()),
+            "tf": pa.array(tf["tf"].to_numpy(np.int64), pa.int64()),
+            "n_toks": pa.array(tf["n_toks"].to_numpy(np.int64), pa.int64()),
+        })
+
+    tf_ds = ds.map_batches(tf_batch, batch_format="pyarrow")
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        hash_aggregate,
+    )
+
+    df_tbl = hash_aggregate(
+        tf_ds.select_columns(["token"]), "token", [(None, "count", "df")])
+
+    joined = broadcast_join(tf_ds, df_tbl, on=("token",))
+
+    def topk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        d = t.to_pandas()
+        d["salience_scaled"] = (
+            d["tf"].to_numpy(np.int64) * n_docs * SALIENCE_SCALE
+        ) // (d["n_toks"].to_numpy(np.int64) * d["df"].to_numpy(np.int64))
+        d = (d.sort_values(["doc_id", "salience_scaled", "token"],
+                           ascending=[True, False, True], kind="mergesort")
+               .groupby("doc_id").head(k))
+        return pa.table({
+            "doc_id": pa.array(d["doc_id"].to_numpy(np.int64), pa.int64()),
+            "token": pa.array(d["token"], pa.string()),
+            "tf": pa.array(d["tf"].to_numpy(np.int64), pa.int64()),
+            "salience_scaled": pa.array(
+                d["salience_scaled"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return joined.map_batches(topk, batch_format="pyarrow")
+
+
+def salient_terms_sql(k: int = 3) -> str:
+    return rf"""
+WITH d AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\s+') AS l
+    FROM documents
+), toks AS (
+    SELECT doc_id, unnest(l) AS token FROM d WHERE len(l) > 0
+), toks2 AS (
+    SELECT doc_id, token FROM toks WHERE token <> ''
+), tf AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM toks2 GROUP BY 1, 2
+), dlen AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+    FROM toks2 GROUP BY 1
+), dfreq AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), nn AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), s AS (
+    SELECT tf.doc_id, tf.token, tf.tf,
+           CAST((tf.tf * (SELECT n FROM nn) * 1000000)
+                // (dlen.n_toks * dfreq.df) AS BIGINT) AS salience_scaled
+    FROM tf
+    JOIN dlen ON dlen.doc_id = tf.doc_id
+    JOIN dfreq ON dfreq.token = tf.token
+)
+SELECT doc_id, token, tf, salience_scaled FROM (
+    SELECT s.*,
+           row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY salience_scaled DESC, token) AS rn
+    FROM s
+) WHERE rn <= {k}
+"""

@@ -128,3 +128,36 @@ class TestRepetition:
         d5 = out[5]
         assert d5["n_lines"] == 1
         assert d5["top_2gram_frac_scaled"] == 0
+
+
+class TestSalientTerms:
+    def test_hand_computed(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            SALIENCE_SCALE,
+            salient_terms,
+        )
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "apple apple banana",   # apple tf=2/3, df=1; banana df=2
+                "banana cherry",        # cherry df=1
+                "",                     # empty: no rows
+            ], pa.string()),
+        }), tmp_path / "documents.parquet")
+
+        rows = salient_terms(str(tmp_path), k=2).take_all()
+        got = {(r["doc_id"], r["token"]): (r["tf"], r["salience_scaled"])
+               for r in rows}
+        n = 3
+        # doc1: apple (2*3*S)//(3*1), banana (1*3*S)//(3*2)
+        assert got[(1, "apple")] == (2, (2 * n * SALIENCE_SCALE) // 3)
+        assert got[(1, "banana")] == (1, (1 * n * SALIENCE_SCALE) // 6)
+        # doc2: cherry rarer than banana -> ranked, both kept (k=2)
+        assert got[(2, "cherry")] == (1, (1 * n * SALIENCE_SCALE) // 2)
+        assert got[(2, "banana")] == (1, (1 * n * SALIENCE_SCALE) // 4)
+        # empty doc contributes nothing; k caps per-doc rows
+        assert len(rows) == 4
