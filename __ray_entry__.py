@@ -347,6 +347,15 @@ def _q_docs_repetition(sf_dir: str):
     return repetition_stats(sf_dir)
 
 
+def _q_docs_curation_filter(sf_dir: str):
+    """Composed C4/Gopher-style keep/drop gate with first-failing-rule
+    reasons - the curation decision a pre-training pipeline applies
+    after computing the repetition/quality signals."""
+    from neo4j_document_pipeline_ray.extras.textstats import curation_filter
+
+    return curation_filter(sf_dir)
+
+
 def _q_docs_salient_terms(sf_dir: str):
     """Top-3 salient tokens per doc (integer TF-IDF surrogate): batch-
     local tf, one hash-aggregated df table broadcast back, per-batch
@@ -689,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_fingerprints,
         "docs_repetition": _q_docs_repetition,
         "docs_salient_terms": _q_docs_salient_terms,
+        "docs_curation_filter": _q_docs_curation_filter,
         "docs_ngram_jaccard": _q_ngram_jaccard,
         "docs_minhash_pairs": _q_minhash_pairs,
         "docs_minhash_components": _q_minhash_components,
@@ -897,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from neo4j_document_pipeline_ray.extras.textstats import (
         FINGERPRINT_SQL,
+        CURATION_FILTER_SQL,
         REPETITION_SQL,
         salient_terms_sql,
         LANG_ID_SQL,
@@ -1108,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_repetition": REPETITION_SQL,
         "docs_salient_terms": salient_terms_sql(3),
+        "docs_curation_filter": CURATION_FILTER_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
         # exact given the band recall guarantee (hamming <= 3 over 4

@@ -645,3 +645,106 @@ SELECT doc_id, token, tf, salience_scaled FROM (
     FROM s
 ) WHERE rn <= {k}
 """
+
+
+# --- composed curation filter (C4/Gopher-style) -----------------------------
+
+# documented integer thresholds (scaled by REP_SCALE where fractional)
+FILTER_MIN_WORDS = 5
+FILTER_MAX_WORDS = 100_000
+FILTER_MIN_MEAN_WORD = 2     # integer mean word length bounds
+FILTER_MAX_MEAN_WORD = 12
+FILTER_MAX_DUP_LINE = 300_000    # 30% duplicate lines
+FILTER_MAX_TOP2GRAM = 200_000    # 20% top-2-gram coverage
+FILTER_MAX_PUNCT = 300_000       # 30% punctuation chars
+
+
+def filter_batch(t: pa.Table) -> pa.Table:
+    """Composed keep/drop verdict per document (first failing rule is
+    the reason), the C4/Gopher-style curation gate (Raffel et al. 2020;
+    Rae et al. 2021).  All signals are the engine's own batch-local
+    kernels — the stage fuses into the read, no exchange."""
+    n = t.num_rows
+    text = t["text"]
+    rep = repetition_batch(t)
+    n_words = pc.cast(
+        pc.count_substring_regex(text, r"\S+"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    n_space = pc.cast(
+        pc.count_substring_regex(text, r"\s"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+    n_punct = pc.cast(
+        pc.count_substring_regex(text, r"[^A-Za-z0-9\s]"),
+        pa.int64()).to_numpy(zero_copy_only=False)
+    low = pc.utf8_lower(text)
+    stops = pc.add(
+        pc.count_substring_regex(low, _EN_STOPS),
+        pc.count_substring_regex(low, _MS_STOPS),
+    ).to_numpy(zero_copy_only=False)
+
+    mean_wc = (n_chars - n_space) // np.maximum(n_words, 1)
+    dup_line = rep["dup_line_frac_scaled"].to_numpy()
+    top2 = rep["top_2gram_frac_scaled"].to_numpy()
+
+    conds = [
+        (n_words < FILTER_MIN_WORDS) | (n_words > FILTER_MAX_WORDS),
+        (mean_wc < FILTER_MIN_MEAN_WORD) | (mean_wc > FILTER_MAX_MEAN_WORD),
+        dup_line > FILTER_MAX_DUP_LINE,
+        top2 > FILTER_MAX_TOP2GRAM,
+        stops == 0,
+        n_punct * REP_SCALE > FILTER_MAX_PUNCT * n_chars,
+    ]
+    names = ["word_count", "mean_word_length", "dup_lines", "top_2gram",
+             "no_stopwords", "punctuation"]
+    reason = np.select(conds, names, default="")
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "keep": pa.array(reason == "", pa.bool_()),
+        "reason": pa.array(reason, pa.string()),
+    })
+
+
+def curation_filter(sf_dir: str) -> "ray.data.Dataset":
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+CURATION_FILTER_SQL = rf"""
+WITH rep AS ({REPETITION_SQL}
+), q AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END AS BIGINT) AS n_words,
+           CAST(length(text) - length(regexp_replace(text, '\s', '', 'g'))
+                AS BIGINT) AS n_space,
+           CAST(length(text) -
+                length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))
+                AS BIGINT) AS n_punct,
+           CAST(len(regexp_extract_all(lower(text), '{_EN_STOPS}'))
+                + len(regexp_extract_all(lower(text), '{_MS_STOPS}'))
+                AS BIGINT) AS stops
+    FROM documents
+), s AS (
+    SELECT q.doc_id,
+           CASE WHEN q.n_words < {FILTER_MIN_WORDS}
+                     OR q.n_words > {FILTER_MAX_WORDS} THEN 'word_count'
+                WHEN (q.n_chars - q.n_space) // greatest(q.n_words, 1)
+                         < {FILTER_MIN_MEAN_WORD}
+                     OR (q.n_chars - q.n_space) // greatest(q.n_words, 1)
+                         > {FILTER_MAX_MEAN_WORD} THEN 'mean_word_length'
+                WHEN rep.dup_line_frac_scaled > {FILTER_MAX_DUP_LINE}
+                    THEN 'dup_lines'
+                WHEN rep.top_2gram_frac_scaled > {FILTER_MAX_TOP2GRAM}
+                    THEN 'top_2gram'
+                WHEN q.stops = 0 THEN 'no_stopwords'
+                WHEN q.n_punct * {REP_SCALE} > {FILTER_MAX_PUNCT} * q.n_chars
+                    THEN 'punctuation'
+                ELSE '' END AS reason
+    FROM q JOIN rep ON rep.doc_id = q.doc_id
+)
+SELECT doc_id, reason = '' AS keep, reason FROM s
+"""

@@ -161,3 +161,36 @@ class TestSalientTerms:
         assert got[(2, "banana")] == (1, (1 * n * SALIENCE_SCALE) // 4)
         # empty doc contributes nothing; k caps per-doc rows
         assert len(rows) == 4
+
+
+class TestCurationFilter:
+    def test_each_rule_fires(self, ray_session):
+        import pyarrow as pa
+
+        from neo4j_document_pipeline_ray.extras.textstats import filter_batch
+
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "rests in the shade for a while")
+        docs = {
+            1: good,                                   # keep
+            2: "too few",                              # word_count
+            3: "a b c d e f g h",                      # mean_word_length (1)
+            4: "\n".join(["the same line is here"] * 10),   # dup_lines
+            5: "the cat " * 30,                        # top_2gram
+            6: "zzz qqq www eee rrr ttt yyy uuu iii "
+               "ooo ppp aaa sss ddd fff ggg",           # no_stopwords
+            7: "the !!! and ??? of ,,, to ;;; in ### for @@@ with %%%",
+        }
+        t = pa.table({
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        })
+        out = {r["doc_id"]: r for r in filter_batch(t).to_pylist()}
+        assert out[1] == {"doc_id": 1, "keep": True, "reason": ""}
+        assert out[2]["reason"] == "word_count"
+        assert out[3]["reason"] == "mean_word_length"
+        assert out[4]["reason"] == "dup_lines"
+        assert out[5]["reason"] == "top_2gram"
+        assert out[6]["reason"] == "no_stopwords"
+        assert out[7]["reason"] == "punctuation"
+        assert all(not out[i]["keep"] for i in range(2, 8))
