@@ -499,6 +499,38 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(_kg(sf_dir)["edges"])
 
 
+def _q_kg_components(sf_dir: str):
+    """Weakly-connected components over the KG edge table (Neo4j GDS
+    wcc analog): bounded-round min-label propagation with pointer
+    jumping (extras/dedup.py:connected_components), applied to the
+    distinct undirected entity-pair set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_document_pipeline_ray.extras.dedup import connected_components
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    edges = _kg(sf_dir)["edges"]
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t["src_id"], t["dst_id"]
+        return pa.table({
+            "a": pc.min_element_wise(s, d),
+            "b": pc.max_element_wise(s, d),
+        })
+
+    pairs = hash_aggregate(
+        edges.select_columns(["src_id", "dst_id"])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"], [(None, "count", "_m")],
+    ).drop_columns(["_m"])
+    out = connected_components(pairs, max_rounds=16)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"entity_id": t["node"], "component": t["component"]}),
+        batch_format="pyarrow")
+
+
 def _q_kg_cooccur_topk(sf_dir: str):
     """Top entity pairs by doc-level co-occurrence lift over the
     mentions table — the relatedness signal for KG edge proposal /
@@ -673,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_triangles": _q_kg_triangles,
         "kg_cooccur_topk": _q_kg_cooccur_topk,
+        "kg_components": _q_kg_components,
         "kg_graphrag": _q_kg_graphrag,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
@@ -1037,6 +1070,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT entity_id, count(*) AS n_triangles
             FROM ends GROUP BY entity_id
+        """,
+        "kg_components": f"""
+            WITH RECURSIVE e0 AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+                FROM read_parquet('{_TRUTH_001}')
+            ), e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0
+            ), n AS (
+                SELECT a AS id FROM e UNION SELECT b FROM e
+            ), reach(id, r) AS (
+                SELECT id, id FROM n
+                UNION
+                SELECT reach.id,
+                       CASE WHEN e.a = reach.r THEN e.b ELSE e.a END
+                FROM reach JOIN e ON e.a = reach.r OR e.b = reach.r
+            )
+            SELECT id AS entity_id, min(r) AS component
+            FROM reach GROUP BY id
         """,
         "kg_cooccur_topk": f"""
             WITH t AS (
