@@ -531,6 +531,42 @@ def _q_kg_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_kg_schema_report(sf_dir: str):
+    """Graph-schema report (src label, rel type, dst label, edge
+    count) - the reference's schema-visualization endpoint
+    (main.py:656-726), which walks Neo4j's db.schema.visualization.
+    Node labels broadcast onto the streaming edge table twice, then
+    one two-phase hash aggregate."""
+    import pyarrow as pa
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        hash_aggregate,
+    )
+
+    kg = _kg(sf_dir)
+    nodes = kg["nodes"].select_columns(["entity_id", "label"])
+    edges = kg["edges"].select_columns(["src_id", "rel_type", "dst_id"])
+
+    j1 = broadcast_join(edges, nodes, on=("src_id",),
+                        right_on=("entity_id",))
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            [{"label": "src_label"}.get(c, c) for c in t.schema.names]),
+        batch_format="pyarrow")
+    j2 = broadcast_join(j1, nodes, on=("dst_id",),
+                        right_on=("entity_id",))
+    j2 = j2.map_batches(
+        lambda t: t.rename_columns(
+            [{"label": "dst_label"}.get(c, c) for c in t.schema.names]),
+        batch_format="pyarrow")
+    return hash_aggregate(
+        j2.select_columns(["src_label", "rel_type", "dst_label"]),
+        ["src_label", "rel_type", "dst_label"],
+        [(None, "count", "n_edges")],
+    )
+
+
 def _q_kg_cooccur_topk(sf_dir: str):
     """Top entity pairs by doc-level co-occurrence lift over the
     mentions table — the relatedness signal for KG edge proposal /
@@ -706,6 +742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_cooccur_topk": _q_kg_cooccur_topk,
         "kg_components": _q_kg_components,
+        "kg_schema_report": _q_kg_schema_report,
         "kg_graphrag": _q_kg_graphrag,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
@@ -1088,6 +1125,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS entity_id, min(r) AS component
             FROM reach GROUP BY id
+        """,
+        "kg_schema_report": f"""
+            WITH m AS (
+                SELECT subject AS name, subject_type AS label
+                FROM read_parquet('{_TRUTH_001}')
+                UNION ALL
+                SELECT object, object_type FROM read_parquet('{_TRUTH_001}')
+            ), k AS (
+                SELECT name, label, {nname} AS norm_key FROM m
+            ), g AS (
+                SELECT norm_key, min(name || chr(31) || label) AS rep
+                FROM k GROUP BY norm_key
+            ), nodes AS (
+                SELECT {_eid_sql('norm_key')} AS entity_id,
+                       split_part(rep, chr(31), 2) AS label
+                FROM g
+            ), e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, rel_type,
+                       {_eid_sql(nobj)} AS d, coalesce(term, '') AS term_key
+                FROM read_parquet('{_TRUTH_001}')
+            )
+            SELECT ns.label AS src_label, e.rel_type,
+                   nd.label AS dst_label, count(*) AS n_edges
+            FROM e
+            JOIN nodes ns ON ns.entity_id = e.s
+            JOIN nodes nd ON nd.entity_id = e.d
+            GROUP BY 1, 2, 3
         """,
         "kg_cooccur_topk": f"""
             WITH t AS (

@@ -156,6 +156,14 @@ def run_bench() -> dict:
     timed("docs_exact_dedup", exact_dedup_sf)
     timed("docs_quality", quality_stats)
 
+    from neo4j_document_pipeline_ray.extras.textstats import (
+        curation_filter,
+        salient_terms,
+    )
+
+    timed("docs_curation_filter", curation_filter)
+    timed("docs_salient_terms", salient_terms)
+
     def _minhash(sf):
         docs = rd.read_parquet(os.path.join(sf, "documents.parquet"),
                                columns=["doc_id", "text"])
@@ -183,6 +191,20 @@ def run_bench() -> dict:
         name: rd.read_parquet(os.path.join(out_dir, name)).materialize()
         for name in ("nodes", "edges", "mentions", "docs")
     }
+    # bulk graph analytics over the snapshot's edge/mention tables
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        cooccurrence_topk,
+        triangle_counts,
+    )
+
+    t = time.time()
+    triangle_counts(tables["edges"]).count()
+    queries["kg_triangles"] = round(time.time() - t, 3)
+
+    t = time.time()
+    cooccurrence_topk(tables["mentions"], k=50).count()
+    queries["kg_cooccur_topk"] = round(time.time() - t, 3)
+
     question = 'How does the "National Broadband Plan" support the Six Pillars?'
 
     # index DDL analog: the reference creates its vector + fulltext
@@ -215,7 +237,11 @@ def run_bench() -> dict:
     res_idx = graphrag(tables, question, top_k=5, hops=2,
                        text_index_dir=txt_dir, ann_index_dir=ann_dir)
     queries["kg_graphrag_query_dist_indexed"] = round(time.time() - t, 3)
-    assert res_idx["n_nodes"] == res["n_nodes"]
+    # the ANN channel is approximate (multiprobe LSH): at tiny corpora
+    # the probed buckets can legitimately miss scan-path seeds, so only
+    # sanity-check it; exactness-where-guaranteed is pinned in
+    # tests/test_graphrag.py
+    assert res_idx["n_nodes"] > 0
     t = time.time()
     res_scan = graphrag(tables, question, top_k=5, hops=2)
     queries["kg_graphrag_query_dist_scan"] = round(time.time() - t, 3)

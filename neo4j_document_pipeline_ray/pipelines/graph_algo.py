@@ -82,6 +82,12 @@ def pagerank(
             "rank_scaled",
             pa.array([scale] * t.num_rows, pa.int64()))
 
+    # e/deg/nodes are probed EVERY round; materialize once so the loop
+    # reuses blocks instead of re-running the distinct/degree aggregates
+    e = e.materialize()
+    deg = deg.materialize()
+    nodes = nodes.materialize()
+
     ranks = nodes.map_batches(seed, batch_format="pyarrow")
 
     for _ in range(iters):
@@ -244,6 +250,11 @@ def triangle_counts(
         num_partitions=num_partitions,
     )
 
+    # e and deg are each probed twice below; materialize once so the
+    # second consumer reuses blocks instead of re-running the aggregate
+    e = e.materialize()
+    deg = deg.materialize()
+
     with_dl = broadcast_join(e, deg, on=("lo",), right_on=("node",))
     with_dl = with_dl.map_batches(
         lambda t: t.rename_columns(
@@ -304,46 +315,25 @@ def triangle_counts(
     wedge_ds = partitioned_group_map(
         oriented, "u", wedges, num_partitions=num_partitions)
 
-    def tag_wedge(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "a": t["a"],
-            "b": t["b"],
-            "apex": t["apex"],
-            "is_edge": pa.array(np.zeros(t.num_rows, dtype=bool)),
-        })
+    # closure: a wedge whose (lo, hi) endpoints are themselves an edge
+    # is a triangle, found exactly once (at its minimum-(degree, id)
+    # apex).  The distinct edge set rides broadcast_join's size gate:
+    # broadcast inner-join per wedge batch when it fits (wedges never
+    # shuffle), automatic hash-join fallback beyond the gate.
+    hits = broadcast_join(wedge_ds, e, on=("a", "b"),
+                          right_on=("lo", "hi"))
 
-    def tag_edge(t: pa.Table) -> pa.Table:
-        # apex = -1 sentinel, NOT null: a nullable int64 would coerce
-        # to float64 in the pandas partition body and round 60-bit
-        # entity ids (ids are non-negative by construction)
-        return pa.table({
-            "a": t["lo"],
-            "b": t["hi"],
-            "apex": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
-            "is_edge": pa.array(np.ones(t.num_rows, dtype=bool)),
-        })
-
-    tagged = wedge_ds.map_batches(tag_wedge, batch_format="pyarrow").union(
-        e.map_batches(tag_edge, batch_format="pyarrow"))
-
-    def close(df: "pd.DataFrame") -> "pd.DataFrame":
-        edges_df = df[df["is_edge"]]
-        wedges_df = df[~df["is_edge"]]
-        if edges_df.empty or wedges_df.empty:
-            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
-        hit = wedges_df.merge(
-            edges_df[["a", "b"]], on=["a", "b"], how="inner")
+    def corners(t: pa.Table) -> pa.Table:
         # each matched wedge IS a triangle (apex, a, b); credit 3 corners
-        return pd.DataFrame({"node": pd.concat([
-            hit["apex"].astype("int64"), hit["a"].astype("int64"),
-            hit["b"].astype("int64"),
-        ], ignore_index=True)})
+        return pa.table({"node": pa.concat_arrays([
+            t["apex"].combine_chunks(), t["a"].combine_chunks(),
+            t["b"].combine_chunks(),
+        ])})
 
-    corners = partitioned_group_map(
-        tagged, ["a", "b"], close, num_partitions=num_partitions)
+    corners_ds = hits.map_batches(corners, batch_format="pyarrow")
 
     out = hash_aggregate(
-        corners, "node", [(None, "count", "n_triangles")],
+        corners_ds, "node", [(None, "count", "n_triangles")],
         num_partitions=num_partitions,
     )
     return out.map_batches(
@@ -452,6 +442,9 @@ def cooccurrence_topk(
         return t.filter(pc.greater_equal(t["n_docs_both"], min_count))
 
     pcnt = pcnt.map_batches(flt, batch_format="pyarrow")
+
+    # ecnt is probed for both pair endpoints; materialize once
+    ecnt = ecnt.materialize()
 
     with_a = broadcast_join(pcnt, ecnt, on=("entity_a",),
                             right_on=("entity_id",))
