@@ -531,6 +531,59 @@ def _q_kg_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_kg_integrity(sf_dir: str):
+    """Snapshot integrity audit in one row: node/edge counts, orphan
+    edge endpoints (endpoint id absent from the nodes table - must be
+    0 by construction since ids are pure functions of norm_key), and
+    self-loop count.  The orphan check is a distributed anti-join:
+    endpoint ids probe the broadcast node-id set per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    kg = _kg(sf_dir)
+    nodes = kg["nodes"].select_columns(["entity_id"])
+    edges = kg["edges"].select_columns(["src_id", "dst_id"])
+
+    ids_ref = ray.put(pa.concat_tables(
+        ray.get(nodes.to_arrow_refs()))["entity_id"].combine_chunks())
+
+    def audit(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        orph = pc.sum(pc.cast(pc.invert(pc.is_in(
+            pa.concat_arrays([t["src_id"].combine_chunks(),
+                              t["dst_id"].combine_chunks()]),
+            value_set=ids)), pa.int64())).as_py() or 0
+        loops = pc.sum(pc.cast(pc.equal(t["src_id"], t["dst_id"]),
+                               pa.int64())).as_py() or 0
+        return pa.table({
+            "n_edges": pa.array([t.num_rows], pa.int64()),
+            "n_orphan_endpoints": pa.array([orph], pa.int64()),
+            "n_self_loops": pa.array([loops], pa.int64()),
+        })
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    partials = edges.map_batches(audit, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("_k", pa.array([1] * t.num_rows, pa.int64())),
+        batch_format="pyarrow")
+    agg = hash_aggregate(partials, "_k", [
+        ("n_edges", "sum", "n_edges"),
+        ("n_orphan_endpoints", "sum", "n_orphan_endpoints"),
+        ("n_self_loops", "sum", "n_self_loops"),
+    ], num_partitions=1)
+    n_nodes = kg["nodes"].count()
+    return agg.map_batches(
+        lambda t: pa.table({
+            "n_nodes": pa.array([n_nodes] * t.num_rows, pa.int64()),
+            "n_edges": t["n_edges"],
+            "n_orphan_endpoints": t["n_orphan_endpoints"],
+            "n_self_loops": t["n_self_loops"],
+        }),
+        batch_format="pyarrow")
+
+
 def _q_kg_schema_report(sf_dir: str):
     """Graph-schema report (src label, rel type, dst label, edge
     count) - the reference's schema-visualization endpoint
@@ -743,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccur_topk": _q_kg_cooccur_topk,
         "kg_components": _q_kg_components,
         "kg_schema_report": _q_kg_schema_report,
+        "kg_integrity": _q_kg_integrity,
         "kg_graphrag": _q_kg_graphrag,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
@@ -1125,6 +1179,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS entity_id, min(r) AS component
             FROM reach GROUP BY id
+        """,
+        "kg_integrity": f"""
+            WITH m AS (
+                SELECT subject AS name FROM read_parquet('{_TRUTH_001}')
+                UNION ALL
+                SELECT object FROM read_parquet('{_TRUTH_001}')
+            ), nodes AS (
+                SELECT DISTINCT {_eid_sql(nname)} AS entity_id FROM m
+            ), e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, rel_type,
+                       {_eid_sql(nobj)} AS d, coalesce(term, '') AS term_key
+                FROM read_parquet('{_TRUTH_001}')
+            )
+            SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT count(*) FROM (
+                        SELECT s AS id FROM e UNION ALL SELECT d FROM e)
+                    WHERE id NOT IN (SELECT entity_id FROM nodes))
+                       AS n_orphan_endpoints,
+                   (SELECT count(*) FROM e WHERE s = d) AS n_self_loops
         """,
         "kg_schema_report": f"""
             WITH m AS (
