@@ -230,6 +230,16 @@ def run_bench() -> dict:
     res = graphrag(tables, question, top_k=5, hops=2, local_kg=loc)
     queries["kg_graphrag_query"] = round(time.time() - t, 3)
     assert res["n_nodes"] > 0
+    # diagnosis aids for noisy-host runs: which serving tiers were
+    # pulled, and where the query time went
+    result_extras = {
+        "local_kg_tiers": None if loc is None else {
+            "edge_pairs": loc.has_edges,
+            "mentions": loc.has_mentions,
+            "payload": loc.edge_payload is not None,
+        },
+        "graphrag_step_timings_s": res["timings_s"],
+    }
 
     # distributed paths kept as the at-scale comparison points
     # (identical results — pinned in tests/test_graphrag.py)
@@ -259,6 +269,7 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / headline, 2),
         "triples_per_sec": round(n_triples / headline, 2),
         "stage_timings_s": root["stage_timings_s"],
+        **result_extras,
     }
     ray.shutdown()
     return result
