@@ -531,6 +531,36 @@ def _q_kg_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_kg_export_neo4j(sf_dir: str):
+    """Neo4j bulk-import export (the scale path to the reference's
+    target database): write the snapshot as neo4j-admin CSV parts
+    (distributed, headerless parts + typed header files), then read
+    the node parts back - the returned table must hash-match the
+    kg_nodes oracle, proving the export preserves content exactly."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    from neo4j_document_pipeline_ray.sources.export import export_neo4j_bulk
+
+    kg = _kg(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="graft_neo4j_export_")
+    try:
+        out = export_neo4j_bulk(kg, out_dir)
+        parts = []
+        for p in sorted(glob.glob(os.path.join(out["nodes_dir"], "*.csv"))):
+            parts.append(pacsv.read_csv(p, read_options=pacsv.ReadOptions(
+                column_names=["entity_id", "name", "norm_key", "label"])))
+        t = pa.concat_tables(parts)
+        return t.select(["entity_id", "label", "name", "norm_key"])
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _q_kg_integrity(sf_dir: str):
     """Snapshot integrity audit in one row: node/edge counts, orphan
     edge endpoints (endpoint id absent from the nodes table - must be
@@ -797,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_schema_report": _q_kg_schema_report,
         "kg_integrity": _q_kg_integrity,
+        "kg_export_neo4j": _q_kg_export_neo4j,
         "kg_graphrag": _q_kg_graphrag,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
@@ -1179,6 +1210,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS entity_id, min(r) AS component
             FROM reach GROUP BY id
+        """,
+        "kg_export_neo4j": f"""
+            WITH m AS (
+                SELECT subject AS name, subject_type AS label
+                FROM read_parquet('{_TRUTH_001}')
+                UNION ALL
+                SELECT object, object_type FROM read_parquet('{_TRUTH_001}')
+            ), k AS (
+                SELECT name, label, {nname} AS norm_key FROM m
+            ), g AS (
+                SELECT norm_key, min(name || chr(31) || label) AS rep
+                FROM k GROUP BY norm_key
+            )
+            SELECT {_eid_sql('norm_key')} AS entity_id,
+                   split_part(rep, chr(31), 2) AS label,
+                   split_part(rep, chr(31), 1) AS name,
+                   norm_key
+            FROM g
         """,
         "kg_integrity": f"""
             WITH m AS (
