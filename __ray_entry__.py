@@ -661,6 +661,34 @@ def _q_kg_cooccur_topk(sf_dir: str):
     return cooccurrence_topk(_kg(sf_dir)["mentions"], k=50, min_count=2)
 
 
+def _q_kg_graphrag_batch(sf_dir: str):
+    """Batch retrieval serving: a GraphRAGServer actor pool (LocalKG
+    rebuilt once per actor from ray.put tier refs) answers a question
+    log as a streaming map_batches - the offline-RAG throughput shape.
+    Rows-only: formatting is not SQL; per-question parity with
+    graphrag() is pinned in tests/test_graphrag.py."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.pipelines.graphrag_local import (
+        graphrag_serve_batch,
+    )
+
+    questions = [
+        _QUESTION,
+        "Who announced the National Broadband Plan?",
+        "What is the capital of Malaysia?",
+        "Which pillar does the National AI Roadmap belong to?",
+    ]
+    qds = rd.from_arrow(pa.table({
+        "question_id": pa.array(list(range(len(questions))), pa.int64()),
+        "question": pa.array(questions, pa.string()),
+    }))
+    return graphrag_serve_batch(_kg(sf_dir), qds, top_k=5, hops=2,
+                                concurrency=2)
+
+
 def _q_kg_graphrag(sf_dir: str):
     import pandas as pd
 
@@ -829,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_integrity": _q_kg_integrity,
         "kg_export_neo4j": _q_kg_export_neo4j,
         "kg_graphrag": _q_kg_graphrag,
+        "kg_graphrag_batch": _q_kg_graphrag_batch,
         # --- generic relational operators (§2.4-2.8) ---
         "rel_lineitem_agg": rel.q_lineitem_agg,
         "rel_segment_topk": rel.q_segment_revenue_topk,

@@ -136,26 +136,10 @@ class LocalKG:
     def maybe_pull(
         cls, tables: Dict[str, Any], max_bytes: int = DEFAULT_LOCAL_BUDGET
     ) -> Optional["LocalKG"]:
-        budget = max_bytes
-        nodes = _pull_limited(
-            tables["nodes"],
-            ["entity_id", "label", "name", "norm_key", "embedding"], budget)
-        if nodes is None:
+        tiers = pull_tiers(tables, max_bytes)
+        if tiers is None:
             return None
-        budget -= nodes.nbytes
-        tiers = {}
-        for name, src, cols in (
-            ("edge_pairs", "edges", ["src_id", "dst_id"]),
-            ("mentions", "mentions", ["doc_id", "entity_id"]),
-            ("docs", "docs", ["doc_id", "title"]),
-            ("edge_payload", "edges", list(REL_PAYLOAD_COLS)),
-        ):
-            t = (_pull_limited(tables[src], cols, budget)
-                 if src in tables else None)
-            tiers[name] = t
-            if t is not None:
-                budget -= t.nbytes
-        return cls(nodes, tiers["edge_pairs"], tiers["mentions"],
+        return cls(tiers["nodes"], tiers["edge_pairs"], tiers["mentions"],
                    tiers["docs"], tiers["edge_payload"])
 
     # -- capability probes (which steps can run locally) --------------
@@ -280,3 +264,123 @@ class LocalKG:
             if r is not None:
                 out[int(i)] = np.asarray(emb[r].as_py(), dtype=np.float32)
         return out
+
+
+def pull_tiers(
+    tables: Dict[str, Any], max_bytes: int = DEFAULT_LOCAL_BUDGET
+) -> Optional[Dict[str, Optional[pa.Table]]]:
+    """Pull the serving projection tier by tier under ``max_bytes``;
+    ``None`` if even the required nodes tier overflows.  Individual
+    optional tiers that overflow come back as ``None`` (their steps
+    fall back to the distributed path)."""
+    budget = max_bytes
+    nodes = _pull_limited(
+        tables["nodes"],
+        ["entity_id", "label", "name", "norm_key", "embedding"], budget)
+    if nodes is None:
+        return None
+    budget -= nodes.nbytes
+    tiers: Dict[str, Optional[pa.Table]] = {"nodes": nodes}
+    for name, src, cols in (
+        ("edge_pairs", "edges", ["src_id", "dst_id"]),
+        ("mentions", "mentions", ["doc_id", "entity_id"]),
+        ("docs", "docs", ["doc_id", "title"]),
+        ("edge_payload", "edges", list(REL_PAYLOAD_COLS)),
+    ):
+        t = (_pull_limited(tables[src], cols, budget)
+             if src in tables else None)
+        tiers[name] = t
+        if t is not None:
+            budget -= t.nbytes
+    return tiers
+
+
+# --- batch serving (actor pool) --------------------------------------------
+
+class GraphRAGServer:
+    """Actor-pool callable for BATCH retrieval: the serving projection
+    is ``ray.put`` once on the driver and each actor reconstructs its
+    :class:`LocalKG` from the shared object-store copies in
+    ``__init__`` (once per actor — the "model load" of this stage);
+    ``__call__`` then answers a batch of questions fully in-process.
+
+    This is the throughput shape for offline retrieval jobs (evaluation
+    sweeps, RAG-context pre-computation over a question log): millions
+    of questions stream through ``map_batches`` while the graph sits in
+    shared memory, instead of ~13 Ray jobs per question on the
+    distributed path.  Requires EVERY tier within budget — callers
+    should keep per-question ``graphrag`` as the oversized fallback.
+    """
+
+    def __init__(self, tier_refs: Dict[str, Any], top_k: int = 5,
+                 hops: int = 2):
+        import ray
+
+        tabs = {k: (ray.get(r) if r is not None else None)
+                for k, r in tier_refs.items()}
+        self._loc = LocalKG(tabs["nodes"], tabs["edge_pairs"],
+                            tabs["mentions"], tabs["docs"],
+                            tabs["edge_payload"])
+        if not (self._loc.has_edges and self._loc.has_titles
+                and self._loc.edge_payload is not None):
+            raise ValueError(
+                "GraphRAGServer needs every serving tier in budget; "
+                "use the per-question distributed path instead")
+        self._top_k = top_k
+        self._hops = hops
+        # placeholder tables: with every tier local, graphrag() never
+        # evaluates them (asserted above)
+        self._tables = {k: None for k in
+                        ("nodes", "edges", "mentions", "docs")}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from neo4j_document_pipeline_ray.pipelines.graphrag import graphrag
+
+        qids, n_nodes, n_rels, seeds_csv, first_fact = [], [], [], [], []
+        for qid, q in zip(batch["question_id"].to_pylist(),
+                          batch["question"].to_pylist()):
+            res = graphrag(self._tables, q, top_k=self._top_k,
+                           hops=self._hops, local_kg=self._loc)
+            qids.append(qid)
+            n_nodes.append(res["n_nodes"])
+            n_rels.append(res["n_rels"])
+            seeds_csv.append(",".join(str(int(s)) for s in res["seeds"]))
+            lines = res["facts"].splitlines()
+            first_fact.append(lines[1] if len(lines) > 1 else "")
+        return pa.table({
+            "question_id": pa.array(qids, pa.int64()),
+            "n_nodes": pa.array(n_nodes, pa.int64()),
+            "n_rels": pa.array(n_rels, pa.int64()),
+            "seeds_csv": pa.array(seeds_csv, pa.string()),
+            "first_fact": pa.array(first_fact, pa.string()),
+        })
+
+
+def graphrag_serve_batch(
+    tables: Dict[str, Any],
+    questions,
+    top_k: int = 5,
+    hops: int = 2,
+    concurrency: int = 2,
+    max_bytes: int = DEFAULT_LOCAL_BUDGET,
+):
+    """Answer a Dataset of ``(question_id, question)`` rows through a
+    :class:`GraphRAGServer` actor pool.  Raises if the projection does
+    not fit ``max_bytes`` (batch mode has no distributed fallback —
+    fall back to per-question :func:`graphrag.graphrag`)."""
+    import ray
+
+    tiers = pull_tiers(tables, max_bytes)
+    if tiers is None or any(
+            tiers[k] is None
+            for k in ("edge_pairs", "mentions", "docs", "edge_payload")):
+        raise ValueError("serving projection exceeds max_bytes; "
+                         "use per-question graphrag instead")
+    refs = {k: ray.put(v) for k, v in tiers.items()}
+    return questions.map_batches(
+        GraphRAGServer,
+        fn_constructor_kwargs={"tier_refs": refs, "top_k": top_k,
+                               "hops": hops},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )

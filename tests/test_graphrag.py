@@ -452,3 +452,52 @@ class TestLocalKG:
         local = gr.graphrag(tables, QUESTION, top_k=5, hops=2, local_kg=part)
         for key in ("facts", "seeds", "candidates", "n_nodes", "n_rels"):
             assert local[key] == dist[key], key
+
+
+class TestGraphRAGBatchServing:
+    def test_batch_matches_per_question(self, ray_session, tables):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.pipelines.graphrag_local import (
+            LocalKG,
+            graphrag_serve_batch,
+        )
+
+        questions = [
+            QUESTION,
+            "Who announced the National Broadband Plan?",
+            "What is the capital of Malaysia?",
+        ]
+        qds = rd.from_arrow(pa.table({
+            "question_id": pa.array(list(range(len(questions))), pa.int64()),
+            "question": pa.array(questions, pa.string()),
+        }))
+        got = {r["question_id"]: r for r in graphrag_serve_batch(
+            tables, qds, top_k=5, hops=2, concurrency=2).take_all()}
+
+        loc = LocalKG.maybe_pull(tables, 256 << 20)
+        for i, q in enumerate(questions):
+            res = gr.graphrag(tables, q, top_k=5, hops=2, local_kg=loc)
+            assert got[i]["n_nodes"] == res["n_nodes"]
+            assert got[i]["n_rels"] == res["n_rels"]
+            assert got[i]["seeds_csv"] == ",".join(
+                str(int(s)) for s in res["seeds"])
+            lines = res["facts"].splitlines()
+            assert got[i]["first_fact"] == (lines[1] if len(lines) > 1 else "")
+
+    def test_oversized_budget_raises(self, ray_session, tables):
+        import pyarrow as pa
+        import ray.data as rd
+        import pytest as _pytest
+
+        from neo4j_document_pipeline_ray.pipelines.graphrag_local import (
+            graphrag_serve_batch,
+        )
+
+        qds = rd.from_arrow(pa.table({
+            "question_id": pa.array([0], pa.int64()),
+            "question": pa.array([QUESTION], pa.string()),
+        }))
+        with _pytest.raises(ValueError):
+            graphrag_serve_batch(tables, qds, max_bytes=1024)
