@@ -369,6 +369,7 @@ def cooccurrence_topk(
     min_count: int = 2,
     scale: int = COOC_SCALE,
     num_partitions: int = 16,
+    max_doc_entities: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Top-k entity pairs by co-occurrence lift over the mentions table
     (``doc_id, entity_id``, distinct) — the relatedness signal a KG
@@ -412,14 +413,31 @@ def cooccurrence_topk(
         starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
         ends_ = np.r_[starts[1:], len(d)]
         xs, ys = [], []
+        truncated = 0
         for s, t_ in zip(starts, ends_):
             n = t_ - s
             if n < 2:
                 continue
+            # pair volume is O(n^2) per doc; the opt-in cap keeps a
+            # pathological hub document (an index page mentioning the
+            # whole vocabulary) from exploding the exchange.  EXACT by
+            # default - capping changes the counted pair set, so it is
+            # never silent (same contract as ngram_jaccard_pairs).
+            if max_doc_entities is not None and n > max_doc_entities:
+                truncated += n - max_doc_entities
+                t_ = s + max_doc_entities
+                n = max_doc_entities
             i, j = np.triu_indices(n, k=1)
             ent = e[s:t_]  # sorted, so pairs come out (lo, hi)
             xs.append(ent[i])
             ys.append(ent[j])
+        if truncated:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cooccurrence_topk: dropped %d entity mentions beyond "
+                "max_doc_entities=%d (first-by-entity_id kept); pair "
+                "counts are now approximate", truncated, max_doc_entities)
         if not xs:
             return pd.DataFrame({
                 "entity_a": pd.Series([], dtype="int64"),

@@ -145,3 +145,23 @@ class TestCooccurrence:
         assert len(rows) == 1
         # (3,4) and (5,6) tie on lift; tie-break = smaller entity_a
         assert (rows[0]["entity_a"], rows[0]["entity_b"]) == (3, 4)
+
+    def test_doc_entity_cap_logs_and_truncates(self, ray_session, caplog):
+        import logging
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            cooccurrence_topk,
+        )
+
+        # one hub doc with 6 entities, capped at 3 -> pairs only among
+        # the first 3 by entity_id; a normal doc keeps its pair
+        pairs = [("hub", i) for i in range(1, 7)]
+        pairs += [("d2", 1), ("d2", 2), ("d2", 3)]
+        with caplog.at_level(logging.WARNING,
+                             logger="neo4j_document_pipeline_ray.pipelines.graph_algo"):
+            rows = cooccurrence_topk(
+                self._mentions_ds(pairs), k=50, min_count=2,
+                max_doc_entities=3).take_all()
+        got = {(r["entity_a"], r["entity_b"]): r["n_docs_both"] for r in rows}
+        # pairs among 1..3 counted in both docs; 4..6 dropped from hub
+        assert got == {(1, 2): 2, (1, 3): 2, (2, 3): 2}
