@@ -170,6 +170,19 @@ def cmd_status(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    import json
+
+    from neo4j_document_pipeline_ray.pipelines.compact import (
+        compact_snapshot,
+    )
+
+    _init_ray(args.num_cpus)
+    stats = compact_snapshot(args.out, target_bytes=args.target_mb << 20)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_wipe(args: argparse.Namespace) -> int:
     from neo4j_document_pipeline_ray.pipelines.snapshot import wipe_snapshot
 
@@ -214,6 +227,14 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--verbose", action="store_true",
                     help="list every shard, not just the first 10")
     st.set_defaults(fn=cmd_status)
+
+    c = sub.add_parser(
+        "compact",
+        help="merge small part files inside each snapshot partition")
+    c.add_argument("--out", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     w = sub.add_parser("wipe", help="destructively reset a snapshot dir")
     w.add_argument("--out", required=True)
