@@ -46,3 +46,16 @@ def kg_result(ray_session, small_corpus):
     out = build_kg(pages, cfg)
     # materialize once; tests consume repeatedly
     return {k: v.materialize() for k, v in out.items()}
+
+
+@pytest.fixture()
+def snap_copy(ray_session, small_corpus, tmp_path_factory):
+    """A freshly-built snapshot in a private dir (mutation-safe)."""
+    from neo4j_document_pipeline_ray.config import PipelineConfig
+    from neo4j_document_pipeline_ray.pipelines.snapshot import build_snapshot
+
+    cfg = PipelineConfig(extract_concurrency=2, embed_concurrency=2,
+                         join_partitions=4, entity_buckets=4)
+    out = str(tmp_path_factory.mktemp("snapcopy"))
+    build_snapshot(small_corpus["pages"], out, cfg, shard_files=1)
+    return out, cfg

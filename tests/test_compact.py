@@ -86,3 +86,47 @@ class TestCompaction:
         assert stats["mentions"]["files_after"] == 1
         assert _read_all_sorted(
             os.path.join(out, "mentions"), "entity_id").equals(before)
+
+
+class TestCompactionOnRealSnapshot:
+    def test_compact_preserves_snapshot_and_resume(
+            self, ray_session, snap_copy, small_corpus):
+        import shutil
+
+        from neo4j_document_pipeline_ray.pipelines import (
+            snapshot as snap_mod,
+        )
+        from neo4j_document_pipeline_ray.pipelines.compact import (
+            compact_snapshot,
+        )
+        from neo4j_document_pipeline_ray.state import manifest as mf
+
+        out, cfg = snap_copy
+        key_cols = {
+            "nodes": "entity_id", "edges": "src_id",
+            "mentions": "entity_id", "docs": "doc_id",
+        }
+        before = {n: _read_all_sorted(os.path.join(out, n), k)
+                  for n, k in key_cols.items()}
+        stats = compact_snapshot(out, target_bytes=256 << 20)
+        # the tiny fixture may already be one file per partition; merge
+        # behavior itself is pinned by the synthetic tests above
+        assert stats["edges"]["files_after"] <= stats["edges"]["files_before"]
+        for n, k in key_cols.items():
+            got = _read_all_sorted(os.path.join(out, n), k)
+            # bucket partition column may be re-derived; compare common cols
+            common = [c for c in before[n].schema.names
+                      if c in got.schema.names and c != "bucket"]
+            assert got.select(common).sort_by(k).to_pydict() == \
+                before[n].select(common).sort_by(k).to_pydict()
+
+        # a compacted snapshot must still resume: lose one shard commit,
+        # rebuild, and end content-identical
+        os.remove(mf.shard_manifest_path(out, 1))
+        root2 = snap_mod.build_snapshot(
+            small_corpus["pages"], out, cfg, shard_files=1)
+        assert root2["shards_skipped_on_resume"] >= 1
+        got = _read_all_sorted(os.path.join(out, "edges"), "src_id")
+        common = [c for c in before["edges"].schema.names if c != "bucket"]
+        assert got.select(common).sort_by("src_id").to_pydict() == \
+            before["edges"].select(common).sort_by("src_id").to_pydict()
