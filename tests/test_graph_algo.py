@@ -165,3 +165,30 @@ class TestCooccurrence:
         got = {(r["entity_a"], r["entity_b"]): r["n_docs_both"] for r in rows}
         # pairs among 1..3 counted in both docs; 4..6 dropped from hub
         assert got == {(1, 2): 2, (1, 3): 2, (2, 3): 2}
+
+
+class TestDegenerateInputs:
+    def test_empty_edge_set(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            triangle_counts,
+        )
+
+        assert triangle_counts(_edges_ds([])).take_all() == []
+
+    def test_cooccurrence_empty_and_singleton_docs(self, ray_session):
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            cooccurrence_topk,
+        )
+
+        def mds(pairs):
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array([d for d, _ in pairs], pa.string()),
+                "entity_id": pa.array([e for _, e in pairs], pa.int64()),
+            }))
+
+        assert cooccurrence_topk(mds([])).take_all() == []
+        # every doc a singleton: no pairs anywhere
+        assert cooccurrence_topk(
+            mds([("a", 1), ("b", 2)])).take_all() == []
