@@ -190,6 +190,25 @@ def _q_ann_label_topk(sf_dir: str):
     return label_topk(emb, query_vector(sf_dir), k=5)
 
 
+def _q_ann_multi_topk(sf_dir: str):
+    """Batch brute-force ANN: 3 query vectors scored in ONE corpus
+    pass (per-batch matmul against the broadcast query matrix,
+    partial top-k per (batch, query), per-query head in hash
+    partitions)."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        multi_query_topk,
+        query_matrix,
+    )
+
+    import os
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qids, qmat = query_matrix(sf_dir, [0, 1, 2])
+    return multi_query_topk(emb, qids, qmat, k=10)
+
+
 def _q_ann_lsh_topk(sf_dir: str):
     """LSH top-k through the PRUNED index path: bucket-partitioned
     parquet built once per sf, query reads only probed partitions."""
@@ -889,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_label_topk": _q_ann_label_topk,
+        "ann_multi_topk": _q_ann_multi_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
@@ -1408,6 +1428,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             ORDER BY sim DESC, e.vec_id
             LIMIT 10
+        """,
+        "ann_multi_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+                FROM embeddings e CROSS JOIN q
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+                FROM s
+            )
+            SELECT query_id, vec_id, sim FROM r WHERE rn <= 10
         """,
         "ann_label_topk": """
             SELECT vec_id, label, sim FROM (

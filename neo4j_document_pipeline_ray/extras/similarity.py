@@ -548,3 +548,77 @@ def _make_bucket_pairs(threshold: float, bucket_cap: int):
         })
 
     return bucket_pairs
+
+
+def query_matrix(sf_dir: str, vec_ids) -> "tuple":
+    """Deterministic query batch: embeddings of fixed vec_ids, as
+    (ids array, row-major matrix)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    pos = {v: i for i, v in enumerate(tbl["vec_id"].to_pylist())}
+    rows = [np.asarray(tbl["embedding"][pos[v]].as_py(), dtype=np.float64)
+            for v in vec_ids]
+    return np.asarray(list(vec_ids), dtype=np.int64), np.vstack(rows)
+
+
+def multi_query_topk(
+    embeddings: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Exact cosine top-k for a BATCH of queries in one corpus pass —
+    the production shape of brute-force ANN (a retrieval job scores a
+    query log, not one vector).  The query matrix is ``ray.put`` once
+    (one object-store copy per node); each batch is a single
+    ``(batch x dim) @ (dim x q)`` matmul; per-(batch, query) partial
+    top-k bounds the exchange at ``batches * q * k`` rows; the final
+    per-query head runs in hash partitions.  Same rounded-float64
+    kernel and (sim desc, vec_id) tie-break as :func:`brute_force_topk`.
+    """
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn.T.copy()))
+
+    def score(t: pa.Table) -> pa.Table:
+        qids, qt = ray.get(q_ref)
+        m = _batch_matrix(t)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m @ qt) / norms[:, None], 6)  # b x q
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            if len(col) > k:
+                part = np.lexsort((ids, -col))[:k]
+            else:
+                part = np.arange(len(col))
+            out_q.append(np.full(len(part), qids[j], dtype=np.int64))
+            out_v.append(ids[part])
+            out_s.append(col[part])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        partitioned_group_map,
+    )
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        score, batch_format="pyarrow")
+
+    def head_per_query(df):
+        df = df.sort_values(["query_id", "sim", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return (df.groupby("query_id").head(k)
+                  [["query_id", "vec_id", "sim"]])
+
+    out = partitioned_group_map(
+        partials, "query_id", head_per_query, num_partitions=num_partitions)
+    return out.sort(["query_id", "sim", "vec_id"],
+                    descending=[False, True, False])

@@ -693,3 +693,36 @@ class TestMultimodal:
             # mid-of-segment rule: (i + 0.5) * duration / 4
             want = [int((i + 0.5) * durs[mid] / 4) for i in range(4)]
             assert ts == want
+
+
+class TestMultiQueryANN:
+    def test_each_query_matches_single_query_path(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            brute_force_topk,
+            multi_query_topk,
+        )
+
+        rng = np.random.default_rng(7)
+        n, dim = 200, 16
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        emb = rd.from_arrow(pa.table({
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        }))
+        qids = np.array([3, 7], dtype=np.int64)
+        qmat = vecs[[3, 7]].astype(np.float64)
+        rows = multi_query_topk(emb, qids, qmat, k=5).take_all()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["sim"]))
+        for qi, qid in enumerate(qids):
+            single = [(r["vec_id"], r["sim"]) for r in
+                      brute_force_topk(emb, qmat[qi], k=5).take_all()]
+            assert by_q[int(qid)] == single
+            # the query vector itself is its own best match
+            assert by_q[int(qid)][0][0] == int(qid)
