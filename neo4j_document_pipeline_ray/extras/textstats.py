@@ -592,8 +592,13 @@ def salient_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         import pandas as pd
 
         d = t.to_pandas()
+        tf_arr = d["tf"].to_numpy(np.int64)
+        if len(tf_arr) and int(tf_arr.max()) * n_docs * SALIENCE_SCALE > (1 << 63) - 1:
+            raise OverflowError(
+                f"salience would overflow int64 at n_docs={n_docs}; "
+                "pre-prune the vocabulary (min-df) or lower the scale")
         d["salience_scaled"] = (
-            d["tf"].to_numpy(np.int64) * n_docs * SALIENCE_SCALE
+            tf_arr * n_docs * SALIENCE_SCALE
         ) // (d["n_toks"].to_numpy(np.int64) * d["df"].to_numpy(np.int64))
         d = (d.sort_values(["doc_id", "salience_scaled", "token"],
                            ascending=[True, False, True], kind="mergesort")

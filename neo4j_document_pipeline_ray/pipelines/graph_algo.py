@@ -477,6 +477,11 @@ def cooccurrence_topk(
         import numpy as np
 
         cab = t["n_docs_both"].to_numpy()
+        if len(cab) and int(cab.max()) * n_docs * scale > (1 << 63) - 1:
+            raise OverflowError(
+                "cooccurrence lift would overflow int64 at n_docs="
+                f"{n_docs}, scale={scale}; lower scale or switch the "
+                "projection to float log-PMI")
         ca = t["cnt_a"].to_numpy()
         cb = t["cnt"].to_numpy()
         lift = (cab.astype(np.int64) * n_docs * scale) // (ca * cb)
