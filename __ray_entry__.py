@@ -669,6 +669,18 @@ def _q_kg_schema_report(sf_dir: str):
     )
 
 
+def _q_kg_link_pred_topk(sf_dir: str):
+    """Link prediction: top non-adjacent entity pairs by common-
+    neighbor count - the propose-missing-edges pass of a KG curation
+    review.  Full-adjacency wedges in hash partitions, one pair-count
+    aggregate, existing edges removed by a left-outer broadcast join."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        link_prediction_topk,
+    )
+
+    return link_prediction_topk(_kg(sf_dir)["edges"], k=20)
+
+
 def _q_kg_cooccur_topk(sf_dir: str):
     """Top entity pairs by doc-level co-occurrence lift over the
     mentions table — the relatedness signal for KG edge proposal /
@@ -871,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_triangles": _q_kg_triangles,
         "kg_cooccur_topk": _q_kg_cooccur_topk,
+        "kg_link_pred_topk": _q_kg_link_pred_topk,
         "kg_components": _q_kg_components,
         "kg_schema_report": _q_kg_schema_report,
         "kg_integrity": _q_kg_integrity,
@@ -1324,6 +1337,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN nodes ns ON ns.entity_id = e.s
             JOIN nodes nd ON nd.entity_id = e.d
             GROUP BY 1, 2, 3
+        """,
+        "kg_link_pred_topk": f"""
+            WITH e0 AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+                FROM read_parquet('{_TRUTH_001}')
+            ), e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e0 WHERE s <> d
+            ), nb AS (
+                SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b, a FROM e
+            ), w AS (
+                SELECT n1.v AS entity_a, n2.v AS entity_b,
+                       count(*) AS common_neighbors
+                FROM nb n1 JOIN nb n2 ON n1.u = n2.u AND n1.v < n2.v
+                GROUP BY 1, 2
+            )
+            SELECT entity_a, entity_b, common_neighbors FROM w
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.a = w.entity_a AND e.b = w.entity_b)
+            ORDER BY common_neighbors DESC, entity_a, entity_b
+            LIMIT 20
         """,
         "kg_cooccur_topk": f"""
             WITH t AS (

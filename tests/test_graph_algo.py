@@ -192,3 +192,33 @@ class TestDegenerateInputs:
         # every doc a singleton: no pairs anywhere
         assert cooccurrence_topk(
             mds([("a", 1), ("b", 2)])).take_all() == []
+
+
+class TestLinkPrediction:
+    def test_common_neighbors_exclude_existing_edges(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            link_prediction_topk,
+        )
+
+        # square 1-2-3-4-1: diagonals (1,3) and (2,4) share 2 common
+        # neighbors and are NOT edges; plus a pendant 5 on 1
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5)]
+        rows = link_prediction_topk(_edges_ds(pairs), k=10).take_all()
+        got = {(r["entity_a"], r["entity_b"]): r["common_neighbors"]
+               for r in rows}
+        assert got[(1, 3)] == 2 and got[(2, 4)] == 2
+        # (2,5) share neighbor 1 but are non-adjacent -> included with 1
+        assert got[(2, 5)] == 1 and got[(4, 5)] == 1
+        # existing edges never proposed
+        assert (1, 2) not in got and (3, 4) not in got
+
+    def test_k_and_tie_break(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            link_prediction_topk,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 5)]
+        rows = link_prediction_topk(_edges_ds(pairs), k=1).take_all()
+        assert len(rows) == 1
+        # (1,3) and (2,4) tie at 2; tie-break = smaller entity_a
+        assert (rows[0]["entity_a"], rows[0]["entity_b"]) == (1, 3)
