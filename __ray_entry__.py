@@ -571,9 +571,19 @@ def _q_kg_export_neo4j(sf_dir: str):
     try:
         out = export_neo4j_bulk(kg, out_dir)
         parts = []
+        # explicit types: inference would turn an all-numeric name into
+        # int64 (mismatching the varchar oracle) and round-trip a null
+        # name as empty string
+        conv = pacsv.ConvertOptions(column_types={
+            "entity_id": pa.int64(), "name": pa.string(),
+            "norm_key": pa.string(), "label": pa.string(),
+        })
         for p in sorted(glob.glob(os.path.join(out["nodes_dir"], "*.csv"))):
-            parts.append(pacsv.read_csv(p, read_options=pacsv.ReadOptions(
-                column_names=["entity_id", "name", "norm_key", "label"])))
+            parts.append(pacsv.read_csv(
+                p,
+                read_options=pacsv.ReadOptions(
+                    column_names=["entity_id", "name", "norm_key", "label"]),
+                convert_options=conv))
         t = pa.concat_tables(parts)
         return t.select(["entity_id", "label", "name", "norm_key"])
     finally:
@@ -617,6 +627,18 @@ def _q_kg_integrity(sf_dir: str):
     partials = edges.map_batches(audit, batch_format="pyarrow").map_batches(
         lambda t: t.append_column("_k", pa.array([1] * t.num_rows, pa.int64())),
         batch_format="pyarrow")
+    # zero-valued seed row: an empty edges table must still audit to
+    # exactly one row of zero counts (the SQL oracle always returns one
+    # row) — the degenerate case the audit exists to catch
+    import ray.data as _rd
+
+    seed = _rd.from_arrow(pa.table({
+        "n_edges": pa.array([0], pa.int64()),
+        "n_orphan_endpoints": pa.array([0], pa.int64()),
+        "n_self_loops": pa.array([0], pa.int64()),
+        "_k": pa.array([1], pa.int64()),
+    }))
+    partials = partials.union(seed)
     agg = hash_aggregate(partials, "_k", [
         ("n_edges", "sum", "n_edges"),
         ("n_orphan_endpoints", "sum", "n_orphan_endpoints"),
@@ -734,25 +756,33 @@ def _q_pages_lang_stats(sf_dir: str):
     (the curation pre-filter a web corpus runs before extraction; uses
     the input_hint's lang/warc_ts columns)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
 
     paths = _corpus(sf_dir)
     pages = rd.read_parquet(paths["pages"], columns=["lang", "warc_ts"])
-    out = pages.groupby("lang").aggregate(
-        Count(alias_name="n"),
-        Min("warc_ts", alias_name="first_ts"),
-        Max("warc_ts", alias_name="last_ts"),
-    )
+    out = hash_aggregate(pages, "lang", [
+        (None, "count", "n"),
+        ("warc_ts", "min", "first_ts"),
+        ("warc_ts", "max", "last_ts"),
+    ], num_partitions=2)
 
     def fmt(t):
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        # Arrow's %S prints fractional seconds; floor to second
+        # precision first so the text matches DuckDB's strftime
+        def _fmt(col):
+            sec = pc.floor_temporal(col, unit="second").cast(
+                pa.timestamp("s"))
+            return pc.strftime(sec, format="%Y-%m-%d %H:%M:%S")
+
         return pa.table({
             "lang": t["lang"],
             "n": t["n"],
-            "first_ts": pc.cast(t["first_ts"], pa.string()),
-            "last_ts": pc.cast(t["last_ts"], pa.string()),
+            "first_ts": _fmt(t["first_ts"]),
+            "last_ts": _fmt(t["last_ts"]),
         })
 
     return out.map_batches(fmt, batch_format="pyarrow")

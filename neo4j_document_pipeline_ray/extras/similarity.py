@@ -579,7 +579,9 @@ def multi_query_topk(
     per-query head runs in hash partitions.  Same rounded-float64
     kernel and (sim desc, vec_id) tie-break as :func:`brute_force_topk`.
     """
-    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(queries, axis=1, keepdims=True)
+    q_norms[q_norms == 0] = 1.0  # zero query -> 0 sims, like corpus rows
+    qn = queries / q_norms
     q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn.T.copy()))
 
     def score(t: pa.Table) -> pa.Table:

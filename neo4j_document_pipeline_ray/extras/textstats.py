@@ -611,7 +611,19 @@ def salient_terms(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
                 d["salience_scaled"].to_numpy(np.int64), pa.int64()),
         })
 
-    return joined.map_batches(topk, batch_format="pyarrow")
+    # The per-doc head MUST see every (doc_id, token) row of a document
+    # at once: Ray's dynamic block splitting (target ~128 MB) can split
+    # a task's output mid-doc, and broadcast_join's per-block batches
+    # inherit those splits — a plain map_batches head would then emit up
+    # to 2k rows per split doc with wrong ranks.  Route it through a
+    # hash-partitioned group map on doc_id (same pattern as
+    # similarity.multi_query_topk's per-query head).
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        partitioned_group_map,
+    )
+
+    return partitioned_group_map(
+        joined, "doc_id", topk, batch_format="pyarrow")
 
 
 def salient_terms_sql(k: int = 3) -> str:

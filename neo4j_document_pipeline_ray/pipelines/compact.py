@@ -19,10 +19,12 @@ roughly ``target_bytes``:
   by the table's id column (restores tight row-group min/max stats —
   the pruning contract of ``snapshot._write_bucketed``), write one
   part;
-* the swap is the same atomicity contract as the snapshot writer
-  itself: build the full tree under ``<dir>.compact-tmp``, then
-  rmtree + ``os.replace`` — a crash mid-compaction leaves the original
-  table untouched.
+* the swap builds the full tree under ``<dir>.compact-tmp``, parks the
+  original at ``<dir>.compact-old``, renames tmp into place, then
+  deletes the parked copy.  A crash before the first rename leaves the
+  original untouched; a crash between the renames is auto-recovered on
+  the next ``compact_table`` call (the parked copy is restored), so the
+  data is never present only in a partially-deleted tree.
 
 Content is set-identical by construction (concat of all parts, order
 within a partition is not part of any table's contract; the optional
@@ -88,8 +90,16 @@ def compact_table(
     ``{files_before, files_after, groups_rewritten, rows_rewritten}``."""
     table_dir = os.path.normpath(table_dir)
     tmp_root = table_dir + ".compact-tmp"
+    old_root = table_dir + ".compact-old"
+    # recovery: a crash between the two renames of a previous run left
+    # the original tree parked at .compact-old — restore it first
+    if not os.path.isdir(table_dir) and os.path.isdir(old_root):
+        os.replace(old_root, table_dir)
     if os.path.isdir(tmp_root):
         shutil.rmtree(tmp_root)
+    if os.path.isdir(old_root):
+        shutil.rmtree(old_root)
+    os.makedirs(tmp_root, exist_ok=True)
 
     stats = {"files_before": 0, "files_after": 0,
              "groups_rewritten": 0, "rows_rewritten": 0}
@@ -98,9 +108,18 @@ def compact_table(
         rel = os.path.relpath(leaf, table_dir)
         out_leaf = (tmp_root if rel == "." else os.path.join(tmp_root, rel))
         os.makedirs(out_leaf, exist_ok=True)
-        files = sorted(
-            os.path.join(leaf, f) for f in os.listdir(leaf)
-            if f.endswith(".parquet"))
+        names = sorted(os.listdir(leaf))
+        files = [os.path.join(leaf, f) for f in names
+                 if f.endswith(".parquet")]
+        # preserve sidecar files (manifests, markers) verbatim
+        for f in names:
+            src = os.path.join(leaf, f)
+            if not f.endswith(".parquet") and os.path.isfile(src):
+                dst = os.path.join(out_leaf, f)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
         stats["files_before"] += len(files)
         groups = _plan_groups(files, target_bytes)
         for gi, group in enumerate(groups):
@@ -119,10 +138,18 @@ def compact_table(
     for n in ray.get(futures):
         stats["rows_rewritten"] += n
 
-    # same swap contract as snapshot._write_bucketed: the original tree
-    # is replaced only after the compacted tree is fully on disk
-    shutil.rmtree(table_dir)
-    os.replace(tmp_root, table_dir)
+    # two-rename swap: park the original at .compact-old, move the
+    # compacted tree into place, then delete the parked copy.  A crash
+    # between the renames is recoverable (the recovery block at the top
+    # of this function restores .compact-old); at no point is the data
+    # present only in a partially-deleted tree.
+    os.replace(table_dir, old_root)
+    try:
+        os.replace(tmp_root, table_dir)
+    except BaseException:
+        os.replace(old_root, table_dir)  # roll back
+        raise
+    shutil.rmtree(old_root)
     return stats
 
 
