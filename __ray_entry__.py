@@ -291,7 +291,9 @@ def _q_minhash_components(sf_dir: str):
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
-    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    # the VERIFIED pair list is small (near-dup pairs only) — pin it so
+    # the emptiness probe + CC input don't re-run the LSH pipeline
+    pairs = minhash_dedup_pairs(docs, threshold=0.8).materialize()
     if pairs.count() == 0:
         import pandas as pd
 

@@ -200,21 +200,47 @@ def _make_pairs_partition(bucket_cap: int):
     return _pairs_partition
 
 
-def minhash_candidate_pairs(
-    docs: "ray.data.Dataset", bucket_cap: int = 50
-) -> Tuple["ray.data.Dataset", "ray.data.Dataset"]:
-    """Returns (signatures, candidate pairs) datasets."""
-    from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
+_SIG_SCHEMA = pa.schema([("doc_id", pa.int64()), ("sig", pa.binary())])
 
-    sigs = docs.map_batches(_minhash_batch, batch_format="pyarrow").materialize()
+
+def minhash_candidate_pairs(
+    docs: "ray.data.Dataset",
+    bucket_cap: int = 50,
+    checkpoint_dir: "str | None" = None,
+) -> Tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Returns (signatures, candidate pairs) datasets.
+
+    The signature table is CHECKPOINTED to parquet (the stage-B
+    pattern, ``snapshot.py``) rather than pinned in the object store:
+    at 10^10 docs the 64-perm int64 signatures are ~5 TB — a
+    ``materialize()`` there would spill the whole table; a parquet
+    checkpoint streams to disk once and every consumer (banding here,
+    the verify-join in :func:`minhash_dedup_pairs`) does its own pruned
+    re-read.  The candidate-pair dataset stays fully lazy — no
+    materialize, no driver-side emptiness probe.
+    """
+    import tempfile
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        distinct_by,
+        partitioned_group_map,
+    )
+
+    sig_dir = checkpoint_dir or tempfile.mkdtemp(prefix="graft_minhash_sigs_")
+    docs.map_batches(_minhash_batch, batch_format="pyarrow").write_parquet(
+        sig_dir)
+    if not any(f.endswith(".parquet") for f in os.listdir(sig_dir)):
+        # empty input wrote no files: seed an empty typed file so the
+        # re-read keeps the signature schema
+        import pyarrow.parquet as pq
+
+        pq.write_table(_SIG_SCHEMA.empty_table(),
+                       os.path.join(sig_dir, "empty.parquet"))
+    sigs = ray.data.read_parquet(sig_dir)
     bands = sigs.map_batches(_bands_batch, batch_format="pyarrow")
     pairs = partitioned_group_map(
         bands, "bucket", _make_pairs_partition(bucket_cap), 16
-    ).materialize()
-    if pairs.count() == 0:
-        return sigs, pairs
-    from neo4j_document_pipeline_ray.stages.grouped import distinct_by
-
+    )
     # (a, b) pairs are complete within a's hash partition
     uniq = distinct_by(pairs, "a", subset=["a", "b"], num_partitions=16)
     return sigs, uniq
@@ -229,9 +255,9 @@ def minhash_dedup_pairs(
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (a < b) with signature-estimated Jaccard >= threshold."""
     sigs, pairs = minhash_candidate_pairs(docs, bucket_cap=bucket_cap)
-    if pairs.count() == 0:
-        return pairs
-    # signatures are tiny (8 B/doc-perm) -> broadcast lookups, no shuffle
+    # signature lookups: broadcast when the (parquet-checkpointed) sig
+    # table fits, hash join otherwise — no emptiness probe (an empty
+    # candidate set streams through as empty blocks)
     j = broadcast_join(pairs, sigs, on=("a",), right_on=("doc_id",),
                        num_partitions=8)
     j = j.rename_columns({"sig": "siga"})
