@@ -43,6 +43,30 @@ def _eid_sql(norm_expr: str) -> str:
     return f"CAST(concat('0x', substr(sha256({norm_expr}), 1, 15)) AS BIGINT)"
 
 
+_EMB_DIM = 64
+
+
+def _hash_emb_sql(text_expr: str) -> str:
+    """DuckDB DOUBLE[] replay of the pipeline's hash embedder."""
+    from neo4j_document_pipeline_ray.stages.embed import (
+        hash_embedding_list_sql,
+    )
+
+    return hash_embedding_list_sql(text_expr, _EMB_DIM)
+
+
+def _qvec_sql() -> str:
+    """The unit-normalized question vector as a DOUBLE[] literal
+    (same float64 values the Ray kernel scores against)."""
+    from neo4j_document_pipeline_ray.pipelines.graphrag import (
+        _unit,
+        embed_question,
+    )
+
+    q = _unit(embed_question(_QUESTION))
+    return "[" + ", ".join(repr(float(x)) for x in q) + "]"
+
+
 def _corpus(sf_dir: str):
     from neo4j_document_pipeline_ray.sources.corpus import ensure_corpus
 
@@ -162,7 +186,32 @@ def _q_kg_chunks(sf_dir: str):
 
 
 def _q_kg_embeddings(sf_dir: str):
-    return _kg(sf_dir)["embeddings"]
+    """Distinct-key embeddings table, unpivoted to (text_key, i, val)
+    so the driver can hash-compare against the DuckDB replay of the
+    hash embedder (``hash_embedding_list_sql``): each ``val`` is the
+    exact float64 widening of the pipeline's float32 component."""
+    import numpy as np
+    import pyarrow as pa
+
+    def unpivot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"text_key": pa.array([], pa.string()),
+                             "i": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64())})
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in t["embedding"].to_pylist()])
+        n, d = mat.shape
+        keys = pa.array(
+            np.repeat(np.asarray(t["text_key"].to_pylist(), dtype=object), d),
+            pa.string())
+        return pa.table({
+            "text_key": keys,
+            "i": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "val": pa.array(mat.astype(np.float64).ravel(), pa.float64()),
+        })
+
+    return _kg(sf_dir)["embeddings"].map_batches(
+        unpivot, batch_format="pyarrow")
 
 
 def _q_ann_topk(sf_dir: str):
@@ -1547,8 +1596,70 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(x.emb, y.emb) >= 0.95
             ORDER BY a, b
         """,
-        # kg_embeddings: the hash-projection embedder is not
-        # SQL-expressible -> rows-only.  lsh / mm_features: seeded-rng
-        # hyperplanes or stubbed codecs -> rows-only, verified against
-        # exact oracles in pytest instead.
+        # kg_embeddings / kg_vector_topk: the hash embedder is pure
+        # integer math + exact float steps, replayed bit-for-bit by
+        # hash_embedding_list_sql (stages/embed.py).
+        "kg_embeddings": f"""
+            WITH tr AS (
+                -- distribution rows key the relation on the fixed
+                -- HAS_INITIATIVE_COUNT rel_type (normalize.py:146),
+                -- all other kinds on the raw predicate
+                SELECT DISTINCT subject, object, subject_type, object_type,
+                       CASE WHEN object_kind = 'distribution'
+                            THEN rel_type ELSE predicate END AS relword
+                FROM read_parquet('{_TRUTH_001}')
+            ), keys AS (
+                SELECT DISTINCT text_key FROM (
+                    SELECT subject_type || ':' || subject AS text_key FROM tr
+                    UNION
+                    SELECT object_type || ':' || object FROM tr
+                    UNION
+                    SELECT subject || ' ' || relword || ' ' || object
+                    FROM tr
+                )
+            ), emb AS (
+                SELECT text_key, {_hash_emb_sql("text_key")} AS e
+                FROM keys
+            )
+            SELECT text_key, r.i AS i, e[r.i + 1] AS val
+            FROM emb CROSS JOIN range({_EMB_DIM}) r(i)
+        """,
+        "kg_vector_topk": f"""
+            WITH m AS (
+                SELECT subject AS name, subject_type AS label
+                FROM read_parquet('{_TRUTH_001}')
+                UNION ALL
+                SELECT object, object_type FROM read_parquet('{_TRUTH_001}')
+            ), k AS (
+                SELECT name, label, {nname} AS norm_key FROM m
+            ), g AS (
+                SELECT norm_key, min(name || chr(31) || label) AS rep
+                FROM k GROUP BY norm_key
+            ), nodes_t AS (
+                SELECT {_eid_sql('norm_key')} AS entity_id,
+                       split_part(rep, chr(31), 2) AS label,
+                       split_part(rep, chr(31), 1) AS name
+                FROM g
+            ), emb AS (
+                SELECT entity_id, label, name,
+                       {_hash_emb_sql("(label || ':' || name)")} AS e
+                FROM nodes_t
+            ), scored AS (
+                SELECT entity_id, label, name,
+                       round(list_inner_product(e, {_qvec_sql()}) /
+                             (CASE WHEN sqrt(list_inner_product(e, e)) = 0
+                                   THEN 1.0
+                                   ELSE sqrt(list_inner_product(e, e))
+                              END), 6) AS score
+                FROM emb
+            )
+            SELECT entity_id, label, name, score FROM scored
+            ORDER BY score DESC, entity_id
+            LIMIT 10
+        """,
+        # kg_vector_index_topk: multiprobe LSH is approximate by
+        # design -> rows-only (pinned == vector_topk where guaranteed
+        # in pytest).  lsh / mm_features: seeded-rng hyperplanes or
+        # stubbed codecs -> rows-only, verified against exact oracles
+        # in pytest instead.
     }

@@ -68,6 +68,18 @@ class PipelineConfig:
     edge_text_exchange: str = "auto"
     edge_ref_threshold_bytes: int = 2 << 30
 
+    # --- embedding backend selection ---
+    # "hash": the deterministic SQL-mirrorable hash embedder (default —
+    #   the only one that works in this offline sandbox);
+    # "http": HTTPEmbedderBackend against an OpenAI/vLLM-style
+    #   /embeddings endpoint, configured via
+    #   extra["embed_http"] = {"base_url": ..., "api_key": ...,
+    #   "model": ..., "timeout": 60.0} (the reference's
+    #   embedConfig.yaml, ingestMD.py:16-35).  Resolved by
+    #   stages.embed.make_embedder_backend(cfg); an explicit backend
+    #   object passed to the pipeline entry points wins over this.
+    embed_backend: str = "hash"
+
     # --- misc ---
     src_text_max_chars: int = 1000       # normal-triple provenance truncation
     #                                      (reference ingestMD.py:494)

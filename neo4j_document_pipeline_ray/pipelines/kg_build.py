@@ -83,6 +83,12 @@ def build_kg(
     checkpoints with manifests — lives in ``pipelines/snapshot.py``.
     """
     cfg = cfg or PipelineConfig()
+    if embed_backend is None:
+        from neo4j_document_pipeline_ray.stages.embed import (
+            make_embedder_backend,
+        )
+
+        embed_backend = make_embedder_backend(cfg)
 
     docs = dedupe_docs(extract_docs(pages, cfg))
     chunks = chunk_docs(docs, cfg)

@@ -389,6 +389,12 @@ def build_snapshot(
 ) -> Dict:
     """Run (or resume) the full pipeline into a partitioned Parquet snapshot."""
     cfg = cfg or PipelineConfig()
+    if embed_backend is None:
+        from neo4j_document_pipeline_ray.stages.embed import (
+            make_embedder_backend,
+        )
+
+        embed_backend = make_embedder_backend(cfg)
     t_start = time.time()
     os.makedirs(out_dir, exist_ok=True)
 

@@ -158,9 +158,11 @@ class TestGraphTables:
         emb = HashEmbedder(dim=64)
         for n in kg_result["nodes"].take(20):
             v = np.array(n["embedding"], dtype=np.float32)
-            assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-3
+            # vectors are NOT unit-norm (SQL-replayable integer hash
+            # math; cosine consumers normalize) — must be bit-exact
             want = emb.embed([n["node_key"]])[0]
-            assert np.allclose(v, want, atol=1e-6)
+            assert np.array_equal(v, want)
+            assert float(np.linalg.norm(v)) > 0
 
     def test_docs_dedupe_duplicate_content(self, kg_result, small_corpus):
         pages = pq.read_table(small_corpus["pages"], columns=["url", "text"]).to_pylist()
