@@ -9,7 +9,13 @@ time the curation extras and relational operators.
 Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N,
-   "docs_per_sec": ..., "triples_per_sec": ...}
+   "docs_per_sec": ..., "triples_per_sec": ...,
+   "bench_reps": N, "queries_spread_s": {name: [min, max]}}
+
+Every number is min-of-``$GRAFT_BENCH_REPS`` (default 3) wall times,
+with the per-rep spread in the artifact: this host shows +-50%
+(occasionally 8x) neighbor-load noise, and the minimum over
+temporally-separated reps is the least-contaminated estimate.
 
 ``--scaling`` reruns the headline in fresh processes at 8 and 32 CPUs
 on the same input and reports both throughputs + scaling efficiency
@@ -27,6 +33,12 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# min-of-N protocol: this host shows +-50% (occasionally 8x) neighbor-
+# load noise; the minimum over temporally-separated reps is the least-
+# contaminated estimate, and the per-rep spread ships in the artifact
+# so an inflated rep is visible as environment, not regression.
+BENCH_REPS = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
 
 # --scaling uses a dedicated LARGER corpus so the job is
 # compute-dominated like the 100 TB design point; at sf0.1 the fixed
@@ -94,19 +106,28 @@ def run_bench() -> dict:
         dedupe_chunks_before_extract=False,
     )
     out_dir = f"/tmp/bench_snapshot_{NUM_CPUS}"
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
 
-    t0 = time.time()
-    # shard_files=4: checkpoint granularity of ~8k docs/shard — fewer
-    # actor-pool spinups per run than one shard per input file
-    root = build_snapshot(paths["pages"], out_dir, cfg, resume=False, shard_files=4)
-    headline = time.time() - t0
+    # scaling mode runs ONE rep per process (run_scaling takes its own
+    # min over fresh processes); the in-process sweep takes min-of-N
+    reps = 1 if scaling_pages else BENCH_REPS
+    headline_reps = []
+    root = None
+    for _ in range(reps):
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        t0 = time.time()
+        # shard_files=4: checkpoint granularity of ~8k docs/shard —
+        # fewer actor-pool spinups per run than one shard per file
+        root = build_snapshot(paths["pages"], out_dir, cfg,
+                              resume=False, shard_files=4)
+        headline_reps.append(round(time.time() - t0, 3))
+    headline = min(headline_reps)
 
     n_docs = root["counts"]["n_docs"]
     n_triples = root["counts"]["n_triples"]
 
     queries = {"kg_snapshot": round(headline, 3)}
+    spread = {"kg_snapshot": [min(headline_reps), max(headline_reps)]}
 
     if scaling_pages:
         # scaling mode: headline only, skip the secondary query sweep
@@ -126,13 +147,22 @@ def run_bench() -> dict:
         ray.shutdown()
         return result
 
+    def timed_call(name, thunk):
+        """min-of-N wall time; per-rep spread recorded in the artifact."""
+        vals = []
+        out = None
+        for _ in range(BENCH_REPS):
+            t = time.time()
+            out = thunk()
+            if hasattr(out, "count"):
+                out.count()
+            vals.append(round(time.time() - t, 3))
+        queries[name] = min(vals)
+        spread[name] = [min(vals), max(vals)]
+        return out
+
     def timed(name, fn):
-        t = time.time()
-        res = fn(SF_DIR)
-        # consume
-        if hasattr(res, "count"):
-            res.count()
-        queries[name] = round(time.time() - t, 3)
+        timed_call(name, lambda: fn(SF_DIR))
 
     timed("rel_lineitem_agg", rel.q_lineitem_agg)
     timed("rel_segment_topk", rel.q_segment_revenue_topk)
@@ -197,25 +227,23 @@ def run_bench() -> dict:
         triangle_counts,
     )
 
-    t = time.time()
-    triangle_counts(tables["edges"]).count()
-    queries["kg_triangles"] = round(time.time() - t, 3)
-
-    t = time.time()
-    cooccurrence_topk(tables["mentions"], k=50).count()
-    queries["kg_cooccur_topk"] = round(time.time() - t, 3)
+    timed_call("kg_triangles", lambda: triangle_counts(tables["edges"]))
+    timed_call("kg_cooccur_topk",
+               lambda: cooccurrence_topk(tables["mentions"], k=50))
 
     question = 'How does the "National Broadband Plan" support the Six Pillars?'
 
     # index DDL analog: the reference creates its vector + fulltext
     # indexes at the END of ingestion (ingestMD.py:794-796) and serves
     # /graphrag from them — build both layouts over the fresh snapshot
-    t = time.time()
     ann_dir = os.path.join(out_dir, "_ann_index")
     txt_dir = os.path.join(out_dir, "_text_index")
-    build_node_ann_index(tables["nodes"], ann_dir)
-    build_text_index(tables["nodes"], txt_dir)
-    queries["kg_index_build"] = round(time.time() - t, 3)
+
+    def _build_indexes():
+        build_node_ann_index(tables["nodes"], ann_dir)
+        build_text_index(tables["nodes"], txt_dir)
+
+    timed_call("kg_index_build", _build_indexes)
 
     # production serving path: a query server pulls the pruned local
     # projection ONCE (the way the reference's Neo4j holds its indexes
@@ -223,12 +251,10 @@ def run_bench() -> dict:
     # oversized tiers would fall back to the distributed steps
     from neo4j_document_pipeline_ray.pipelines.graphrag_local import LocalKG
 
-    t = time.time()
-    loc = LocalKG.maybe_pull(tables)
-    queries["kg_local_pull"] = round(time.time() - t, 3)
-    t = time.time()
-    res = graphrag(tables, question, top_k=5, hops=2, local_kg=loc)
-    queries["kg_graphrag_query"] = round(time.time() - t, 3)
+    loc = timed_call("kg_local_pull", lambda: LocalKG.maybe_pull(tables))
+    res = timed_call(
+        "kg_graphrag_query",
+        lambda: graphrag(tables, question, top_k=5, hops=2, local_kg=loc))
     assert res["n_nodes"] > 0
     # diagnosis aids for noisy-host runs: which serving tiers were
     # pulled, and where the query time went
@@ -243,18 +269,18 @@ def run_bench() -> dict:
 
     # distributed paths kept as the at-scale comparison points
     # (identical results — pinned in tests/test_graphrag.py)
-    t = time.time()
-    res_idx = graphrag(tables, question, top_k=5, hops=2,
-                       text_index_dir=txt_dir, ann_index_dir=ann_dir)
-    queries["kg_graphrag_query_dist_indexed"] = round(time.time() - t, 3)
+    res_idx = timed_call(
+        "kg_graphrag_query_dist_indexed",
+        lambda: graphrag(tables, question, top_k=5, hops=2,
+                         text_index_dir=txt_dir, ann_index_dir=ann_dir))
     # the ANN channel is approximate (multiprobe LSH): at tiny corpora
     # the probed buckets can legitimately miss scan-path seeds, so only
     # sanity-check it; exactness-where-guaranteed is pinned in
     # tests/test_graphrag.py
     assert res_idx["n_nodes"] > 0
-    t = time.time()
-    res_scan = graphrag(tables, question, top_k=5, hops=2)
-    queries["kg_graphrag_query_dist_scan"] = round(time.time() - t, 3)
+    res_scan = timed_call(
+        "kg_graphrag_query_dist_scan",
+        lambda: graphrag(tables, question, top_k=5, hops=2))
     assert res_scan["facts"] == res["facts"]
 
     result = {
@@ -269,6 +295,10 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / headline, 2),
         "triples_per_sec": round(n_triples / headline, 2),
         "stage_timings_s": root["stage_timings_s"],
+        # min-of-N evidence: [min, max] per query; a large max/min
+        # ratio marks neighbor-load noise, not a code regression
+        "bench_reps": BENCH_REPS,
+        "queries_spread_s": spread,
         **result_extras,
     }
     ray.shutdown()
