@@ -483,9 +483,16 @@ def _bm25_score(
     return partial.sort(["score", "entity_id"], descending=[True, False]).limit(k)
 
 
-# longest contiguous token n-gram whose df the text index stores; an
-# anchor phrase longer than this pays a corpus-stats scan at query time
-_MAX_INDEXED_GRAM = 3
+# longest contiguous token n-gram whose df the text index stores.
+# Node names are short (entity names, not documents), so a name of L
+# tokens contributes at most L*(L+1)/2 grams; the cap only bites on
+# pathological names.  Together with the ``max_name_len`` recorded in
+# the index meta this makes phrase df TOTAL: a phrase of <= max_gram
+# tokens is served from the index, a phrase LONGER than the longest
+# name in the corpus has df = 0 by definition (no name can contain
+# it), and only the (cap < len <= max_name_len) sliver — which needs
+# a >12-token entity name to exist at all — pays a logged scan.
+_MAX_INDEXED_GRAM = 12
 
 
 def build_text_index(nodes: "ray.data.Dataset", index_dir: str) -> Dict[str, Any]:
@@ -521,7 +528,7 @@ def build_text_index(nodes: "ray.data.Dataset", index_dir: str) -> Dict[str, Any
 
         def grams_of(tl):
             out = set(tl)
-            for n in range(2, _MAX_INDEXED_GRAM + 1):
+            for n in range(2, min(len(tl), _MAX_INDEXED_GRAM) + 1):
                 out.update(
                     " ".join(tl[i:i + n]) for i in range(len(tl) - n + 1)
                 )
@@ -546,22 +553,28 @@ def build_text_index(nodes: "ray.data.Dataset", index_dir: str) -> Dict[str, Any
                                      batch_format="pyarrow")
     df_table.sort("token").write_parquet(os.path.join(index_dir, "df"))
 
-    meta_parts = nodes.select_columns(["norm_key"]).map_batches(
-        lambda t: pa.table({
+    def _meta_batch(t: pa.Table) -> pa.Table:
+        lens = pc.if_else(
+            pc.equal(pc.coalesce(t["norm_key"], ""), ""),
+            pa.scalar(0, pa.int64()),
+            pc.cast(pc.add(pc.count_substring(
+                pc.coalesce(t["norm_key"], ""), " "), 1), pa.int64()),
+        )
+        return pa.table({
             "n": pa.array([t.num_rows], pa.int64()),
-            "dl_sum": pa.array([int(pc.sum(
-                pc.if_else(
-                    pc.equal(pc.coalesce(t["norm_key"], ""), ""),
-                    pa.scalar(0, pa.int64()),
-                    pc.cast(pc.add(pc.count_substring(
-                        pc.coalesce(t["norm_key"], ""), " "), 1), pa.int64()),
-                )).as_py() or 0)], pa.int64()),
-        }),
-        batch_format="pyarrow",
-    ).take_all()
+            "dl_sum": pa.array([int(pc.sum(lens).as_py() or 0)], pa.int64()),
+            "max_len": pa.array([int(pc.max(lens).as_py() or 0)], pa.int64()),
+        })
+
+    meta_parts = nodes.select_columns(["norm_key"]).map_batches(
+        _meta_batch, batch_format="pyarrow").take_all()
     meta = {"n": sum(r["n"] for r in meta_parts),
             "dl_sum": sum(r["dl_sum"] for r in meta_parts),
-            "max_gram": _MAX_INDEXED_GRAM}
+            "max_gram": _MAX_INDEXED_GRAM,
+            # longest name (in tokens): any phrase longer than this has
+            # df = 0 by definition — no corpus scan needed to know it
+            "max_name_len": max(
+                (r["max_len"] for r in meta_parts), default=0)}
     with open(os.path.join(index_dir, "_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -587,13 +600,24 @@ def bm25_index_topk(
     # indexes written before n-gram support carry no max_gram: treat
     # every phrase as unindexed (scan) rather than returning df=0
     max_gram = meta.get("max_gram", 1)
+    # without a recorded max name length (old index), assume unbounded
+    # names so long phrases scan instead of wrongly shortcutting to 0
+    max_name_len = meta.get("max_name_len", float("inf"))
     dset = pads.dataset(os.path.join(index_dir, "df"))
 
     def stats_fn(toks: List[str], phrases: List[str]) -> Dict[str, Any]:
-        indexed_phr = [p for p in phrases if p.count(" ") + 1 <= max_gram]
-        scan_phr = [p for p in phrases if p.count(" ") + 1 > max_gram]
+        indexed_phr, scan_phr, zero_phr = [], [], []
+        for p in phrases:
+            plen = p.count(" ") + 1
+            if plen <= max_gram:
+                indexed_phr.append(p)
+            elif plen > max_name_len:
+                # longer than every name in the corpus: df = 0 exactly
+                zero_phr.append(p)
+            else:
+                scan_phr.append(p)
         df_tok = {t: 0 for t in toks}
-        df_phr = {p: 0 for p in indexed_phr}
+        df_phr = {p: 0 for p in indexed_phr + zero_phr}
         lookups = list(toks) + indexed_phr
         if lookups:
             tbl = dset.to_table(filter=pads.field("token").isin(lookups))
@@ -601,6 +625,15 @@ def bm25_index_topk(
             df_tok.update({t: got[t] for t in toks if t in got})
             df_phr.update({p: got[p] for p in indexed_phr if p in got})
         if scan_phr:
+            # only reachable when a >max_gram-token name exists AND the
+            # anchor is that long; never silent
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "text index: %d anchor phrase(s) longer than the "
+                "indexed max_gram=%d but within max_name_len=%s — "
+                "paying a corpus-stats scan", len(scan_phr), max_gram,
+                max_name_len)
             scan = _bm25_corpus_stats(nodes, [], scan_phr)
             df_phr.update(scan["df_phr"])
         return {"n": meta["n"], "dl_sum": meta["dl_sum"],

@@ -332,6 +332,62 @@ class TestDistributedChannels:
         assert [(r["entity_id"], r["score"]) for r in got] == [
             (r["entity_id"], r["score"]) for r in want]
 
+    def test_bm25_long_phrase_df0_shortcut_without_scan(
+            self, ray_session, tables, tmp_path, monkeypatch):
+        """A quoted anchor LONGER than every name in the corpus has
+        df = 0 by definition — the index must shortcut via the recorded
+        max_name_len instead of scanning, and the result must equal the
+        scan-path bm25_topk (round-3 verdict #8: no silent corpus scan
+        on any quoted-anchor query)."""
+        idx = str(tmp_path / "ti_long_phrase")
+        meta = gr.build_text_index(tables["nodes"], idx)
+        assert meta["max_name_len"] >= 1
+        # anchor with more tokens than any name can contain
+        long_anchor = " ".join(["pillar"] * (meta["max_name_len"] + 2))
+        q = f'broadband plan "{long_anchor}" society'
+        want = gr.bm25_topk(tables["nodes"], q, k=12).take_all()
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "corpus-stats scan ran for a phrase longer than every "
+                "name (df=0 shortcut missing)")
+
+        monkeypatch.setattr(gr, "_bm25_corpus_stats", boom)
+        got = gr.bm25_index_topk(tables["nodes"], idx, q, k=12).take_all()
+        assert [(r["entity_id"], r["score"]) for r in got] == [
+            (r["entity_id"], r["score"]) for r in want]
+
+    def test_bm25_midrange_phrase_scan_is_logged(
+            self, ray_session, tables, tmp_path, monkeypatch, caplog):
+        """The only remaining scan sliver — phrase longer than max_gram
+        but within max_name_len — must be LOGGED, never silent."""
+        import logging
+
+        idx = str(tmp_path / "ti_mid_phrase")
+        gr.build_text_index(tables["nodes"], idx)
+        # shrink the recorded max_gram so a 3-token anchor falls in the
+        # (max_gram, max_name_len] sliver
+        import json
+        import os
+
+        mp = os.path.join(idx, "_meta.json")
+        with open(mp) as f:
+            meta = json.load(f)
+        meta["max_gram"] = 1
+        meta["max_name_len"] = 99
+        with open(mp, "w") as f:
+            json.dump(meta, f)
+        q = 'broadband "national broadband plan" society'
+        want = gr.bm25_topk(tables["nodes"], q, k=12).take_all()
+        with caplog.at_level(logging.WARNING,
+                             logger="neo4j_document_pipeline_ray"
+                                    ".pipelines.graphrag"):
+            got = gr.bm25_index_topk(tables["nodes"], idx, q,
+                                     k=12).take_all()
+        assert any("corpus-stats scan" in r.message for r in caplog.records)
+        assert [(r["entity_id"], r["score"]) for r in got] == [
+            (r["entity_id"], r["score"]) for r in want]
+
     def test_bm25_all_miss_returns_empty(self, ray_session, tables):
         """Full miss (keywords AND quoted anchor unknown): the retry
         path executes and still yields an empty result, not an error."""
