@@ -305,6 +305,115 @@ def run_bench() -> dict:
     return result
 
 
+def _ensure_skew_corpus(base_pages: str) -> str:
+    """Skewed variant of the bench corpus: ~30% of pages gain one extra
+    sentence mentioning the SAME hot entity ("National Hub"), with ~20
+    distinct objects — so one entity lands in ~30% of all docs and its
+    mention/edge keys hammer a single reducer in a naive groupby.
+    Ray session must be live."""
+    import zlib
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    out_dir = "/tmp/graft_pages/skew_hot"
+    pages_dir = os.path.join(out_dir, "pages")
+    marker = os.path.join(out_dir, "_complete")
+    if os.path.exists(marker):
+        return pages_dir
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+
+    def inject(t: "pa.Table") -> "pa.Table":
+        out = []
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            hh = zlib.crc32(u.encode())
+            # only sentence-bearing docs (60% of the corpus): injecting
+            # into table/noise docs would suppress their row-level
+            # table-FALLBACK triples (fallback-only-on-empty) and make
+            # the corpora incomparable.  50% of 60% = ~30% of all docs.
+            if ("/sent/" in u or "/mixed/" in u) and hh % 2 == 0:
+                sent = (f'<p>The Policy "National Hub" supports the '
+                        f'Sector "Pillar {hh % 20}".</p>').encode()
+                h = h.replace(b"</body>", sent + b"</body>", 1)
+            out.append(h)
+        idx = t.schema.get_field_index("html")
+        return t.set_column(idx, "html", pa.array(out, pa.binary()))
+
+    rd.read_parquet(base_pages).map_batches(
+        inject, batch_format="pyarrow").write_parquet(pages_dir)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return pages_dir
+
+
+def run_skew() -> dict:
+    """Hot-key robustness evidence: the SAME snapshot job over the
+    uniform bench corpus vs the skewed variant (one entity in ~30% of
+    docs).  Because every exchange is preceded by an in-batch Arrow
+    partial aggregation (hub keys collapse per batch — edge_agg.py,
+    entity_link.py), the stage-B (graph shuffle) wall time must stay
+    within ~1.2x of uniform; a naive sort/groupby would send every hot
+    row to one reducer instead.  min-of-N per variant."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from neo4j_document_pipeline_ray.config import PipelineConfig
+    from neo4j_document_pipeline_ray.pipelines.snapshot import build_snapshot
+    from neo4j_document_pipeline_ray.sources.corpus import ensure_corpus
+
+    paths = ensure_corpus(SF_DIR)
+    skew_pages = _ensure_skew_corpus(paths["pages"])
+    reps = max(1, int(os.environ.get("GRAFT_SKEW_REPS", "2")))
+
+    cfg = PipelineConfig(
+        extract_concurrency=(1, max(2, NUM_CPUS // 8)),
+        embed_concurrency=(1, max(2, NUM_CPUS // 4)),
+        join_partitions=max(4, NUM_CPUS // 4),
+        shuffle_partitions=max(8, NUM_CPUS),
+        shard_parallelism=max(2, NUM_CPUS // 2),
+        dedupe_chunks_before_extract=False,
+    )
+
+    def run(pages: str, tag: str) -> dict:
+        best = None
+        for _ in range(reps):
+            out_dir = f"/tmp/bench_skew_{tag}"
+            if os.path.isdir(out_dir):
+                shutil.rmtree(out_dir)
+            t0 = time.time()
+            root = build_snapshot(pages, out_dir, cfg, resume=False,
+                                  shard_files=4)
+            wall = time.time() - t0
+            if best is None or wall < best["total_s"]:
+                best = {"total_s": round(wall, 3),
+                        "shuffle_s": root["stage_timings_s"]["graph_shuffles"],
+                        "n_triples": root["counts"]["n_triples"],
+                        "n_nodes": root["counts"]["n_nodes"]}
+        return best
+
+    base = run(paths["pages"], "base")
+    skew = run(skew_pages, "hot")
+    result = {
+        "metric": "skew_shuffle_ratio",
+        "base": base,
+        "skew": skew,
+        "shuffle_ratio": round(skew["shuffle_s"] / base["shuffle_s"], 3),
+        "total_ratio": round(skew["total_s"] / base["total_s"], 3),
+        "num_cpus": NUM_CPUS,
+        "sf": _sf_of(SF_DIR),
+        "reps": reps,
+    }
+    ray.shutdown()
+    return result
+
+
 def _ensure_scaling_corpus() -> str:
     """Generate (once) the fixed larger corpus the scaling runs share."""
     out_dir = f"/tmp/graft_pages/scaling{SCALING_DOCS}"
@@ -398,5 +507,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_bench()))
