@@ -44,7 +44,10 @@ BENCH_REPS = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
 # compute-dominated like the 100 TB design point; at sf0.1 the fixed
 # per-job latencies (Ray job startup, actor spawn, shuffle barriers)
 # are the same order as the useful work and cap measurable efficiency.
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "60000"))
+# 228,000 docs = the design-point corpus of the BASELINE.md scaling
+# claim; `python bench.py --scaling` reproduces that table from a
+# fresh checkout in one command (corpus cached after the first run)
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "228000"))
 _SCALING_PAGES_ENV = "GRAFT_SCALING_PAGES"
 
 
