@@ -183,6 +183,19 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Online serving daemon: the reference's FastAPI surface
+    (main.py /graphrag /healthz /queue_status /graph/* /documents)
+    over a built snapshot, with semaphore admission."""
+    from neo4j_document_pipeline_ray.serve import GraphRAGService, serve_forever
+
+    _init_ray(args.num_cpus)
+    svc = GraphRAGService.from_snapshot(
+        args.snapshot, max_concurrent=args.max_concurrent)
+    serve_forever(svc, args.host, args.port)
+    return 0
+
+
 def cmd_wipe(args: argparse.Namespace) -> int:
     from neo4j_document_pipeline_ray.pipelines.snapshot import wipe_snapshot
 
@@ -235,6 +248,19 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--target-mb", type=int, default=128)
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP serving daemon over a snapshot (/graphrag, /healthz, "
+             "/queue_status, /graph/stats, /graph/schema, /graph/search, "
+             "/documents)")
+    sv.add_argument("--snapshot", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--max-concurrent", type=int, default=20,
+                    help="admission cap on in-flight /graphrag requests")
+    sv.add_argument("--num-cpus", type=int, default=None)
+    sv.set_defaults(fn=cmd_serve)
 
     w = sub.add_parser("wipe", help="destructively reset a snapshot dir")
     w.add_argument("--out", required=True)

@@ -1,0 +1,426 @@
+"""Online serving daemon for a built KG snapshot.
+
+The reference serves its graph through a FastAPI app (``main.py``):
+``POST /graphrag`` gated by an asyncio semaphore that caps in-flight
+requests at ``MAX_CONCURRENT_REQUESTS`` (main.py:35-38, 221-245), plus
+read-only endpoints ``/healthz`` (main.py:109-116), ``/queue_status``
+(main.py:55-64), ``/documents`` (main.py:72-107), ``/graph/stats``
+(main.py:590-654), ``/graph/schema`` (main.py:656-726) and
+``/graph/search`` (main.py:728-800).
+
+This module re-expresses that surface over the Ray-Data snapshot query
+layer with the standard library's threading HTTP server (FastAPI is not
+in this environment; the admission CONTRACT is the part that matters,
+not the framework):
+
+* a ``threading.BoundedSemaphore(max_concurrent)`` plays the asyncio
+  semaphore's role — excess ``/graphrag`` requests queue on the
+  semaphore and ``/queue_status`` reports live active/queued counters
+  exactly like the reference's globals (main.py:36-39, 223-244);
+* each ``/graphrag`` runs the SAME :func:`graphrag` flow the batch
+  entry points use, against a :class:`LocalKG` tier pulled ONCE at
+  service start (the way the reference holds a warm Neo4j driver) with
+  the distributed tiers as automatic fallback for oversized snapshots;
+* the read-only endpoints are thin wrappers over the same two-phase
+  ``hash_aggregate`` / ``broadcast_join`` kernels the query layer uses,
+  computed lazily and cached (they are snapshot-static).
+
+At 100 TB the snapshot's serving projection no longer fits the local
+budget; ``LocalKG.maybe_pull`` then returns ``None`` and every request
+transparently runs the distributed tiers — same code path, no flag.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+from neo4j_document_pipeline_ray.config import PipelineConfig
+
+# The reference's admission cap (main.py:35).
+MAX_CONCURRENT_REQUESTS = 20
+
+
+def _jsonable(obj: Any) -> Any:
+    """json.dumps fallback for numpy scalars / arrays in query results."""
+    item = getattr(obj, "item", None)
+    if callable(item):
+        return obj.item()
+    tolist = getattr(obj, "tolist", None)
+    if callable(tolist):
+        return obj.tolist()
+    return str(obj)
+
+
+class GraphRAGService:
+    """Holds the warm serving state (tables, LocalKG tier, index dirs,
+    admission semaphore) and implements every endpoint as a method, so
+    it can be driven by the HTTP layer or called directly in tests."""
+
+    def __init__(
+        self,
+        tables: Dict[str, Any],
+        text_index_dir: Optional[str] = None,
+        ann_index_dir: Optional[str] = None,
+        cfg: Optional[PipelineConfig] = None,
+        max_concurrent: int = MAX_CONCURRENT_REQUESTS,
+        local_budget: Optional[int] = None,
+    ):
+        from neo4j_document_pipeline_ray.pipelines.graphrag_local import (
+            DEFAULT_LOCAL_BUDGET,
+            LocalKG,
+        )
+
+        self.tables = tables
+        self.text_index_dir = text_index_dir
+        self.ann_index_dir = ann_index_dir
+        self.cfg = cfg or PipelineConfig()
+        self.max_concurrent = max_concurrent
+        budget = DEFAULT_LOCAL_BUDGET if local_budget is None else local_budget
+        # Pulled once at startup and reused across requests — the warm
+        # state a query server holds (reference: module-level Neo4j
+        # driver + clients, main.py:41-53).  None => distributed tiers.
+        self.local_kg = LocalKG.maybe_pull(tables, budget) if budget else None
+
+        # Admission control (main.py:35-38): a bounded semaphore caps
+        # in-flight /graphrag work; counters mirror the reference's
+        # active_requests / queued_requests globals.
+        self._sem = threading.BoundedSemaphore(max_concurrent)
+        self._counter_lock = threading.Lock()
+        self.active_requests = 0
+        self.queued_requests = 0
+
+        self._cache_lock = threading.Lock()
+        self._cache: Dict[str, Any] = {}
+
+    @classmethod
+    def from_snapshot(
+        cls,
+        snapshot_dir: str,
+        cfg: Optional[PipelineConfig] = None,
+        max_concurrent: int = MAX_CONCURRENT_REQUESTS,
+        local_budget: Optional[int] = None,
+    ) -> "GraphRAGService":
+        import os
+
+        import ray.data as rd
+
+        tables = {
+            name: rd.read_parquet(os.path.join(snapshot_dir, name)).materialize()
+            for name in ("nodes", "edges", "mentions", "docs")
+        }
+        txt = os.path.join(snapshot_dir, "text_index")
+        ann = os.path.join(snapshot_dir, "ann_index")
+        return cls(
+            tables,
+            text_index_dir=txt if os.path.isdir(txt) else None,
+            ann_index_dir=ann if os.path.isdir(ann) else None,
+            cfg=cfg,
+            max_concurrent=max_concurrent,
+            local_budget=local_budget,
+        )
+
+    # ---------------------------------------------------------------- rag
+    def graphrag_request(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """POST /graphrag (main.py:221-245): queue on the semaphore,
+        then run the shared retrieval flow.  Body fields mirror RagBody
+        (main.py:45-53): question, top_k, hops, alpha_vec, beta_kw,
+        use_mmr, use_cross_doc."""
+        question = str(body.get("question", "")).strip()
+        if not question:
+            # main.py:249-251 — empty question is a success=False reply,
+            # not an HTTP error.
+            return {"success": False,
+                    "message": "Please provide a question.",
+                    "facts": "", "seeds": []}
+
+        with self._counter_lock:
+            self.queued_requests += 1
+        self._sem.acquire()
+        with self._counter_lock:
+            self.queued_requests -= 1
+            self.active_requests += 1
+        try:
+            t0 = time.time()
+            res = self._run_graphrag(body, question)
+            res_out = {
+                "success": True,
+                "facts": res["facts"],
+                "seeds": list(res["seeds"]),
+                "n_nodes": res["n_nodes"],
+                "n_rels": res["n_rels"],
+                "timings_s": res["timings_s"],
+                "total_s": round(time.time() - t0, 4),
+            }
+            return res_out
+        except Exception as e:  # reference returns the error in-band
+            return {"success": False,
+                    "message": f"graphrag error: {e}", "facts": "",
+                    "seeds": []}
+        finally:
+            with self._counter_lock:
+                self.active_requests -= 1
+            self._sem.release()
+
+    def _run_graphrag(self, body: Dict[str, Any], question: str) -> Dict[str, Any]:
+        """Seam for tests (patched to a slow stub in the admission
+        test); production path is the shared graphrag() flow."""
+        from neo4j_document_pipeline_ray.pipelines.graphrag import graphrag
+
+        return graphrag(
+            self.tables,
+            question,
+            top_k=int(body.get("top_k", 10)),
+            hops=int(body.get("hops", 1)),
+            use_mmr=bool(body.get("use_mmr", True)),
+            use_cross_doc=bool(body.get("use_cross_doc", True)),
+            alpha_vec=float(body.get("alpha_vec", 0.6)),
+            beta_kw=float(body.get("beta_kw", 0.4)),
+            text_index_dir=self.text_index_dir,
+            ann_index_dir=self.ann_index_dir,
+            cfg=self.cfg,
+            local_kg=self.local_kg,
+        )
+
+    # ------------------------------------------------------------ status
+    def queue_status(self) -> Dict[str, Any]:
+        """GET /queue_status (main.py:55-64)."""
+        with self._counter_lock:
+            active, queued = self.active_requests, self.queued_requests
+        return {
+            "success": True,
+            "active_requests": active,
+            "queued_requests": queued,
+            "max_concurrent": self.max_concurrent,
+            "available_slots": self.max_concurrent - active,
+        }
+
+    def healthz(self) -> Dict[str, Any]:
+        """GET /healthz (main.py:109-116): total node count."""
+        return {"success": True, "nodes": self._cached(
+            "n_nodes", lambda: self.tables["nodes"].count())}
+
+    # --------------------------------------------------- graph read-only
+    def _cached(self, key: str, compute) -> Any:
+        with self._cache_lock:
+            if key not in self._cache:
+                self._cache[key] = compute()
+            return self._cache[key]
+
+    def graph_stats(self) -> Dict[str, Any]:
+        """GET /graph/stats (main.py:590-654): per-label node counts and
+        per-type relationship counts."""
+        from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+        def compute():
+            def counts(ds, key):
+                rows = hash_aggregate(
+                    ds.select_columns([key]), key, [(None, "count", "n")]
+                ).take_all()
+                return {r[key]: r["n"] for r in sorted(rows, key=lambda r: r[key])}
+
+            return {
+                "success": True,
+                "node_count": self.tables["nodes"].count(),
+                "relationship_count": self.tables["edges"].count(),
+                "labels": counts(self.tables["nodes"], "label"),
+                "relationship_types": counts(self.tables["edges"], "rel_type"),
+            }
+
+        return self._cached("graph_stats", compute)
+
+    def graph_schema(self) -> Dict[str, Any]:
+        """GET /graph/schema (main.py:656-726): (src label, rel type,
+        dst label, edge count) triplets — node labels broadcast onto
+        the streaming edge table twice, one two-phase hash aggregate
+        (the db.schema.visualization analog)."""
+        from neo4j_document_pipeline_ray.stages.grouped import (
+            broadcast_join,
+            hash_aggregate,
+        )
+
+        def compute():
+            nodes = self.tables["nodes"].select_columns(["entity_id", "label"])
+            edges = self.tables["edges"].select_columns(
+                ["src_id", "rel_type", "dst_id"])
+
+            def rename(ds, frm, to):
+                return ds.map_batches(
+                    lambda t: t.rename_columns(
+                        [{frm: to}.get(c, c) for c in t.schema.names]),
+                    batch_format="pyarrow")
+
+            j = rename(broadcast_join(edges, nodes, on=("src_id",),
+                                      right_on=("entity_id",)),
+                       "label", "src_label")
+            j = rename(broadcast_join(j, nodes, on=("dst_id",),
+                                      right_on=("entity_id",)),
+                       "label", "dst_label")
+            rows = hash_aggregate(
+                j.select_columns(["src_label", "rel_type", "dst_label"]),
+                ["src_label", "rel_type", "dst_label"],
+                [(None, "count", "n_edges")],
+            ).take_all()
+            rows.sort(key=lambda r: (r["src_label"], r["rel_type"],
+                                     r["dst_label"]))
+            return {"success": True, "schema": rows}
+
+        return self._cached("graph_schema", compute)
+
+    def documents(self, limit: int = 100) -> Dict[str, Any]:
+        """GET /documents (main.py:72-107): per-document title + distinct
+        mentioned-entity count, ordered by doc_id.  The mentions table is
+        already distinct (doc_id, entity_id), so the count is one
+        two-phase aggregate; titles attach by broadcast join."""
+        from neo4j_document_pipeline_ray.stages.grouped import (
+            broadcast_join,
+            hash_aggregate,
+        )
+
+        def compute():
+            per_doc = hash_aggregate(
+                self.tables["mentions"].select_columns(["doc_id"]),
+                "doc_id", [(None, "count", "entity_count")])
+            docs = self.tables["docs"].select_columns(["doc_id", "title"])
+            joined = broadcast_join(docs, per_doc, on=("doc_id",),
+                                    join_type="left_outer")
+            rows = joined.take_all()
+            rows.sort(key=lambda r: r["doc_id"])
+            return [
+                {"doc_id": r["doc_id"], "title": r["title"],
+                 "entity_count": int(r["entity_count"] or 0)}
+                for r in rows
+            ]
+
+        all_rows = self._cached("documents", compute)
+        return {"success": True, "documents": all_rows[:limit],
+                "total": len(all_rows)}
+
+    def search(
+        self,
+        property_name: Optional[str],
+        property_value: Optional[str],
+        label: Optional[str] = None,
+        limit: int = 10,
+    ) -> Dict[str, Any]:
+        """GET /graph/search (main.py:728-800): case-insensitive
+        substring match on a node property, optional label filter.
+        A streaming pruned scan with a vectorized Arrow predicate +
+        limit — Ray stops pulling blocks once the limit is satisfied."""
+        import pyarrow.compute as pc
+
+        if not property_name or not property_value:
+            return {"success": False,
+                    "message": "property_name and property_value are "
+                               "required parameters"}
+        nodes = self.tables["nodes"]
+        if property_name not in nodes.schema().names:
+            return {"success": False,
+                    "message": f"unknown property: {property_name}"}
+        needle = property_value.lower()
+
+        def matches(t):
+            mask = pc.match_substring(
+                pc.utf8_lower(pc.cast(t[property_name], "string")), needle)
+            if label is not None:
+                mask = pc.and_(mask, pc.equal(t["label"], label))
+            return t.filter(mask)
+
+        cols = ["entity_id", "label", "name", "norm_key"]
+        rows = (
+            nodes.select_columns([c for c in cols if c in nodes.schema().names])
+            .map_batches(matches, batch_format="pyarrow")
+            .limit(limit)
+            .take_all()
+        )
+        return {"success": True,
+                "results": {"entities": rows, "count": len(rows)}}
+
+
+# ---------------------------------------------------------------- HTTP
+
+
+def _make_handler(service: GraphRAGService):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet: the daemon logs through the service, not stderr spam
+        def log_message(self, fmt, *args):
+            pass
+
+        def _reply(self, payload: Dict[str, Any], status: int = 200) -> None:
+            body = json.dumps(payload, default=_jsonable).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            url = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            if url.path == "/healthz":
+                return self._reply(service.healthz())
+            if url.path == "/queue_status":
+                return self._reply(service.queue_status())
+            if url.path == "/graph/stats":
+                return self._reply(service.graph_stats())
+            if url.path == "/graph/schema":
+                return self._reply(service.graph_schema())
+            if url.path == "/documents":
+                return self._reply(
+                    service.documents(limit=int(q.get("limit", 100))))
+            if url.path == "/graph/search":
+                return self._reply(service.search(
+                    property_name=q.get("property_name"),
+                    property_value=q.get("property_value"),
+                    label=q.get("label"),
+                    limit=int(q.get("limit", 10)),
+                ))
+            self._reply({"success": False, "message": "not found"}, 404)
+
+        def do_POST(self):  # noqa: N802
+            url = urlparse(self.path)
+            if url.path != "/graphrag":
+                return self._reply(
+                    {"success": False, "message": "not found"}, 404)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(body, dict):
+                    raise ValueError("body must be a JSON object")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._reply(
+                    {"success": False, "message": f"bad request: {e}"}, 400)
+            self._reply(service.graphrag_request(body))
+
+    return Handler
+
+
+def make_server(
+    service: GraphRAGService, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Bind a threading HTTP server for ``service`` (port 0 = ephemeral;
+    read ``server.server_address`` for the bound port).  Caller owns the
+    serve_forever() loop / shutdown()."""
+    httpd = ThreadingHTTPServer((host, port), _make_handler(service))
+    # every handler thread may block on the admission semaphore; daemon
+    # threads let shutdown() win
+    httpd.daemon_threads = True
+    return httpd
+
+
+def serve_forever(service: GraphRAGService, host: str, port: int) -> None:
+    httpd = make_server(service, host, port)
+    h, p = httpd.server_address[:2]
+    print(f"serving on http://{h}:{p}  "
+          f"(max_concurrent={service.max_concurrent}, "
+          f"local_kg={'yes' if service.local_kg is not None else 'no'})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
