@@ -417,6 +417,123 @@ def run_skew() -> dict:
     return result
 
 
+def run_serve() -> dict:
+    """Online-serving latency/concurrency benchmark — the analog of the
+    reference's perf_test/enhanced_performance_test.py, which ramps
+    concurrent users against POST /graphrag and reports per-step
+    avg/median/p95/min/max latency, throughput and success rate
+    (its north-star ceiling: 30 s per query,
+    perf_test/enhanced_performance_test.py:69).
+
+    Builds a snapshot over the bench corpus, stands up the serving
+    daemon (serve.py) on an ephemeral port, and drives it over REAL
+    HTTP with stepped concurrency.  Questions are derived
+    deterministically from the snapshot's own node names (quoted, so
+    the BM25 phrase path is exercised like the reference's anchor
+    queries)."""
+    import threading
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from neo4j_document_pipeline_ray.config import PipelineConfig
+    from neo4j_document_pipeline_ray.pipelines.snapshot import build_snapshot
+    from neo4j_document_pipeline_ray.serve import GraphRAGService, make_server
+    from neo4j_document_pipeline_ray.sources.corpus import ensure_corpus
+
+    paths = ensure_corpus(SF_DIR)
+    out_dir = "/tmp/bench_serve_snap"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    cfg = PipelineConfig(
+        extract_concurrency=(1, max(2, NUM_CPUS // 8)),
+        embed_concurrency=(1, max(2, NUM_CPUS // 4)),
+        join_partitions=max(4, NUM_CPUS // 4),
+        shuffle_partitions=max(8, NUM_CPUS),
+        shard_parallelism=max(2, NUM_CPUS // 2),
+        dedupe_chunks_before_extract=False,
+    )
+    t0 = time.time()
+    build_snapshot(paths["pages"], out_dir, cfg, resume=False, shard_files=4)
+    build_s = time.time() - t0
+
+    n_replicas = int(os.environ.get("GRAFT_SERVE_REPLICAS",
+                                    str(max(2, NUM_CPUS // 4))))
+    questions = None
+    configs = {}
+    # two daemon shapes under the SAME sweep: in-process (one GIL) and
+    # replica actors (N query processes over shared object-store tiers)
+    for label, replicas in (("in_process", 0), ("replicas", n_replicas)):
+        svc = GraphRAGService.from_snapshot(out_dir, max_concurrent=20,
+                                            replicas=replicas)
+        httpd = make_server(svc, port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        host, port = httpd.server_address[:2]
+        url = f"http://{host}:{port}/graphrag"
+
+        if questions is None:
+            # deterministic question set from the snapshot's own
+            # entities: first 20 multi-word node names by entity_id,
+            # quoted (anchor/BM25 phrase path) — the reference's
+            # QUESTIONS list is likewise a fixed 20-question rotation
+            # (enhanced_performance_test.py:79)
+            names = [
+                r["name"]
+                for r in svc.tables["nodes"]
+                .select_columns(["entity_id", "name"])
+                .sort("entity_id").limit(400).take_all()
+                if len(str(r["name"]).split()) >= 2
+            ][:20]
+            questions = [f'How does "{n}" support the rollout?'
+                         for n in names]
+
+        # the client sweep runs in its OWN process so client-side work
+        # doesn't share a GIL with the server under test (the
+        # reference's perf harness is likewise external to the FastAPI
+        # process)
+        sweep_cfg = json.dumps({
+            "url": url,
+            "questions": questions,
+            "steps": [1, 4, 8, 16],
+            "requests_per_step": int(
+                os.environ.get("GRAFT_SERVE_REQS", "24")),
+        })
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "serve_client_sweep.py")],
+            input=sweep_cfg, capture_output=True, text=True, timeout=1800)
+        if proc.returncode != 0:
+            raise RuntimeError(f"client sweep failed: {proc.stderr[-2000:]}")
+        configs[label] = {
+            "replicas": replicas,
+            "local_kg": svc.local_kg is not None,
+            "steps": json.loads(proc.stdout.strip().splitlines()[-1])["steps"],
+        }
+        httpd.shutdown()
+
+    best = configs["replicas"]["steps"]
+    result = {
+        "metric": "graphrag_serve_http_latency",
+        "value": best[0]["median_latency_s"],
+        "unit": "sec",
+        "configs": configs,
+        "reference_ceiling_s": 30.0,
+        "snapshot_build_s": round(build_s, 3),
+        "max_concurrent": 20,
+        "n_questions": len(questions),
+        "sf": _sf_of(SF_DIR),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
 def _ensure_scaling_corpus() -> str:
     """Generate (once) the fixed larger corpus the scaling runs share."""
     out_dir = f"/tmp/graft_pages/scaling{SCALING_DOCS}"
@@ -512,5 +629,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
+    elif "--serve" in sys.argv:
+        print(json.dumps(run_serve()))
     else:
         print(json.dumps(run_bench()))

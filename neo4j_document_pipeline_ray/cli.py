@@ -191,7 +191,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
 
     _init_ray(args.num_cpus)
     svc = GraphRAGService.from_snapshot(
-        args.snapshot, max_concurrent=args.max_concurrent)
+        args.snapshot, max_concurrent=args.max_concurrent,
+        replicas=args.replicas)
     serve_forever(svc, args.host, args.port)
     return 0
 
@@ -259,6 +260,11 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--port", type=int, default=8000)
     sv.add_argument("--max-concurrent", type=int, default=20,
                     help="admission cap on in-flight /graphrag requests")
+    sv.add_argument("--replicas", type=int, default=0,
+                    help="N>0: fan /graphrag out to N single-process Ray "
+                         "replica actors sharing object-store tier copies "
+                         "(requires the snapshot's serving tiers to fit "
+                         "the local budget); 0 answers in-process")
     sv.add_argument("--num-cpus", type=int, default=None)
     sv.set_defaults(fn=cmd_serve)
 

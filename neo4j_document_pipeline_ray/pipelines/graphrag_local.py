@@ -38,6 +38,7 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from neo4j_document_pipeline_ray.functions.textnorm import normalize_name_for_key
 from neo4j_document_pipeline_ray.pipelines.graphrag import (
@@ -100,6 +101,32 @@ class LocalKG:
         edge_payload: Optional[pa.Table],
     ):
         self.nodes = nodes
+        # Pre-sort the payload tier ONCE by the rel ordering traverse()
+        # must return — (src_id, rel_type, dst_id, term-with-null-as-"")
+        # — so every request's filter comes back already ordered and the
+        # per-query Python sort disappears (per-query work moved to
+        # once-per-server setup, like the rest of this class).  A
+        # positional tiebreaker makes the order exactly what a stable
+        # sort of the unsorted table would produce.
+        if edge_payload is not None and edge_payload.num_rows:
+            term = (
+                pc.fill_null(pc.cast(edge_payload["term"], pa.string()), "")
+                if "term" in edge_payload.schema.names
+                else pa.array([""] * edge_payload.num_rows, pa.string())
+            )
+            keys = pa.table({
+                "src_id": edge_payload["src_id"],
+                "rel_type": edge_payload["rel_type"],
+                "dst_id": edge_payload["dst_id"],
+                "term": term,
+                "pos": pa.array(np.arange(edge_payload.num_rows,
+                                          dtype=np.int64)),
+            })
+            idx = pc.sort_indices(keys, sort_keys=[
+                ("src_id", "ascending"), ("rel_type", "ascending"),
+                ("dst_id", "ascending"), ("term", "ascending"),
+                ("pos", "ascending")])
+            edge_payload = edge_payload.take(idx)
         self.edge_payload = edge_payload
         self._norm_df = pd.DataFrame(
             {"norm_key": nodes["norm_key"].to_pandas()})
@@ -241,9 +268,10 @@ class LocalKG:
                 self.edge_payload["dst_id"].to_numpy(zero_copy_only=False),
                 parr,
             )
+            # payload was pre-sorted by (src, rel, dst, term) in
+            # __init__ and filter preserves row order, so the result is
+            # already in the contract order — no per-query sort
             rels = self.edge_payload.filter(pa.array(pmask)).to_pylist()
-            rels.sort(key=lambda r: (r["src_id"], r["rel_type"], r["dst_id"],
-                                     r.get("term") or ""))
         else:
             rels = fetch_rel_payload(edges_ds, processed)
         return {"node_ids": sorted(visited), "rels": rels}

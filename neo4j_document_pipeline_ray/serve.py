@@ -56,10 +56,60 @@ def _jsonable(obj: Any) -> Any:
     return str(obj)
 
 
+def _replica_actor_cls():
+    """Define the replica actor lazily (ray import stays off the module
+    path for non-daemon users).  Each replica reconstructs its LocalKG
+    from the object store's shared tier copies in __init__ — the same
+    once-per-actor pattern as GraphRAGServer (graphrag_local.py) — and
+    answers one request per call in its own process, so N replicas give
+    the daemon true multi-core parallelism for the GIL-bound per-query
+    work (BFS masks, dedup/format loops)."""
+    import ray
+
+    from neo4j_document_pipeline_ray.pipelines.graphrag_local import LocalKG
+
+    @ray.remote(num_cpus=1)
+    class _Replica:
+        def __init__(self, tier_refs: Dict[str, Any], cfg: PipelineConfig):
+            tabs = {k: (ray.get(r) if r is not None else None)
+                    for k, r in tier_refs.items()}
+            self._loc = LocalKG(tabs["nodes"], tabs["edge_pairs"],
+                                tabs["mentions"], tabs["docs"],
+                                tabs["edge_payload"])
+            self._cfg = cfg
+            # with every tier local, graphrag() never evaluates these
+            self._tables = {k: None for k in
+                            ("nodes", "edges", "mentions", "docs")}
+
+        def answer(self, body: Dict[str, Any], question: str) -> Dict[str, Any]:
+            from neo4j_document_pipeline_ray.pipelines.graphrag import graphrag
+
+            return graphrag(
+                self._tables,
+                question,
+                top_k=int(body.get("top_k", 10)),
+                hops=int(body.get("hops", 1)),
+                use_mmr=bool(body.get("use_mmr", True)),
+                use_cross_doc=bool(body.get("use_cross_doc", True)),
+                alpha_vec=float(body.get("alpha_vec", 0.6)),
+                beta_kw=float(body.get("beta_kw", 0.4)),
+                cfg=self._cfg,
+                local_kg=self._loc,
+            )
+
+    return _Replica
+
+
 class GraphRAGService:
     """Holds the warm serving state (tables, LocalKG tier, index dirs,
     admission semaphore) and implements every endpoint as a method, so
-    it can be driven by the HTTP layer or called directly in tests."""
+    it can be driven by the HTTP layer or called directly in tests.
+
+    ``replicas=N`` (when every serving tier fits the local budget)
+    fans /graphrag out to N single-process Ray actors holding shared
+    object-store copies of the tiers — the daemon's scale-out shape:
+    one HTTP front, N query processes.  ``replicas=0`` answers
+    in-process (still LocalKG-fast, but one GIL)."""
 
     def __init__(
         self,
@@ -69,10 +119,12 @@ class GraphRAGService:
         cfg: Optional[PipelineConfig] = None,
         max_concurrent: int = MAX_CONCURRENT_REQUESTS,
         local_budget: Optional[int] = None,
+        replicas: int = 0,
     ):
         from neo4j_document_pipeline_ray.pipelines.graphrag_local import (
             DEFAULT_LOCAL_BUDGET,
             LocalKG,
+            pull_tiers,
         )
 
         self.tables = tables
@@ -84,7 +136,28 @@ class GraphRAGService:
         # Pulled once at startup and reused across requests — the warm
         # state a query server holds (reference: module-level Neo4j
         # driver + clients, main.py:41-53).  None => distributed tiers.
-        self.local_kg = LocalKG.maybe_pull(tables, budget) if budget else None
+        tiers = pull_tiers(tables, budget) if budget else None
+        self.local_kg = (
+            LocalKG(tiers["nodes"], tiers["edge_pairs"], tiers["mentions"],
+                    tiers["docs"], tiers["edge_payload"])
+            if tiers is not None else None
+        )
+
+        self._replicas = None
+        self._replica_rr = 0
+        if (replicas and tiers is not None and self.local_kg is not None
+                and self.local_kg.has_edges and self.local_kg.has_titles
+                and self.local_kg.edge_payload is not None):
+            import ray
+
+            refs = {k: (ray.put(t) if t is not None else None)
+                    for k, t in tiers.items()}
+            actor = _replica_actor_cls()
+            self._replicas = [actor.remote(refs, self.cfg)
+                              for _ in range(replicas)]
+            # fail fast if a replica can't build (surfaces in startup,
+            # not on the first unlucky request)
+            ray.get([r.__ray_ready__.remote() for r in self._replicas])
 
         # Admission control (main.py:35-38): a bounded semaphore caps
         # in-flight /graphrag work; counters mirror the reference's
@@ -104,6 +177,7 @@ class GraphRAGService:
         cfg: Optional[PipelineConfig] = None,
         max_concurrent: int = MAX_CONCURRENT_REQUESTS,
         local_budget: Optional[int] = None,
+        replicas: int = 0,
     ) -> "GraphRAGService":
         import os
 
@@ -122,6 +196,7 @@ class GraphRAGService:
             cfg=cfg,
             max_concurrent=max_concurrent,
             local_budget=local_budget,
+            replicas=replicas,
         )
 
     # ---------------------------------------------------------------- rag
@@ -146,7 +221,10 @@ class GraphRAGService:
             self.active_requests += 1
         try:
             t0 = time.time()
-            res = self._run_graphrag(body, question)
+            if self._replicas is not None:
+                res = self._dispatch_replica(body, question)
+            else:
+                res = self._run_graphrag(body, question)
             res_out = {
                 "success": True,
                 "facts": res["facts"],
@@ -165,6 +243,21 @@ class GraphRAGService:
             with self._counter_lock:
                 self.active_requests -= 1
             self._sem.release()
+
+    def _dispatch_replica(
+        self, body: Dict[str, Any], question: str
+    ) -> Dict[str, Any]:
+        """Round-robin one request to a replica actor.  The HTTP handler
+        thread blocks on ray.get while the replica's own process does the
+        GIL-bound query work — the admission semaphore (not this counter)
+        bounds total in-flight work, so a plain unlocked round-robin
+        index is fine even under races (any replica can serve any
+        request)."""
+        import ray
+
+        self._replica_rr = (self._replica_rr + 1) % len(self._replicas)
+        actor = self._replicas[self._replica_rr]
+        return ray.get(actor.answer.remote(body, question))
 
     def _run_graphrag(self, body: Dict[str, Any], question: str) -> Dict[str, Any]:
         """Seam for tests (patched to a slow stub in the admission

@@ -158,6 +158,42 @@ class TestFromSnapshot:
         assert out["n_nodes"] > 0 and out["facts"]
 
 
+class TestReplicas:
+    def test_replica_answers_match_in_process(self, ray_session, kg_result):
+        """replicas=2 fans /graphrag to single-process Ray actors holding
+        shared object-store tier copies; answers must be bit-identical to
+        the in-process LocalKG path, across several questions so the
+        round-robin provably hits BOTH replicas."""
+        from neo4j_document_pipeline_ray.serve import GraphRAGService
+
+        tables = {k: kg_result[k] for k in ("nodes", "edges", "mentions", "docs")}
+        solo = GraphRAGService(tables, max_concurrent=4)
+        repl = GraphRAGService(tables, max_concurrent=4, replicas=2)
+        assert repl._replicas is not None and len(repl._replicas) == 2
+
+        names = [r["name"] for r in tables["nodes"].limit(3).take_all()]
+        questions = [QUESTION] + [f'What is "{n}" connected to?' for n in names]
+        for q in questions:
+            body = {"question": q, "top_k": 5, "hops": 2}
+            a = solo.graphrag_request(dict(body))
+            b = repl.graphrag_request(dict(body))
+            assert a["success"] and b["success"]
+            assert b["facts"] == a["facts"]
+            assert b["n_nodes"] == a["n_nodes"]
+            assert b["n_rels"] == a["n_rels"]
+            assert [int(s) for s in b["seeds"]] == [int(s) for s in a["seeds"]]
+
+    def test_replicas_refused_when_tiers_missing(self, ray_session, kg_result):
+        """local_budget=0 (no local tier) must silently fall back to the
+        distributed in-process path rather than build broken replicas."""
+        from neo4j_document_pipeline_ray.serve import GraphRAGService
+
+        tables = {k: kg_result[k] for k in ("nodes", "edges", "mentions", "docs")}
+        svc = GraphRAGService(tables, max_concurrent=2, local_budget=0,
+                              replicas=2)
+        assert svc._replicas is None
+
+
 class TestAdmission:
     def test_semaphore_caps_concurrency(self, ray_session, kg_result):
         """4 concurrent requests against max_concurrent=1: all succeed,
