@@ -192,7 +192,8 @@ def cmd_serve(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     svc = GraphRAGService.from_snapshot(
         args.snapshot, max_concurrent=args.max_concurrent,
-        replicas=args.replicas)
+        replicas=args.replicas, pages_dir=args.pages,
+        shard_files=args.shard_files)
     serve_forever(svc, args.host, args.port)
     return 0
 
@@ -265,6 +266,14 @@ def main(argv: list[str] | None = None) -> int:
                          "replica actors sharing object-store tier copies "
                          "(requires the snapshot's serving tiers to fit "
                          "the local budget); 0 answers in-process")
+    sv.add_argument("--pages", default=None,
+                    help="writable pages dir the snapshot was built from; "
+                         "enables POST /ingest (staged uploads fold into "
+                         "the snapshot incrementally and the daemon "
+                         "hot-swaps to the new commit)")
+    sv.add_argument("--shard-files", type=int, default=1,
+                    help="shard grouping used when the snapshot was built "
+                         "(must match for incremental ingest folds)")
     sv.add_argument("--num-cpus", type=int, default=None)
     sv.set_defaults(fn=cmd_serve)
 

@@ -57,7 +57,7 @@ from neo4j_document_pipeline_ray.stages.entity_link import (
     build_nodes,
 )
 from neo4j_document_pipeline_ray.stages.extract_text import extract_docs
-from neo4j_document_pipeline_ray.stages.normalize import normalize_triples
+from neo4j_document_pipeline_ray.stages.normalize import TRIPLES_SCHEMA, normalize_triples
 from neo4j_document_pipeline_ray.stages.triple_extract import extract_triples
 from neo4j_document_pipeline_ray.state import manifest as mf
 
@@ -152,11 +152,23 @@ def run_extraction_shard(
         uniq = min_by_key(chunks.select_columns(["chunk_id", "text"]), "chunk_id",
                           num_partitions=cfg.shuffle_partitions)
         raw = extract_triples(uniq, cfg, backend=extract_backend)
-        norm = normalize_triples(raw, cfg)
-        triples = safe_join(norm,
-            membership, join_type="inner",
-            num_partitions=cfg.join_partitions, on=("chunk_id",),
-        )
+        norm = normalize_triples(raw, cfg).materialize()
+        if norm.count() == 0:
+            # a shard whose pages yield ZERO triples (e.g. a one-page
+            # incremental ingest of plain prose) leaves `norm` with no
+            # schema at all — the hash join would abort ("no match for
+            # key field chunk_id").  Substitute the typed empty result
+            # the join would have produced (left cols then membership's
+            # non-key cols, matching every other shard's parquet schema).
+            empty = (TRIPLES_SCHEMA.empty_table()
+                     .append_column("doc_id", pa.array([], pa.string()))
+                     .append_column("chunk_idx", pa.array([], pa.int32())))
+            triples = ray.data.from_arrow(empty)
+        else:
+            triples = safe_join(norm,
+                membership, join_type="inner",
+                num_partitions=cfg.join_partitions, on=("chunk_id",),
+            )
     else:
         # extraction is a cheap pure function: run it per (doc, chunk)
         # and stream straight into the write — no distinct shuffle, no
@@ -174,6 +186,17 @@ def run_extraction_shard(
             shutil.rmtree(d)  # uncommitted leftovers from a killed run
     docs.write_parquet(docs_dir)
     triples.write_parquet(trip_dir)  # extraction streams into the write
+    os.makedirs(trip_dir, exist_ok=True)  # empty write may not create it
+    if not any(f.endswith(".parquet") for f in os.listdir(trip_dir)):
+        # zero-triple shard: write_parquet of an empty dataset emits no
+        # files, but stage B does a per-shard read_parquet(trip_dir) —
+        # pin one 0-row file with the canonical triples-table schema
+        import pyarrow.parquet as pq
+
+        empty = (TRIPLES_SCHEMA.empty_table()
+                 .append_column("doc_id", pa.array([], pa.string()))
+                 .append_column("chunk_idx", pa.array([], pa.int32())))
+        pq.write_table(empty, os.path.join(trip_dir, "empty_000000.parquet"))
 
     # lineage from parquet footers — no extra Ray jobs
     stats = {

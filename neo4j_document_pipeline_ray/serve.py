@@ -3,10 +3,17 @@
 The reference serves its graph through a FastAPI app (``main.py``):
 ``POST /graphrag`` gated by an asyncio semaphore that caps in-flight
 requests at ``MAX_CONCURRENT_REQUESTS`` (main.py:35-38, 221-245), plus
-read-only endpoints ``/healthz`` (main.py:109-116), ``/queue_status``
-(main.py:55-64), ``/documents`` (main.py:72-107), ``/graph/stats``
-(main.py:590-654), ``/graph/schema`` (main.py:656-726) and
-``/graph/search`` (main.py:728-800).
+read-only endpoints ``/healthz`` (main.py:109-116), ``/test``
+(main.py:66-70), ``/queue_status`` (main.py:55-64), ``/documents``
+(main.py:72-107), ``/graph/stats`` (main.py:590-654), ``/graph/schema``
+(main.py:656-726) and ``/graph/search`` (main.py:728-800); admin/ops
+endpoints ``POST /drop-all`` (confirmation-gated wipe, main.py:118-155),
+``POST /debug-search`` (main.py:428-477), and the ingestion surface
+``POST /ingest`` + ``GET /ingest/status`` + ``GET /queue_stats``
+(main.py:479-588) — the reference queues uploads to one Celery worker;
+this daemon stages pages parquet and folds it into the committed
+snapshot through the O(delta) incremental path, then hot-swaps the
+serving state.
 
 This module re-expresses that surface over the Ray-Data snapshot query
 layer with the standard library's threading HTTP server (FastAPI is not
@@ -33,6 +40,7 @@ transparently runs the distributed tiers — same code path, no flag.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -100,6 +108,20 @@ def _replica_actor_cls():
     return _Replica
 
 
+def _load_tables(snapshot_dir: str) -> Dict[str, Any]:
+    """Materialized snapshot tables for serving (pulled into the object
+    store once; re-called after an ingest fold to pick up the new
+    commit)."""
+    import os
+
+    import ray.data as rd
+
+    return {
+        name: rd.read_parquet(os.path.join(snapshot_dir, name)).materialize()
+        for name in ("nodes", "edges", "mentions", "docs")
+    }
+
+
 class GraphRAGService:
     """Holds the warm serving state (tables, LocalKG tier, index dirs,
     admission semaphore) and implements every endpoint as a method, so
@@ -120,44 +142,28 @@ class GraphRAGService:
         max_concurrent: int = MAX_CONCURRENT_REQUESTS,
         local_budget: Optional[int] = None,
         replicas: int = 0,
+        snapshot_dir: Optional[str] = None,
+        pages_dir: Optional[str] = None,
+        shard_files: int = 1,
     ):
-        from neo4j_document_pipeline_ray.pipelines.graphrag_local import (
-            DEFAULT_LOCAL_BUDGET,
-            LocalKG,
-            pull_tiers,
-        )
-
         self.tables = tables
         self.text_index_dir = text_index_dir
         self.ann_index_dir = ann_index_dir
         self.cfg = cfg or PipelineConfig()
         self.max_concurrent = max_concurrent
-        budget = DEFAULT_LOCAL_BUDGET if local_budget is None else local_budget
-        # Pulled once at startup and reused across requests — the warm
-        # state a query server holds (reference: module-level Neo4j
-        # driver + clients, main.py:41-53).  None => distributed tiers.
-        tiers = pull_tiers(tables, budget) if budget else None
-        self.local_kg = (
-            LocalKG(tiers["nodes"], tiers["edge_pairs"], tiers["mentions"],
-                    tiers["docs"], tiers["edge_payload"])
-            if tiers is not None else None
-        )
-
-        self._replicas = None
+        # ingest/admin state: where the snapshot lives on disk (drop-all,
+        # ingest fold target) and where new pages land (ingest staging)
+        self.snapshot_dir = snapshot_dir
+        self.pages_dir = pages_dir
+        self._shard_files = shard_files
+        self._local_budget = local_budget
+        self._n_replicas = replicas
+        self._jobs: Dict[str, Dict[str, Any]] = {}
+        self._jobs_lock = threading.Lock()
+        self._ingest_q: Optional[Any] = None
+        self._ingest_seq = 0
         self._replica_rr = 0
-        if (replicas and tiers is not None and self.local_kg is not None
-                and self.local_kg.has_edges and self.local_kg.has_titles
-                and self.local_kg.edge_payload is not None):
-            import ray
-
-            refs = {k: (ray.put(t) if t is not None else None)
-                    for k, t in tiers.items()}
-            actor = _replica_actor_cls()
-            self._replicas = [actor.remote(refs, self.cfg)
-                              for _ in range(replicas)]
-            # fail fast if a replica can't build (surfaces in startup,
-            # not on the first unlucky request)
-            ray.get([r.__ray_ready__.remote() for r in self._replicas])
+        self._build_serving_state(tables)
 
         # Admission control (main.py:35-38): a bounded semaphore caps
         # in-flight /graphrag work; counters mirror the reference's
@@ -170,6 +176,49 @@ class GraphRAGService:
         self._cache_lock = threading.Lock()
         self._cache: Dict[str, Any] = {}
 
+    def _build_serving_state(self, tables: Dict[str, Any]) -> None:
+        """(Re)build the warm per-snapshot state — LocalKG tier pull and
+        replica actors — from ``tables``.  Called at startup and again
+        after every ingest fold / drop-all, swapping attributes in place
+        (in-flight requests keep whatever state they already grabbed —
+        the snapshot is immutable, so both are consistent)."""
+        from neo4j_document_pipeline_ray.pipelines.graphrag_local import (
+            DEFAULT_LOCAL_BUDGET,
+            LocalKG,
+            pull_tiers,
+        )
+
+        budget = (DEFAULT_LOCAL_BUDGET if self._local_budget is None
+                  else self._local_budget)
+        # Pulled once at startup and reused across requests — the warm
+        # state a query server holds (reference: module-level Neo4j
+        # driver + clients, main.py:41-53).  None => distributed tiers.
+        tiers = pull_tiers(tables, budget) if budget else None
+        local_kg = (
+            LocalKG(tiers["nodes"], tiers["edge_pairs"], tiers["mentions"],
+                    tiers["docs"], tiers["edge_payload"])
+            if tiers is not None else None
+        )
+
+        new_replicas = None
+        if (self._n_replicas and tiers is not None and local_kg is not None
+                and local_kg.has_edges and local_kg.has_titles
+                and local_kg.edge_payload is not None):
+            import ray
+
+            refs = {k: (ray.put(t) if t is not None else None)
+                    for k, t in tiers.items()}
+            actor = _replica_actor_cls()
+            new_replicas = [actor.remote(refs, self.cfg)
+                            for _ in range(self._n_replicas)]
+            # fail fast if a replica can't build (surfaces in startup,
+            # not on the first unlucky request)
+            ray.get([r.__ray_ready__.remote() for r in new_replicas])
+
+        self.tables = tables
+        self.local_kg = local_kg
+        self._replicas = new_replicas
+
     @classmethod
     def from_snapshot(
         cls,
@@ -178,25 +227,24 @@ class GraphRAGService:
         max_concurrent: int = MAX_CONCURRENT_REQUESTS,
         local_budget: Optional[int] = None,
         replicas: int = 0,
+        pages_dir: Optional[str] = None,
+        shard_files: int = 1,
     ) -> "GraphRAGService":
         import os
 
-        import ray.data as rd
-
-        tables = {
-            name: rd.read_parquet(os.path.join(snapshot_dir, name)).materialize()
-            for name in ("nodes", "edges", "mentions", "docs")
-        }
         txt = os.path.join(snapshot_dir, "text_index")
         ann = os.path.join(snapshot_dir, "ann_index")
         return cls(
-            tables,
+            _load_tables(snapshot_dir),
             text_index_dir=txt if os.path.isdir(txt) else None,
             ann_index_dir=ann if os.path.isdir(ann) else None,
             cfg=cfg,
             max_concurrent=max_concurrent,
             local_budget=local_budget,
             replicas=replicas,
+            snapshot_dir=snapshot_dir,
+            pages_dir=pages_dir,
+            shard_files=shard_files,
         )
 
     # ---------------------------------------------------------------- rag
@@ -433,6 +481,265 @@ class GraphRAGService:
         return {"success": True,
                 "results": {"entities": rows, "count": len(rows)}}
 
+    # ---------------------------------------------------- admin / debug
+    def test(self) -> Dict[str, Any]:
+        """GET /test (main.py:66-70): bare node count — the reference's
+        connectivity smoke check (no success key, by contract)."""
+        return {"nodes": self._cached(
+            "n_nodes", lambda: self.tables["nodes"].count())}
+
+    def drop_all(self, confirmation: bool = False) -> Dict[str, Any]:
+        """POST /drop-all (main.py:118-155): confirmation-gated
+        destructive wipe.  The Neo4j ``MATCH (n) DETACH DELETE n``
+        analog is deleting the snapshot tables on disk and swapping the
+        served tables to empty ones (same schemas) — subsequent queries
+        see an empty graph, like the reference's cleared database."""
+        if not confirmation:
+            return {
+                "success": False,
+                "message": "Confirmation required. Set confirmation=true "
+                           "in request body to proceed with deletion.",
+            }
+        try:
+            import pyarrow as pa
+            import ray.data as rd
+
+            initial_count = self.tables["nodes"].count()
+
+            def empty_like(ds):
+                sch = ds.schema()
+                base = getattr(sch, "base_schema", None)
+                if base is None:
+                    base = pa.schema(zip(sch.names, sch.types))
+                return rd.from_arrow(base.empty_table())
+
+            empties = {k: empty_like(ds) for k, ds in self.tables.items()}
+            if self.snapshot_dir:
+                from neo4j_document_pipeline_ray.pipelines.snapshot import (
+                    wipe_snapshot,
+                )
+
+                wipe_snapshot(self.snapshot_dir)
+            self.text_index_dir = None
+            self.ann_index_dir = None
+            self._build_serving_state(empties)
+            with self._cache_lock:
+                self._cache.clear()
+            return {
+                "success": True,
+                "message": "Successfully cleared the database",
+                "nodes_before": initial_count,
+                "nodes_after": self.tables["nodes"].count(),
+            }
+        except Exception as e:
+            return {"success": False,
+                    "message": f"Failed to clear database: {e}"}
+
+    def debug_search(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """POST /debug-search (main.py:428-477): exercise the retrieval
+        components separately — question embedding, hybrid channel blend
+        — and report the schema introspection a debugging operator
+        wants: existing labels, per-label counts, existing index
+        artifacts (the SHOW INDEXES analog is the persisted text/ANN
+        index layouts under the snapshot)."""
+        try:
+            from neo4j_document_pipeline_ray.pipelines.graphrag import (
+                embed_question,
+                hybrid_candidates,
+            )
+
+            question = str(body.get("question", "test"))
+            qvec = embed_question(question, self.cfg)
+            hybrid = hybrid_candidates(
+                self.tables["nodes"], question, qvec, k_vec=5, k_kw=5,
+                text_index_dir=self.text_index_dir,
+                ann_index_dir=self.ann_index_dir,
+                local_kg=self.local_kg)
+
+            label_counts = self.graph_stats()["labels"]
+            indexes = []
+            if self.text_index_dir:
+                indexes.append({"name": "text_index", "type": "FULLTEXT",
+                                "path": self.text_index_dir})
+            if self.ann_index_dir:
+                indexes.append({"name": "ann_index", "type": "VECTOR",
+                                "path": self.ann_index_dir})
+            return {
+                "success": True,
+                "message": "Debug search completed",
+                "question": question,
+                "existing_labels": sorted(label_counts),
+                "existing_indexes": indexes,
+                "label_counts": label_counts,
+                "hybrid_results_count": len(hybrid),
+                "local_kg": self.local_kg is not None,
+            }
+        except Exception as e:
+            return {"success": False, "message": f"Debug search error: {e}"}
+
+    # ----------------------------------------------------------- ingest
+    def _ingest_worker(self) -> None:
+        """Single background worker draining the ingest queue — the one
+        Celery worker of this daemon.  Each job: stage the new pages
+        file, fold it into the committed snapshot
+        (``build_snapshot(resume=True)`` auto-detects the O(delta)
+        incremental path, pipelines/incremental.py), then hot-swap the
+        serving state to the new commit."""
+        while True:
+            job_id = self._ingest_q.get()
+            with self._jobs_lock:
+                job = self._jobs[job_id]
+                job["state"] = "STARTED"
+                job["started_at"] = time.time()
+            try:
+                from neo4j_document_pipeline_ray.pipelines.snapshot import (
+                    build_snapshot,
+                )
+
+                root = build_snapshot(
+                    self.pages_dir, self.snapshot_dir, self.cfg,
+                    resume=True, shard_files=self._shard_files)
+                self._build_serving_state(_load_tables(self.snapshot_dir))
+                with self._cache_lock:
+                    self._cache.clear()
+                result = {
+                    "docs": root.get("docs"),
+                    "nodes": root.get("nodes"),
+                    "edges": root.get("edges"),
+                    "shards_skipped_on_resume":
+                        root.get("shards_skipped_on_resume"),
+                    "stage_b_mode": root.get("stage_b_mode"),
+                }
+                with self._jobs_lock:
+                    job["state"] = "SUCCESS"
+                    job["result"] = result
+            except Exception as e:
+                with self._jobs_lock:
+                    job["state"] = "FAILURE"
+                    job["result"] = str(e)
+            finally:
+                with self._jobs_lock:
+                    job["finished_at"] = time.time()
+                self._ingest_q.task_done()
+
+    def _next_upload_path(self) -> str:
+        """A staged-pages filename guaranteed to sort AFTER every file
+        already in the pages dir (``_list_input_files`` sorts by name,
+        so the committed shard prefix stays aligned and the fold is
+        incremental).  '~' sorts after every alphanumeric in ASCII."""
+        existing = sorted(
+            f for f in os.listdir(self.pages_dir) if f.endswith(".parquet"))
+        stem = existing[-1][:-len(".parquet")] if existing else "pages"
+        self._ingest_seq += 1
+        return os.path.join(self.pages_dir,
+                            f"{stem}~i{self._ingest_seq:06d}.parquet")
+
+    def ingest(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """POST /ingest (main.py:479-494): stage an uploaded pages
+        payload and queue the ingestion job; returns
+        ``{"success", "message", "job_id"}`` like the reference's
+        Celery dispatch.  Payload: ``{"rows": [{url, html, ...}]}``
+        (inline JSON pages) or ``{"path": "/existing/pages.parquet"}``
+        (server-side file).  html may be a plain string (utf-8
+        encoded); missing optional columns are nulled to the corpus
+        page schema."""
+        if not (self.pages_dir and self.snapshot_dir):
+            return {"success": False,
+                    "message": "Ingest error: daemon started without "
+                               "--pages/--snapshot dirs; ingest disabled"}
+        try:
+            import queue
+            import shutil
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            save_path = self._next_upload_path()
+            if body.get("rows"):
+                rows = body["rows"]
+                for r in rows:
+                    if isinstance(r.get("html"), str):
+                        r["html"] = r["html"].encode("utf-8")
+                cols = {
+                    "url": pa.string(), "warc_ts": pa.timestamp("us"),
+                    "html": pa.binary(), "text": pa.string(),
+                    "lang": pa.string(),
+                }
+                arrays = {
+                    name: pa.array([r.get(name) for r in rows], type=typ)
+                    for name, typ in cols.items()
+                }
+                pq.write_table(pa.table(arrays), save_path)
+            elif body.get("path"):
+                pq.read_schema(body["path"])  # fail fast on non-parquet
+                shutil.copyfile(body["path"], save_path)
+            else:
+                return {"success": False,
+                        "message": "Ingest error: provide 'rows' "
+                                   "(inline pages) or 'path' (parquet)"}
+
+            job_id = str(uuid.uuid4())
+            with self._jobs_lock:
+                if self._ingest_q is None:
+                    self._ingest_q = queue.Queue()
+                    threading.Thread(target=self._ingest_worker,
+                                     daemon=True,
+                                     name="ingest-worker-1").start()
+                self._jobs[job_id] = {
+                    "state": "PENDING", "result": None,
+                    "filename": os.path.basename(save_path),
+                    "queued_at": time.time(),
+                    "started_at": None, "finished_at": None,
+                }
+            self._ingest_q.put(job_id)
+            return {"success": True, "message": "Ingestion queued.",
+                    "job_id": job_id}
+        except Exception as e:
+            return {"success": False, "message": f"Ingest error: {e}"}
+
+    def ingest_status(self, job_id: Optional[str]) -> Dict[str, Any]:
+        """GET /ingest/status (main.py:567-588).  Unknown ids report
+        PENDING, exactly like Celery's AsyncResult."""
+        if not job_id:
+            return {"success": False,
+                    "message": "Missing value: job_id parameter is "
+                               "required."}
+        with self._jobs_lock:
+            job = self._jobs.get(job_id, {"state": "PENDING",
+                                          "result": None})
+            state, result = job["state"], job["result"]
+        return {"success": True, "message": "Job status retrieved",
+                "job_id": job_id, "state": state, "result": result}
+
+    def queue_stats(self) -> Dict[str, Any]:
+        """GET /queue_stats (main.py:497-565): ingest-queue statistics —
+        active/reserved counts and per-document progress details from
+        the in-memory job registry (this daemon's Celery inspector)."""
+        with self._jobs_lock:
+            jobs = {k: dict(v) for k, v in self._jobs.items()}
+        active = [
+            {"id": jid, "filename": j["filename"],
+             "started_at": j["started_at"], "worker": "ingest-worker-1"}
+            for jid, j in jobs.items() if j["state"] == "STARTED"
+        ]
+        reserved = sum(1 for j in jobs.values() if j["state"] == "PENDING")
+        return {
+            "success": True,
+            "message": "Queue statistics retrieved successfully",
+            "stats": {
+                "active_tasks": len(active),
+                "reserved_tasks": reserved,
+                "scheduled_tasks": 0,
+                "revoked_tasks": 0,
+                "total_in_progress": len(active) + reserved,
+                "worker_count": 1 if self._ingest_q is not None else 0,
+                "workers": (["ingest-worker-1"]
+                            if self._ingest_q is not None else []),
+                "documents_in_progress": active,
+            },
+        }
+
 
 # ---------------------------------------------------------------- HTTP
 
@@ -456,8 +763,14 @@ def _make_handler(service: GraphRAGService):
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             if url.path == "/healthz":
                 return self._reply(service.healthz())
+            if url.path == "/test":
+                return self._reply(service.test())
             if url.path == "/queue_status":
                 return self._reply(service.queue_status())
+            if url.path == "/queue_stats":
+                return self._reply(service.queue_stats())
+            if url.path == "/ingest/status":
+                return self._reply(service.ingest_status(q.get("job_id")))
             if url.path == "/graph/stats":
                 return self._reply(service.graph_stats())
             if url.path == "/graph/schema":
@@ -476,17 +789,30 @@ def _make_handler(service: GraphRAGService):
 
         def do_POST(self):  # noqa: N802
             url = urlparse(self.path)
-            if url.path != "/graphrag":
+            routes = {"/graphrag", "/drop-all", "/debug-search", "/ingest"}
+            if url.path not in routes:
                 return self._reply(
                     {"success": False, "message": "not found"}, 404)
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(n) or b"{}")
+                raw = self.rfile.read(n) or b"{}"
+                body = json.loads(raw)
+                # /drop-all mirrors FastAPI's Body(False): a bare JSON
+                # bool is the confirmation value itself
+                if url.path == "/drop-all" and isinstance(body, bool):
+                    body = {"confirmation": body}
                 if not isinstance(body, dict):
                     raise ValueError("body must be a JSON object")
             except (ValueError, json.JSONDecodeError) as e:
                 return self._reply(
                     {"success": False, "message": f"bad request: {e}"}, 400)
+            if url.path == "/drop-all":
+                return self._reply(
+                    service.drop_all(bool(body.get("confirmation", False))))
+            if url.path == "/debug-search":
+                return self._reply(service.debug_search(body))
+            if url.path == "/ingest":
+                return self._reply(service.ingest(body))
             self._reply(service.graphrag_request(body))
 
     return Handler

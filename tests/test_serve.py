@@ -158,6 +158,146 @@ class TestFromSnapshot:
         assert out["n_nodes"] > 0 and out["facts"]
 
 
+class TestAdminEndpoints:
+    def test_test_endpoint_bare_node_count(self, base_url, service):
+        """GET /test (main.py:66-70) replies {"nodes": n} with no
+        success key — the reference's exact contract."""
+        _, out = _get(base_url + "/test")
+        assert out == {"nodes": service.tables["nodes"].count()}
+
+    def test_debug_search(self, base_url, service):
+        _, out = _post(base_url + "/debug-search", {"question": QUESTION})
+        assert out["success"] is True
+        assert out["hybrid_results_count"] > 0
+        assert out["label_counts"] and sorted(out["label_counts"]) == \
+            out["existing_labels"]
+        assert sum(out["label_counts"].values()) == \
+            service.tables["nodes"].count()
+
+    def test_drop_all_requires_confirmation(self, base_url):
+        _, out = _post(base_url + "/drop-all", {"confirmation": False})
+        assert out["success"] is False
+        assert "Confirmation required" in out["message"]
+
+    def test_drop_all_wipes_snapshot_and_serves_empty(
+            self, ray_session, snap_copy):
+        import os
+
+        from neo4j_document_pipeline_ray.serve import GraphRAGService
+
+        snap_dir, cfg = snap_copy
+        svc = GraphRAGService.from_snapshot(snap_dir, cfg=cfg,
+                                            max_concurrent=2)
+        before = svc.tables["nodes"].count()
+        out = svc.drop_all(confirmation=True)
+        assert out["success"] is True
+        assert out["nodes_before"] == before > 0
+        assert out["nodes_after"] == 0
+        assert not os.path.isdir(snap_dir)  # tables deleted on disk
+        # the emptied service still answers everything, with zero rows
+        assert svc.healthz()["nodes"] == 0
+        assert svc.graph_stats()["relationship_count"] == 0
+        rag = svc.graphrag_request({"question": QUESTION})
+        assert rag["success"] is False or rag["n_nodes"] == 0
+
+
+class TestIngest:
+    @pytest.fixture()
+    def ingest_env(self, ray_session, small_corpus, tmp_path_factory):
+        """Private writable pages dir + a snapshot built from it."""
+        import shutil
+
+        from neo4j_document_pipeline_ray.config import PipelineConfig
+        from neo4j_document_pipeline_ray.pipelines.snapshot import (
+            build_snapshot,
+        )
+
+        root = tmp_path_factory.mktemp("ingestenv")
+        pages = str(root / "pages")
+        shutil.copytree(small_corpus["pages"], pages)
+        cfg = PipelineConfig(extract_concurrency=2, embed_concurrency=2,
+                             join_partitions=4, entity_buckets=4)
+        snap = str(root / "snap")
+        build_snapshot(pages, snap, cfg, shard_files=1)
+        return pages, snap, cfg
+
+    def _wait_done(self, svc, job_id, timeout_s=180):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            st = svc.ingest_status(job_id)
+            if st["state"] in ("SUCCESS", "FAILURE"):
+                return st
+            time.sleep(0.5)
+        raise AssertionError("ingest job did not finish")
+
+    def test_ingest_folds_incrementally_and_hot_swaps(self, ingest_env):
+        """POST /ingest (main.py:479-494): a staged pages file folds into
+        the committed snapshot via the O(delta) incremental path and the
+        daemon serves the new docs without restart."""
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.serve import GraphRAGService
+        from neo4j_document_pipeline_ray.sources.corpus import pages_batch
+
+        pages, snap, cfg = ingest_env
+        svc = GraphRAGService.from_snapshot(
+            snap, cfg=cfg, max_concurrent=2, pages_dir=pages, shard_files=1)
+        docs_before = svc.tables["docs"].count()
+
+        # 20 genuinely NEW pages (indexes past the committed corpus)
+        delta = "/tmp/serve_ingest_delta.parquet"
+        pq.write_table(pages_batch(list(range(150, 170)), seed=42), delta)
+        out = svc.ingest({"path": delta})
+        assert out["success"] is True and out["job_id"]
+
+        st = self._wait_done(svc, out["job_id"])
+        assert st["state"] == "SUCCESS", st
+        assert st["result"]["stage_b_mode"] == "incremental"
+        assert st["result"]["shards_skipped_on_resume"] == 3  # committed prefix
+
+        docs_after = svc.tables["docs"].count()
+        assert docs_after == docs_before + 20
+        assert svc.healthz()["nodes"] == svc.tables["nodes"].count()
+        rag = svc.graphrag_request({"question": QUESTION, "hops": 2})
+        assert rag["success"] is True and rag["n_nodes"] > 0
+
+        # second fold over the SAME pages is a no-op resume (MERGE analog)
+        out2 = svc.ingest({"rows": [{
+            "url": "https://synth.test/manual/page-x",
+            "html": "<html><body><p>Plain page.</p></body></html>",
+            "lang": "en",
+        }]})
+        st2 = self._wait_done(svc, out2["job_id"])
+        assert st2["state"] == "SUCCESS", st2
+        assert svc.tables["docs"].count() == docs_after + 1
+
+    def test_ingest_disabled_without_pages_dir(self, ray_session, kg_result):
+        from neo4j_document_pipeline_ray.serve import GraphRAGService
+
+        tables = {k: kg_result[k] for k in ("nodes", "edges", "mentions",
+                                            "docs")}
+        svc = GraphRAGService(tables, max_concurrent=2)
+        out = svc.ingest({"rows": [{"url": "u", "html": "<p>x</p>"}]})
+        assert out["success"] is False and "disabled" in out["message"]
+
+    def test_ingest_status_contract(self, ray_session, kg_result):
+        from neo4j_document_pipeline_ray.serve import GraphRAGService
+
+        tables = {k: kg_result[k] for k in ("nodes", "edges", "mentions",
+                                            "docs")}
+        svc = GraphRAGService(tables, max_concurrent=2)
+        missing = svc.ingest_status(None)
+        assert missing["success"] is False
+        assert "job_id" in missing["message"]
+        # unknown ids report PENDING, like Celery AsyncResult
+        unknown = svc.ingest_status("no-such-job")
+        assert unknown["success"] is True and unknown["state"] == "PENDING"
+        stats = svc.queue_stats()
+        assert stats["success"] is True
+        assert stats["stats"]["total_in_progress"] == 0
+        assert stats["stats"]["worker_count"] == 0
+
+
 class TestReplicas:
     def test_replica_answers_match_in_process(self, ray_session, kg_result):
         """replicas=2 fans /graphrag to single-process Ray actors holding
