@@ -328,6 +328,18 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(docs, threshold=0.8)
 
 
+def _q_near_dedup_keep(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.dedup import near_dedup_keep
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return near_dedup_keep(docs, threshold=0.8)
+
+
 def _q_minhash_components(sf_dir: str):
     import os
 
@@ -999,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard": _q_ngram_jaccard,
         "docs_minhash_pairs": _q_minhash_pairs,
         "docs_minhash_components": _q_minhash_components,
+        "docs_near_dedup_keep": _q_near_dedup_keep,
         "docs_simhash_pairs": _q_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "ann_label_topk": _q_ann_label_topk,
@@ -1197,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         EXACT_DEDUP_SQL,
         MINHASH_COMPONENTS_SQL,
         MINHASH_PAIRS_SQL,
+        NEAR_DEDUP_KEEP_SQL,
         NGRAM_JACCARD_SQL,
         SIMHASH_PAIRS_SQL,
     )
@@ -1536,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         # which the bounded-round Ray propagation converges to
         "docs_minhash_pairs": MINHASH_PAIRS_SQL,
         "docs_minhash_components": MINHASH_COMPONENTS_SQL,
+        "docs_near_dedup_keep": NEAR_DEDUP_KEEP_SQL,
         "ann_topk": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(

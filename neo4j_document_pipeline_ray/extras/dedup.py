@@ -686,6 +686,97 @@ MINHASH_PAIRS_SQL = _minhash_pairs_sql()
 MINHASH_COMPONENTS_SQL = _minhash_components_sql()
 
 
+def near_dedup_keep(
+    docs: "ray.data.Dataset", threshold: float = 0.8, bucket_cap: int = 50
+) -> "ray.data.Dataset":
+    """Near-duplicate FILTER — the end-to-end curation op a training
+    pipeline actually runs: minhash near-dup pairs -> connected
+    components -> keep ONE canonical doc (min doc_id) per cluster,
+    drop the rest.  Returns ``(doc_id, cluster_size)`` for every kept
+    doc (``cluster_size`` = 1 for docs in no near-dup cluster).
+
+    Scale shape: the docs table only ever streams; the cluster map is
+    small by construction (near-dup members only) and rides
+    ``broadcast_join``'s size gate for both the member-drop anti-join
+    and the size annotation — no all-to-all exchange over the corpus.
+    """
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    ids = docs.select_columns(["doc_id"])
+    pairs = minhash_dedup_pairs(docs, threshold=threshold,
+                                bucket_cap=bucket_cap).materialize()
+    if pairs.count() == 0:
+        return ids.map_batches(
+            lambda t: t.append_column(
+                "cluster_size", pa.array([1] * t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+    comp = connected_components(
+        pairs.select_columns(["a", "b"])).materialize()
+    sizes = hash_aggregate(
+        comp, "component", [("node", "count", "cluster_size")],
+        num_partitions=8,
+    )
+    drops = comp.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.filter(t["node"],
+                                pc.not_equal(t["node"], t["component"])),
+        }),
+        batch_format="pyarrow",
+    )
+    drops = drops.map_batches(
+        lambda t: t.append_column(
+            "_dup", pa.array([1] * t.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+    # anti-join: stream ids past the broadcast drop set
+    kept = broadcast_join(ids, drops, on=("doc_id",),
+                          join_type="left_outer", num_partitions=8)
+    kept = kept.map_batches(
+        lambda t: t.filter(pc.is_null(t["_dup"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    kept = broadcast_join(kept, sizes, on=("doc_id",),
+                          right_on=("component",),
+                          join_type="left_outer", num_partitions=8)
+    return kept.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "cluster_size": pc.fill_null(t["cluster_size"], 1),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def _near_dedup_keep_sql(threshold: float = 0.8,
+                         bucket_cap: int = 50) -> str:
+    """DuckDB mirror of ``near_dedup_keep``: the components closure,
+    then keep every doc that is not a non-representative member."""
+    return f"""WITH RECURSIVE {_minhash_ctes(threshold, bucket_cap)}, und AS (
+        SELECT a AS s, b AS t FROM mh_pairs
+        UNION ALL
+        SELECT b, a FROM mh_pairs
+    ), cc AS (
+        SELECT s AS node, s AS label FROM und
+        UNION
+        SELECT u.t, cc.label FROM cc JOIN und u ON u.s = cc.node
+    ), comp AS (
+        SELECT node, min(label) AS component FROM cc GROUP BY node
+    ), sizes AS (
+        SELECT component, count(*) AS cluster_size FROM comp
+        GROUP BY component
+    )
+    SELECT d.doc_id,
+           coalesce(s.cluster_size, 1) AS cluster_size
+    FROM d
+    LEFT JOIN sizes s ON s.component = d.doc_id
+    WHERE d.doc_id NOT IN
+        (SELECT node FROM comp WHERE node <> component)"""
+
+
+NEAR_DEDUP_KEEP_SQL = _near_dedup_keep_sql()
+
+
 # --- exact n-gram Jaccard -------------------------------------------------
 
 _GRAM_WORD_RE = None  # compiled lazily per process

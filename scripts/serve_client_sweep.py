@@ -20,7 +20,10 @@ import urllib.request
 
 
 def one_request(url: str, q: str) -> dict:
-    body = json.dumps({"question": q, "top_k": 5, "hops": 2}).encode()
+    # question-only payload, exactly the reference harness's request
+    # (enhanced_performance_test.py:237) — server defaults apply
+    # (top_k=10, hops=1, RagBody main.py:45-53)
+    body = json.dumps({"question": q}).encode()
     req = urllib.request.Request(
         url, data=body, method="POST",
         headers={"Content-Type": "application/json"})

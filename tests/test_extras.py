@@ -44,6 +44,28 @@ class TestMinhash:
         assert (0, 3) in pairs          # exact dup caught
         assert not any(2 in p for p in pairs)  # distinct doc untouched
 
+    def test_near_dedup_keep_filters_clusters(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.dedup import near_dedup_keep
+
+        near = BASE.replace("quick", "rapid")
+        other = ("completely different content about economic policy and "
+                 "infrastructure spending in urban regions every year ") * 6
+        # docs 0,1,3 form one near-dup cluster; 2 is a singleton
+        ds = _docs_ds(ray_session, [BASE, near, other, BASE])
+        kept = {r["doc_id"]: r["cluster_size"]
+                for r in near_dedup_keep(ds, 0.5).take_all()}
+        assert kept == {0: 3, 2: 1}  # min doc_id survives, sized; singleton kept
+
+    def test_near_dedup_keep_no_dups(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.dedup import near_dedup_keep
+
+        a = ("completely different content about economic policy and "
+             "infrastructure spending in urban regions every year ") * 6
+        ds = _docs_ds(ray_session, [BASE, a])
+        kept = {r["doc_id"]: r["cluster_size"]
+                for r in near_dedup_keep(ds, 0.5).take_all()}
+        assert kept == {0: 1, 1: 1}
+
     def test_signature_jaccard_estimate(self):
         from neo4j_document_pipeline_ray.extras.dedup import (
             estimate_jaccard,
