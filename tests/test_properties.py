@@ -26,19 +26,33 @@ text_st = st.text(
 name_st = st.text(max_size=80)
 
 
+def _reference_canonicalize(text):
+    """Independent replay of the reference's exact algorithm
+    (ingestMD.py:61-66) — the byte-identity spec.  Note the spec is
+    NOT idempotent and CAN emit 3+ newlines: the \\n{3,} collapse runs
+    BEFORE per-line trailing-ws strip, so a whitespace-only line
+    between blank lines (e.g. '0\\n\\n \\n0') becomes a fresh triple
+    newline that a second pass would collapse."""
+    import re
+
+    t = (text or "").replace("\r\n", "\n").replace("\r", "\n")
+    t = re.sub(r"\n{3,}", "\n\n", t)
+    t = re.sub(r"[ \t]+$", "", t, flags=re.MULTILINE)
+    t = re.sub(r"[ \t]{2,}", " ", t)
+    return t.strip()
+
+
 class TestCanonicalize:
     @given(text_st)
     @settings(max_examples=200, deadline=None)
-    def test_idempotent(self, t):
-        once = canonicalize_text(t)
-        assert canonicalize_text(once) == once
+    def test_matches_reference_spec(self, t):
+        assert canonicalize_text(t) == _reference_canonicalize(t)
 
     @given(text_st)
     @settings(max_examples=200, deadline=None)
     def test_invariants(self, t):
         c = canonicalize_text(t)
         assert "\r" not in c
-        assert "\n\n\n" not in c
         assert c == c.strip()
         import re
         for line in c.split("\n"):
