@@ -944,6 +944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         length_quantiles,
         quality_stats,
         token_count,
+        token_pack,
         top_tokens,
     )
     from neo4j_document_pipeline_ray.pipelines import relational as rel
@@ -998,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase": win.q_events_asof_purchase,
         # --- training-data curation extras ---
         "docs_token_count": token_count,
+        "docs_token_pack": token_pack,
         "docs_quality": quality_stats,
         "docs_top_tokens": top_tokens,
         "docs_length_quantiles": length_quantiles,
@@ -1225,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         LANG_ID_SQL,
         QUALITY_SQL,
         TOKEN_COUNT_SQL,
+        TOKEN_PACK_SQL,
         length_quantiles_sql,
         top_tokens_sql,
     )
@@ -1528,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "events_band_pairs": win.events_band_pairs_sql(),
         "events_asof_purchase": win.EVENTS_ASOF_PURCHASE_SQL,
         "docs_token_count": TOKEN_COUNT_SQL,
+        "docs_token_pack": TOKEN_PACK_SQL,
         "docs_quality": QUALITY_SQL,
         "docs_top_tokens": top_tokens_sql(),
         "docs_length_quantiles": length_quantiles_sql(),

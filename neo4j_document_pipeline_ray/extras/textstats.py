@@ -54,6 +54,97 @@ FROM documents
 """
 
 
+_PACK_PARTS = 16
+_PACK_CAPACITY = 2048
+
+
+def token_pack(sf_dir: str, capacity: int = _PACK_CAPACITY,
+               n_parts: int = _PACK_PARTS) -> "ray.data.Dataset":
+    """Greedy sequence packing — the sample-packing step a training
+    pipeline runs before batching: assign each doc to a fixed
+    ``capacity``-token bin, filling bins greedily in ascending doc_id
+    order.  A doc longer than ``capacity`` gets a bin to itself
+    (counted as ``capacity`` tokens — the truncate-to-context rule).
+
+    Scale shape: packing is stateful-sequential, so it runs per
+    PARTITION — ``part = doc_id % n_parts`` is a pure function of the
+    key (deterministic under any block layout, SQL-replayable), each
+    partition packs independently after one exchange, and bin ids are
+    partition-local ``(part, bin)``.  That is exactly how distributed
+    packing shards at 100 TB: global greedy order would serialize the
+    whole corpus for ~zero packing-density gain.
+
+    Returns ``(doc_id, part, bin, n_tokens)``.
+    """
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.stages.grouped import partitioned_group_map
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    counts = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    def add_part(t: pa.Table) -> pa.Table:
+        part = t["doc_id"].to_numpy(zero_copy_only=False) % n_parts
+        return t.append_column("part", pa.array(part.astype("int64"),
+                                                pa.int64()))
+
+    counts = counts.map_batches(add_part, batch_format="pyarrow")
+
+    def pack(df: "pd.DataFrame") -> "pd.DataFrame":
+        outs = []
+        for _part, g in df.groupby("part", sort=False):
+            g = g.sort_values("doc_id")
+            bins = []
+            bin_id, fill = 0, 0
+            for n in g["n_tokens"].to_numpy():
+                n_eff = min(int(n), capacity)
+                if fill > 0 and fill + n_eff > capacity:
+                    bin_id += 1
+                    fill = 0
+                bins.append(bin_id)
+                fill += n_eff
+            g = g.copy()
+            g["bin"] = pd.Series(bins, index=g.index, dtype="int64")
+            outs.append(g[["doc_id", "part", "bin", "n_tokens"]])
+        return pd.concat(outs) if outs else df.iloc[:0]
+
+    return partitioned_group_map(counts, "part", pack,
+                                 num_partitions=n_parts)
+
+
+def token_pack_sql(capacity: int = _PACK_CAPACITY,
+                   n_parts: int = _PACK_PARTS) -> str:
+    """DuckDB mirror of ``token_pack``: the greedy fold replayed as a
+    recursive CTE that advances every partition one doc per step."""
+    return f"""WITH RECURSIVE c AS (
+        SELECT doc_id,
+               doc_id % {n_parts} AS part,
+               least(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END, {capacity}) AS n_eff,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_tokens,
+               row_number() OVER (PARTITION BY doc_id % {n_parts}
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ), f AS (
+        SELECT part, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS bin, n_eff AS fill
+        FROM c WHERE rn = 1
+        UNION ALL
+        SELECT c.part, c.rn, c.doc_id, c.n_tokens,
+               CASE WHEN f.fill > 0 AND f.fill + c.n_eff > {capacity}
+                    THEN f.bin + 1 ELSE f.bin END,
+               CASE WHEN f.fill > 0 AND f.fill + c.n_eff > {capacity}
+                    THEN c.n_eff ELSE f.fill + c.n_eff END
+        FROM f JOIN c ON c.part = f.part AND c.rn = f.rn + 1
+    )
+    SELECT doc_id, part, bin, n_tokens FROM f"""
+
+
+TOKEN_PACK_SQL = token_pack_sql()
+
+
 # --- quality signals ------------------------------------------------------
 
 def quality_batch(t: pa.Table) -> pa.Table:

@@ -607,6 +607,47 @@ class TestTextStats:
         for row in pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pylist():
             assert got[row["doc_id"]] == len(row["text"].split())
 
+    def test_token_pack_greedy_boundaries(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.textstats import token_pack
+
+        # one partition (n_parts=1), capacity 5: docs of 3,3,5,9,0,2
+        # tokens pack as [3]->bin0, [3]->bin1 (3+3>5), [5]->bin2,
+        # [9 oversize -> own bin3 counted as capacity], [0 -> stays
+        # bin3? no: fill=5(capped)>0 and 5+0>5 false -> bin3], [2 ->
+        # 5+2>5 -> bin4]
+        rows = [
+            {"doc_id": i, "text": " ".join(["w"] * n)}
+            for i, n in enumerate([3, 3, 5, 9, 0, 2])
+        ]
+        d = tmp_path / "pack"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        got = {r["doc_id"]: (r["bin"], r["n_tokens"])
+               for r in token_pack(str(d), capacity=5, n_parts=1).take_all()}
+        assert got == {0: (0, 3), 1: (1, 3), 2: (2, 5),
+                       3: (3, 9), 4: (3, 0), 5: (4, 2)}
+
+    def test_token_pack_partition_locality(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.textstats import token_pack
+
+        rows = [{"doc_id": i, "text": " ".join(["w"] * 4)} for i in range(8)]
+        d = tmp_path / "pack2"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = token_pack(str(d), capacity=8, n_parts=2).take_all()
+        # part = doc_id % 2; within each part, two 4-token docs per bin
+        for r in out:
+            assert r["part"] == r["doc_id"] % 2
+        by_part_bin = {}
+        for r in out:
+            by_part_bin.setdefault((r["part"], r["bin"]), []).append(r["doc_id"])
+        assert {k: sorted(v) for k, v in sorted(by_part_bin.items())} == {
+            (0, 0): [0, 2], (0, 1): [4, 6], (1, 0): [1, 3], (1, 1): [5, 7]}
+
     def test_lang_id(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
 
