@@ -160,6 +160,10 @@ class GraphRAGService:
         self._n_replicas = replicas
         self._jobs: Dict[str, Dict[str, Any]] = {}
         self._jobs_lock = threading.Lock()
+        # serializes staged-filename pick + write: concurrent uploads
+        # must not race listdir -> same path (one would silently
+        # overwrite the other's staged pages)
+        self._stage_lock = threading.Lock()
         self._ingest_q: Optional[Any] = None
         self._ingest_seq = 0
         self._replica_rr = 0
@@ -655,29 +659,30 @@ class GraphRAGService:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            save_path = self._next_upload_path()
-            if body.get("rows"):
-                rows = body["rows"]
-                for r in rows:
-                    if isinstance(r.get("html"), str):
-                        r["html"] = r["html"].encode("utf-8")
-                cols = {
-                    "url": pa.string(), "warc_ts": pa.timestamp("us"),
-                    "html": pa.binary(), "text": pa.string(),
-                    "lang": pa.string(),
-                }
-                arrays = {
-                    name: pa.array([r.get(name) for r in rows], type=typ)
-                    for name, typ in cols.items()
-                }
-                pq.write_table(pa.table(arrays), save_path)
-            elif body.get("path"):
-                pq.read_schema(body["path"])  # fail fast on non-parquet
-                shutil.copyfile(body["path"], save_path)
-            else:
+            if not (body.get("rows") or body.get("path")):
                 return {"success": False,
                         "message": "Ingest error: provide 'rows' "
                                    "(inline pages) or 'path' (parquet)"}
+            with self._stage_lock:
+                save_path = self._next_upload_path()
+                if body.get("rows"):
+                    rows = body["rows"]
+                    for r in rows:
+                        if isinstance(r.get("html"), str):
+                            r["html"] = r["html"].encode("utf-8")
+                    cols = {
+                        "url": pa.string(), "warc_ts": pa.timestamp("us"),
+                        "html": pa.binary(), "text": pa.string(),
+                        "lang": pa.string(),
+                    }
+                    arrays = {
+                        name: pa.array([r.get(name) for r in rows], type=typ)
+                        for name, typ in cols.items()
+                    }
+                    pq.write_table(pa.table(arrays), save_path)
+                else:
+                    pq.read_schema(body["path"])  # fail fast on non-parquet
+                    shutil.copyfile(body["path"], save_path)
 
             job_id = str(uuid.uuid4())
             with self._jobs_lock:
