@@ -226,7 +226,24 @@ def minhash_candidate_pairs(
         partitioned_group_map,
     )
 
-    sig_dir = checkpoint_dir or tempfile.mkdtemp(prefix="graft_minhash_sigs_")
+    if checkpoint_dir:
+        sig_dir = checkpoint_dir
+        if os.path.isdir(sig_dir):
+            # a reused dir must start empty: write_parquet APPENDS next
+            # to leftover files, and the re-read would double-count
+            # every stale signature row
+            for f in os.listdir(sig_dir):
+                if f.endswith(".parquet"):
+                    os.unlink(os.path.join(sig_dir, f))
+    else:
+        sig_dir = tempfile.mkdtemp(prefix="graft_minhash_sigs_")
+        # the checkpoint lives as long as the process might re-read it
+        # (the returned datasets are lazy); reclaim it at exit instead
+        # of leaking one signature tree per invocation
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, sig_dir, ignore_errors=True)
     docs.map_batches(_minhash_batch, batch_format="pyarrow").write_parquet(
         sig_dir)
     if not any(f.endswith(".parquet") for f in os.listdir(sig_dir)):

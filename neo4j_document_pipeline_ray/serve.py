@@ -146,7 +146,6 @@ class GraphRAGService:
         pages_dir: Optional[str] = None,
         shard_files: int = 1,
     ):
-        self.tables = tables
         self.text_index_dir = text_index_dir
         self.ann_index_dir = ann_index_dir
         self.cfg = cfg or PipelineConfig()
@@ -165,7 +164,6 @@ class GraphRAGService:
         # overwrite the other's staged pages)
         self._stage_lock = threading.Lock()
         self._ingest_q: Optional[Any] = None
-        self._ingest_seq = 0
         self._replica_rr = 0
         self._build_serving_state(tables)
 
@@ -219,9 +217,28 @@ class GraphRAGService:
             # not on the first unlucky request)
             ray.get([r.__ray_ready__.remote() for r in new_replicas])
 
-        self.tables = tables
-        self.local_kg = local_kg
-        self._replicas = new_replicas
+        # ONE atomic assignment publishes the whole serving state:
+        # readers grab self._state once and see a consistent
+        # (tables, local_kg, replicas) triple even mid-hot-swap —
+        # attribute-by-attribute swapping let a request observe new
+        # tables with the old LocalKG, or a replicas list that turned
+        # None between the dispatch check and the len().
+        from types import SimpleNamespace
+
+        self._state = SimpleNamespace(
+            tables=tables, local_kg=local_kg, replicas=new_replicas)
+
+    @property
+    def tables(self) -> Dict[str, Any]:
+        return self._state.tables
+
+    @property
+    def local_kg(self):
+        return self._state.local_kg
+
+    @property
+    def _replicas(self):
+        return self._state.replicas
 
     @classmethod
     def from_snapshot(
@@ -273,10 +290,11 @@ class GraphRAGService:
             self.active_requests += 1
         try:
             t0 = time.time()
-            if self._replicas is not None:
-                res = self._dispatch_replica(body, question)
+            st = self._state  # one read: consistent across the request
+            if st.replicas is not None:
+                res = self._dispatch_replica(st.replicas, body, question)
             else:
-                res = self._run_graphrag(body, question)
+                res = self._run_graphrag(st, body, question)
             res_out = {
                 "success": True,
                 "facts": res["facts"],
@@ -297,7 +315,7 @@ class GraphRAGService:
             self._sem.release()
 
     def _dispatch_replica(
-        self, body: Dict[str, Any], question: str
+        self, replicas, body: Dict[str, Any], question: str
     ) -> Dict[str, Any]:
         """Round-robin one request to a replica actor.  The HTTP handler
         thread blocks on ray.get while the replica's own process does the
@@ -307,17 +325,18 @@ class GraphRAGService:
         request)."""
         import ray
 
-        self._replica_rr = (self._replica_rr + 1) % len(self._replicas)
-        actor = self._replicas[self._replica_rr]
+        self._replica_rr = (self._replica_rr + 1) % len(replicas)
+        actor = replicas[self._replica_rr]
         return ray.get(actor.answer.remote(body, question))
 
-    def _run_graphrag(self, body: Dict[str, Any], question: str) -> Dict[str, Any]:
+    def _run_graphrag(self, st, body: Dict[str, Any],
+                      question: str) -> Dict[str, Any]:
         """Seam for tests (patched to a slow stub in the admission
         test); production path is the shared graphrag() flow."""
         from neo4j_document_pipeline_ray.pipelines.graphrag import graphrag
 
         return graphrag(
-            self.tables,
+            st.tables,
             question,
             top_k=int(body.get("top_k", 10)),
             hops=int(body.get("hops", 1)),
@@ -328,7 +347,7 @@ class GraphRAGService:
             text_index_dir=self.text_index_dir,
             ann_index_dir=self.ann_index_dir,
             cfg=self.cfg,
-            local_kg=self.local_kg,
+            local_kg=st.local_kg,
         )
 
     # ------------------------------------------------------------ status
@@ -351,10 +370,15 @@ class GraphRAGService:
 
     # --------------------------------------------------- graph read-only
     def _cached(self, key: str, compute) -> Any:
+        # compute OUTSIDE the lock: a slow first /graph/schema must not
+        # block /healthz on the shared cache mutex (duplicate concurrent
+        # computes are idempotent and first-write-wins)
         with self._cache_lock:
-            if key not in self._cache:
-                self._cache[key] = compute()
-            return self._cache[key]
+            if key in self._cache:
+                return self._cache[key]
+        val = compute()
+        with self._cache_lock:
+            return self._cache.setdefault(key, val)
 
     def graph_stats(self) -> Dict[str, Any]:
         """GET /graph/stats (main.py:590-654): per-label node counts and
@@ -433,17 +457,21 @@ class GraphRAGService:
             docs = self.tables["docs"].select_columns(["doc_id", "title"])
             joined = broadcast_join(docs, per_doc, on=("doc_id",),
                                     join_type="left_outer")
-            rows = joined.take_all()
-            rows.sort(key=lambda r: r["doc_id"])
+            # limit INSIDE the dataset: only the first `limit` rows of
+            # the distributed sort reach the driver — the full doc list
+            # must never materialize here (at snapshot scale it would
+            # OOM the daemon even for ?limit=10)
+            rows = joined.sort("doc_id").limit(limit).take_all()
             return [
                 {"doc_id": r["doc_id"], "title": r["title"],
                  "entity_count": int(r["entity_count"] or 0)}
                 for r in rows
             ]
 
-        all_rows = self._cached("documents", compute)
-        return {"success": True, "documents": all_rows[:limit],
-                "total": len(all_rows)}
+        rows = self._cached(f"documents:{limit}", compute)
+        total = self._cached("n_docs",
+                             lambda: self.tables["docs"].count())
+        return {"success": True, "documents": rows, "total": total}
 
     def search(
         self,
@@ -463,7 +491,12 @@ class GraphRAGService:
                     "message": "property_name and property_value are "
                                "required parameters"}
         nodes = self.tables["nodes"]
-        if property_name not in nodes.schema().names:
+        cols = ["entity_id", "label", "name", "norm_key"]
+        searchable = [c for c in cols if c in nodes.schema().names]
+        # validate against the PROJECTED columns, not the full schema —
+        # a valid-but-unprojected column (e.g. an embedding) would pass
+        # a schema check and then KeyError inside the scan
+        if property_name not in searchable:
             return {"success": False,
                     "message": f"unknown property: {property_name}"}
         needle = property_value.lower()
@@ -475,9 +508,8 @@ class GraphRAGService:
                 mask = pc.and_(mask, pc.equal(t["label"], label))
             return t.filter(mask)
 
-        cols = ["entity_id", "label", "name", "norm_key"]
         rows = (
-            nodes.select_columns([c for c in cols if c in nodes.schema().names])
+            nodes.select_columns(searchable)
             .map_batches(matches, batch_format="pyarrow")
             .limit(limit)
             .take_all()
@@ -524,6 +556,24 @@ class GraphRAGService:
                 )
 
                 wipe_snapshot(self.snapshot_dir)
+            if self.pages_dir:
+                # Reference semantics: after the wipe, an ingest adds
+                # ONLY the uploaded pages to the cleared graph.  Future
+                # uploads therefore stage into a FRESH subdirectory
+                # (``_list_input_files`` does not recurse, so the
+                # original corpus files stay on disk but out of every
+                # post-wipe fold).  Restart caveat: re-launching the
+                # daemon with --pages pointing at the ORIGINAL dir
+                # re-includes the old corpus on the next ingest.
+                n = 1
+                while True:
+                    cand = os.path.join(self.pages_dir,
+                                        f"_post_wipe_{n:03d}")
+                    if not os.path.exists(cand):
+                        break
+                    n += 1
+                os.makedirs(cand)
+                self.pages_dir = cand
             self.text_index_dir = None
             self.ann_index_dir = None
             self._build_serving_state(empties)
@@ -630,13 +680,31 @@ class GraphRAGService:
         """A staged-pages filename guaranteed to sort AFTER every file
         already in the pages dir (``_list_input_files`` sorts by name,
         so the committed shard prefix stays aligned and the fold is
-        incremental).  '~' sorts after every alphanumeric in ASCII."""
+        incremental).  '~' sorts after every alphanumeric in ASCII.
+
+        The base stem is the last existing filename with any prior
+        ``~iNNNNNN`` staging suffixes stripped (names must not compound
+        upload-over-upload toward NAME_MAX), and the sequence number is
+        1 + the highest suffix already on disk (not an in-memory
+        counter, which would reset on daemon restart and silently
+        overwrite a committed staged shard)."""
+        import re
+
         existing = sorted(
             f for f in os.listdir(self.pages_dir) if f.endswith(".parquet"))
-        stem = existing[-1][:-len(".parquet")] if existing else "pages"
-        self._ingest_seq += 1
+        if existing:
+            last = existing[-1][: -len(".parquet")]
+            base = re.sub(r"(~i\d{6})+$", "", last) or "pages"
+        else:
+            base = "pages"
+        seq = 0
+        pat = re.compile(re.escape(base) + r"~i(\d{6})\.parquet$")
+        for f in existing:
+            m = pat.match(f)
+            if m:
+                seq = max(seq, int(m.group(1)))
         return os.path.join(self.pages_dir,
-                            f"{stem}~i{self._ingest_seq:06d}.parquet")
+                            f"{base}~i{seq + 1:06d}.parquet")
 
     def ingest(self, body: Dict[str, Any]) -> Dict[str, Any]:
         """POST /ingest (main.py:479-494): stage an uploaded pages
@@ -780,15 +848,21 @@ def _make_handler(service: GraphRAGService):
                 return self._reply(service.graph_stats())
             if url.path == "/graph/schema":
                 return self._reply(service.graph_schema())
-            if url.path == "/documents":
-                return self._reply(
-                    service.documents(limit=int(q.get("limit", 100))))
-            if url.path == "/graph/search":
+            if url.path in ("/documents", "/graph/search"):
+                try:  # non-numeric ?limit is a 400, not a dropped socket
+                    limit = int(q.get("limit",
+                                      100 if url.path == "/documents" else 10))
+                except ValueError as e:
+                    return self._reply(
+                        {"success": False,
+                         "message": f"bad request: {e}"}, 400)
+                if url.path == "/documents":
+                    return self._reply(service.documents(limit=limit))
                 return self._reply(service.search(
                     property_name=q.get("property_name"),
                     property_value=q.get("property_value"),
                     label=q.get("label"),
-                    limit=int(q.get("limit", 10)),
+                    limit=limit,
                 ))
             self._reply({"success": False, "message": "not found"}, 404)
 

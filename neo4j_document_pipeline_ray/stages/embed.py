@@ -180,7 +180,9 @@ class HTTPEmbedderBackend:
         self._factory = session_factory
         self._model = model
         self.dim = dim
-        self._max_retries = max_retries
+        # at least one attempt, else _post would "raise last" with
+        # last=None (a TypeError masking the misconfiguration)
+        self._max_retries = max(1, max_retries)
         self._base_delay = base_delay
         self._sleep = sleep
         self._session = None

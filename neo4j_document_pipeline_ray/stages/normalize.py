@@ -156,7 +156,7 @@ def make_normalize_batch(cfg: PipelineConfig):
         out = {name: pa.array(cols[name], typ) for name, typ in _COLS}
         for c in passthrough:
             out[c] = pa.array(
-                extra[c], pa.int64() if c == "chunk_idx" else pa.string()
+                extra[c], pa.int32() if c == "chunk_idx" else pa.string()
             )
         return pa.table(out)
 

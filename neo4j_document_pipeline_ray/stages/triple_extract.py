@@ -187,7 +187,7 @@ class TripleExtractor:
         }
         for c in passthrough:
             res[c] = pa.array(
-                out[c], pa.int64() if c == "chunk_idx" else pa.string()
+                out[c], pa.int32() if c == "chunk_idx" else pa.string()
             )
         return pa.table(res)
 

@@ -271,6 +271,58 @@ class TestIngest:
         assert st2["state"] == "SUCCESS", st2
         assert svc.tables["docs"].count() == docs_after + 1
 
+    def test_staged_filenames_do_not_compound(self, ingest_env):
+        """Repeated uploads must not grow the staged filename (the old
+        stem-of-last-file scheme hit NAME_MAX after ~30 ingests), must
+        keep strict sort-after ordering, and a fresh service over the
+        same dir must not reuse a taken sequence number (restart
+        safety)."""
+        import os
+
+        from neo4j_document_pipeline_ray.serve import GraphRAGService
+
+        pages, snap, cfg = ingest_env
+        svc = GraphRAGService.from_snapshot(
+            snap, cfg=cfg, max_concurrent=2, pages_dir=pages, shard_files=1)
+        names = []
+        for _ in range(3):
+            p = svc._next_upload_path()
+            open(p, "wb").close()  # occupy the name like a real upload
+            names.append(os.path.basename(p))
+        assert len(names[0]) == len(names[1]) == len(names[2])
+        listing = sorted(os.listdir(pages))
+        assert listing[-3:] == names  # strictly after the corpus files
+        svc2 = GraphRAGService.from_snapshot(
+            snap, cfg=cfg, max_concurrent=2, pages_dir=pages, shard_files=1)
+        nxt = os.path.basename(svc2._next_upload_path())
+        assert nxt not in names and nxt > names[-1]
+        for n in names:  # leave the shared fixture dir as we found it
+            os.unlink(os.path.join(pages, n))
+
+    def test_ingest_after_drop_all_adds_only_the_upload(self, ingest_env):
+        """Reference semantics (main.py:118-155 + 479-494): after a
+        confirmed drop-all, an ingest populates the cleared graph with
+        ONLY the uploaded pages — the old corpus must not resurrect
+        through the fold."""
+        from neo4j_document_pipeline_ray.serve import GraphRAGService
+        from neo4j_document_pipeline_ray.sources.corpus import pages_batch
+
+        import pyarrow.parquet as pq
+
+        pages, snap, cfg = ingest_env
+        svc = GraphRAGService.from_snapshot(
+            snap, cfg=cfg, max_concurrent=2, pages_dir=pages, shard_files=1)
+        assert svc.drop_all(confirmation=True)["success"] is True
+        assert svc.tables["docs"].count() == 0
+
+        delta = "/tmp/serve_ingest_postwipe.parquet"
+        pq.write_table(pages_batch(list(range(200, 205)), seed=42), delta)
+        out = svc.ingest({"path": delta})
+        assert out["success"] is True
+        st = self._wait_done(svc, out["job_id"])
+        assert st["state"] == "SUCCESS", st
+        assert svc.tables["docs"].count() == 5  # uploads only, no corpus
+
     def test_ingest_disabled_without_pages_dir(self, ray_session, kg_result):
         from neo4j_document_pipeline_ray.serve import GraphRAGService
 
@@ -347,7 +399,7 @@ class TestAdmission:
         lock = threading.Lock()
         state = {"inside": 0, "peak": 0}
 
-        def slow_stub(body, question):
+        def slow_stub(st, body, question):
             with lock:
                 state["inside"] += 1
                 state["peak"] = max(state["peak"], state["inside"])
