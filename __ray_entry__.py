@@ -214,6 +214,15 @@ def _q_kg_embeddings(sf_dir: str):
         unpivot, batch_format="pyarrow")
 
 
+def _q_doc_hybrid_topk(sf_dir: str):
+    """Hybrid document retrieval: Lucene-default BM25 over doc text +
+    embedding cosine vs the fixed query vector, blended 0.6/0.4 — the
+    corpus-level analog of the KG hybrid channel."""
+    from neo4j_document_pipeline_ray.extras.similarity import doc_hybrid_topk
+
+    return doc_hybrid_topk(sf_dir, k=10)
+
+
 def _q_ann_topk(sf_dir: str):
     import os
 
@@ -1015,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_components": _q_minhash_components,
         "docs_near_dedup_keep": _q_near_dedup_keep,
         "docs_simhash_pairs": _q_simhash_pairs,
+        "docs_hybrid_topk": _q_doc_hybrid_topk,
         "ann_topk": _q_ann_topk,
         "ann_label_topk": _q_ann_label_topk,
         "ann_multi_topk": _q_ann_multi_topk,
@@ -1219,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.sampling import (
         docs_stratified_sample_sql,
     )
+    from neo4j_document_pipeline_ray.extras.similarity import DOC_HYBRID_SQL
     from neo4j_document_pipeline_ray.extras.textstats import (
         FINGERPRINT_SQL,
         CURATION_FILTER_SQL,
@@ -1555,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_pairs": MINHASH_PAIRS_SQL,
         "docs_minhash_components": MINHASH_COMPONENTS_SQL,
         "docs_near_dedup_keep": NEAR_DEDUP_KEEP_SQL,
+        "docs_hybrid_topk": DOC_HYBRID_SQL,
         "ann_topk": """
             SELECT e.vec_id,
                    round(list_cosine_similarity(

@@ -624,3 +624,182 @@ def multi_query_topk(
         partials, "query_id", head_per_query, num_partitions=num_partitions)
     return out.sort(["query_id", "sim", "vec_id"],
                     descending=[False, True, False])
+
+
+# --- doc-level hybrid retrieval --------------------------------------------
+
+DOC_QUERY_TOKENS = ("hash", "join", "table", "scan")
+
+
+def doc_hybrid_topk(
+    sf_dir: str,
+    k: int = 10,
+    alpha: float = 0.6,
+    beta: float = 0.4,
+    query_tokens: tuple = DOC_QUERY_TOKENS,
+) -> "ray.data.Dataset":
+    """Hybrid document retrieval — the corpus-level analog of the KG
+    query layer's vector+keyword blend (``graphrag.hybrid_candidates``):
+    Lucene-default BM25 (k1=1.2, b=0.75) over the document TEXT plus
+    embedding cosine against the fixed query vector (vec_id 0), blended
+    ``alpha * bm25 + beta * cosine``, top-k by blend.
+
+    Scale shape: one tiny stats pass (per-batch partials for N, total
+    doc length, per-term df — a handful of scalars reach the driver and
+    ride into the scoring closure), then ONE streaming scoring pass over
+    docs joined to their embeddings (size-gated broadcast), per-batch
+    partial top-k, small global sort.  The float expression tree is
+    mirrored operation-for-operation by ``DOC_HYBRID_SQL`` so the
+    rounded doubles hash-match (same discipline as the KG BM25 oracle,
+    ``__ray_entry__._bm25_topk_sql``).
+
+    Returns ``(doc_id, bm25, cos_sim, hybrid)``.
+    """
+    import os as _os
+
+    from neo4j_document_pipeline_ray.stages.grouped import broadcast_join
+
+    docs = ray.data.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    emb = ray.data.read_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    q = query_vector(sf_dir)
+
+    # ---- stats pass: N, sum(dl), df per query term (scalars only) ----
+    def stats_batch(t: pa.Table) -> pa.Table:
+        n, sum_dl = 0, 0
+        df = [0] * len(query_tokens)
+        for text in t["text"].to_pylist():
+            toks = (text or "").lower().split()
+            n += 1
+            sum_dl += len(toks)
+            tokset = set(toks)
+            for i, qt in enumerate(query_tokens):
+                if qt in tokset:
+                    df[i] += 1
+        cols = {"n": [n], "sum_dl": [sum_dl]}
+        cols.update({f"df_{i}": [df[i]] for i in range(len(df))})
+        return pa.table({kk: pa.array(vv, pa.int64())
+                         for kk, vv in cols.items()})
+
+    parts = docs.map_batches(stats_batch, batch_format="pyarrow").take_all()
+    n_docs = float(sum(p["n"] for p in parts))
+    avgdl = float(sum(p["sum_dl"] for p in parts)) / n_docs
+    dfs = [float(sum(p[f"df_{i}"] for p in parts))
+           for i in range(len(query_tokens))]
+
+    # ---- two streaming channel passes (each emits a narrow scalar
+    # table — pyarrow's hash join cannot carry list columns as payload,
+    # and the embedding lists must not ride an exchange anyway) ----
+    qn = q / np.linalg.norm(q)
+
+    def bm25_batch(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        bm25 = np.empty(len(ids), dtype=np.float64)
+        for r, text in enumerate(t["text"].to_pylist()):
+            toks = (text or "").lower().split()
+            dl = float(len(toks))
+            denom_norm = 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)
+            score = 0.0
+            for i, qt in enumerate(query_tokens):  # fixed term order
+                tf = float(toks.count(qt))
+                if tf > 0:
+                    idf = np.log(1.0 + (n_docs - dfs[i] + 0.5)
+                                 / (dfs[i] + 0.5))
+                    score = score + idf * (tf * (1.2 + 1.0)) / (tf + denom_norm)
+            bm25[r] = score
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bm25_raw": pa.array(bm25, pa.float64()),
+        })
+
+    def cos_batch(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = m @ qn / norms
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cos_raw": pa.array(cos, pa.float64()),
+        })
+
+    bm = docs.map_batches(bm25_batch, batch_format="pyarrow")
+    cs = emb.map_batches(cos_batch, batch_format="pyarrow")
+    joined = broadcast_join(bm, cs, on=("doc_id",), right_on=("vec_id",),
+                            join_type="inner", num_partitions=8)
+
+    def blend_batch(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        bm25 = t["bm25_raw"].to_numpy(zero_copy_only=False)
+        cos = t["cos_raw"].to_numpy(zero_copy_only=False)
+        hybrid = np.round(alpha * bm25 + beta * cos, 6)
+        bm25_r = np.round(bm25, 6)
+        cos_r = np.round(cos, 6)
+        if len(ids) > k:  # same tie-break as the global sort
+            part = np.lexsort((ids, -hybrid))[:k]
+            ids, bm25_r, cos_r, hybrid = (
+                ids[part], bm25_r[part], cos_r[part], hybrid[part])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "bm25": pa.array(bm25_r, pa.float64()),
+            "cos_sim": pa.array(cos_r, pa.float64()),
+            "hybrid": pa.array(hybrid, pa.float64()),
+        })
+
+    scored = joined.map_batches(blend_batch, batch_format="pyarrow")
+    return scored.sort(["hybrid", "doc_id"],
+                       descending=[True, False]).limit(k)
+
+
+def doc_hybrid_sql(k: int = 10, alpha: float = 0.6, beta: float = 0.4,
+                   query_tokens: tuple = DOC_QUERY_TOKENS) -> str:
+    """DuckDB mirror of :func:`doc_hybrid_topk` — the BM25 expression
+    tree written operation-for-operation (compound literals like
+    ``1.2 + 1.0`` kept verbatim, terms summed left-associatively in
+    query order) over the same tokenization (``lower`` + whitespace
+    split)."""
+    df_cols = ", ".join(
+        f"(SELECT count(*) FROM c WHERE list_contains(toks, '{qt}'))*1.0"
+        f" AS df_{i}"
+        for i, qt in enumerate(query_tokens))
+    norm = "1.2 * (1.0 - 0.75 + 0.75 * len(toks) / st.avgdl)"
+    score = "0.0"
+    for i, qt in enumerate(query_tokens):
+        tf = f"len(list_filter(toks, x -> x = '{qt}'))"
+        idf = f"ln(1.0 + (st.n - st.df_{i} + 0.5) / (st.df_{i} + 0.5))"
+        score = (f"({score}) + (CASE WHEN {tf} > 0 THEN {idf} * "
+                 f"({tf} * (1.2 + 1.0)) / ({tf} + {norm}) ELSE 0.0 END)")
+    return f"""
+        WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                   END AS toks
+            FROM documents
+        ), st AS (
+            SELECT count(*)*1.0 AS n,
+                   sum(len(toks))*1.0 / (count(*)*1.0) AS avgdl,
+                   {df_cols}
+            FROM c
+        ), s AS (
+            SELECT c.doc_id,
+                   {score} AS bm25_raw,
+                   list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)) AS cos_raw
+            FROM c
+            JOIN embeddings e ON e.vec_id = c.doc_id
+            CROSS JOIN st
+        )
+        SELECT doc_id,
+               round(bm25_raw, 6) AS bm25,
+               round(cos_raw, 6) AS cos_sim,
+               round({alpha} * bm25_raw + {beta} * cos_raw, 6) AS hybrid
+        FROM s
+        ORDER BY hybrid DESC, doc_id
+        LIMIT {k}"""
+
+
+DOC_HYBRID_SQL = doc_hybrid_sql()

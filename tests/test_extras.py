@@ -607,6 +607,41 @@ class TestTextStats:
         for row in pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pylist():
             assert got[row["doc_id"]] == len(row["text"].split())
 
+    def test_doc_hybrid_topk_channels(self, ray_session, tmp_path):
+        """BM25 rewards query-token-rich docs; the cosine channel must
+        equal exact cosine vs the vec_id-0 query; blend = 0.6/0.4."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            doc_hybrid_topk,
+        )
+
+        d = tmp_path / "hyb"
+        d.mkdir()
+        texts = ["hash join table scan hash join",   # all query tokens
+                 "column stream window batch",        # none
+                 "table scan filter group"]           # some
+        pq.write_table(pa.Table.from_pylist(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]),
+            str(d / "documents.parquet"))
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(3, 8)).astype("float32")
+        pq.write_table(pa.Table.from_pylist(
+            [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(3)]),
+            str(d / "embeddings.parquet"))
+
+        rows = {r["doc_id"]: r for r in doc_hybrid_topk(str(d), k=3).take_all()}
+        assert rows[0]["bm25"] > rows[2]["bm25"] > rows[1]["bm25"] == 0.0
+        v = vecs.astype(np.float64)
+        q = v[0] / np.linalg.norm(v[0])
+        for i in range(3):
+            cos = float(v[i] @ q / np.linalg.norm(v[i]))
+            assert abs(rows[i]["cos_sim"] - round(cos, 6)) < 2e-6
+            assert abs(rows[i]["hybrid"]
+                       - round(0.6 * rows[i]["bm25"]
+                               + 0.4 * rows[i]["cos_sim"], 6)) < 3e-6
+
     def test_token_pack_greedy_boundaries(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
 
