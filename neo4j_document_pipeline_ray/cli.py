@@ -66,15 +66,19 @@ def cmd_build(args: argparse.Namespace) -> int:
         # ingest time (graphutil.py:211-217, ingestMD.py:669-702)
         import ray.data as rd
 
-        from neo4j_document_pipeline_ray.extras.similarity import build_ann_index
-        from neo4j_document_pipeline_ray.pipelines.graphrag import build_text_index
+        from neo4j_document_pipeline_ray.pipelines.graphrag import (
+            build_node_ann_index,
+            build_text_index,
+        )
 
         nodes = rd.read_parquet(os.path.join(args.out, "nodes")).materialize()
         root["text_index"] = build_text_index(
             nodes, os.path.join(args.out, "text_index"))
-        root["ann_index"] = build_ann_index(
-            nodes.select_columns(["entity_id", "embedding"]),
-            os.path.join(args.out, "ann_index"), id_col="entity_id")
+        # the node layout (vec_id + label/name payload) the query
+        # layer's vector channel reads — a bare entity_id+embedding
+        # index would KeyError in vector_index_topk
+        root["ann_index"] = build_node_ann_index(
+            nodes, os.path.join(args.out, "ann_index"))
     print(json.dumps(root, indent=2))
     return 0
 

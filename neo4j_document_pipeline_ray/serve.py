@@ -653,7 +653,27 @@ class GraphRAGService:
                 root = build_snapshot(
                     self.pages_dir, self.snapshot_dir, self.cfg,
                     resume=True, shard_files=self._shard_files)
-                self._build_serving_state(_load_tables(self.snapshot_dir))
+                tables = _load_tables(self.snapshot_dir)
+                # refresh any persisted index artifacts the daemon is
+                # configured with — the fold changed the nodes table,
+                # and a stale df/bucket layout would serve wrong scores
+                # (and miss the new entities entirely) whenever the
+                # local tier overflows and queries fall to the index
+                if self.text_index_dir or self.ann_index_dir:
+                    nodes = tables["nodes"]
+                    if self.text_index_dir:
+                        from neo4j_document_pipeline_ray.pipelines.graphrag import (  # noqa: E501
+                            build_text_index,
+                        )
+
+                        build_text_index(nodes, self.text_index_dir)
+                    if self.ann_index_dir:
+                        from neo4j_document_pipeline_ray.pipelines.graphrag import (  # noqa: E501
+                            build_node_ann_index,
+                        )
+
+                        build_node_ann_index(nodes, self.ann_index_dir)
+                self._build_serving_state(tables)
                 with self._cache_lock:
                     self._cache.clear()
                 result = {

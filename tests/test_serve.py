@@ -323,6 +323,39 @@ class TestIngest:
         assert st["state"] == "SUCCESS", st
         assert svc.tables["docs"].count() == 5  # uploads only, no corpus
 
+    def test_ingest_refreshes_persisted_indexes(self, ingest_env):
+        """A fold changes the nodes table; any persisted text index the
+        daemon serves must be rebuilt in the same job, or the indexed
+        BM25 path diverges from the scan (stale df, missing entities)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.pipelines import graphrag as gr
+        from neo4j_document_pipeline_ray.serve import GraphRAGService
+        from neo4j_document_pipeline_ray.sources.corpus import pages_batch
+
+        pages, snap, cfg = ingest_env
+        idx = os.path.join(snap, "text_index")
+        import ray.data as rd
+
+        gr.build_text_index(
+            rd.read_parquet(os.path.join(snap, "nodes")).materialize(), idx)
+        svc = GraphRAGService.from_snapshot(
+            snap, cfg=cfg, max_concurrent=2, pages_dir=pages, shard_files=1)
+        assert svc.text_index_dir == idx
+
+        delta = "/tmp/serve_ingest_idx.parquet"
+        pq.write_table(pages_batch(list(range(300, 310)), seed=42), delta)
+        st = self._wait_done(svc, svc.ingest({"path": delta})["job_id"])
+        assert st["state"] == "SUCCESS", st
+
+        # indexed path == scan path over the POST-fold nodes table
+        nodes = svc.tables["nodes"]
+        scan = gr.bm25_topk(nodes, QUESTION, k=12).take_all()
+        indexed = gr.bm25_index_topk(nodes, idx, QUESTION, k=12).take_all()
+        assert indexed == scan
+
     def test_ingest_disabled_without_pages_dir(self, ray_session, kg_result):
         from neo4j_document_pipeline_ray.serve import GraphRAGService
 
