@@ -444,6 +444,7 @@ def run_skew() -> dict:
         "num_cpus": NUM_CPUS,
         "sf": _sf_of(SF_DIR),
         "reps": reps,
+        "host_capacity": host_capacity(),
     }
     ray.shutdown()
     return result
@@ -561,6 +562,7 @@ def run_serve() -> dict:
         "n_questions": len(questions),
         "sf": _sf_of(SF_DIR),
         "num_cpus": NUM_CPUS,
+        "host_capacity": host_capacity(),
     }
     ray.shutdown()
     return result
@@ -644,10 +646,12 @@ def run_scaling() -> dict:
             "sf": lo["sf"],
         }
 
+    cap_before = host_capacity()
     primary = pair(4, 16)
     saturated = pair(8, 32)
     return {
         "metric": "scaling_efficiency_4_to_16_cpus",
+        "host_capacity": {"before": cap_before, "after": host_capacity()},
         **primary,
         "scaling_efficiency_8_to_32_bandwidth_saturated": saturated[
             "scaling_efficiency"
