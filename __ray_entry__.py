@@ -947,9 +947,14 @@ def _q_mm_frames(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from neo4j_document_pipeline_ray.extras.decontam import docs_decontaminate
     from neo4j_document_pipeline_ray.extras.dedup import exact_dedup_sf
-    from neo4j_document_pipeline_ray.extras.sampling import docs_stratified_sample
+    from neo4j_document_pipeline_ray.extras.sampling import (
+        docs_domain_budget,
+        docs_stratified_sample,
+    )
     from neo4j_document_pipeline_ray.extras.textstats import (
+        distinct_tokens_kmv,
         length_quantiles,
         quality_stats,
         token_count,
@@ -1013,6 +1018,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": top_tokens,
         "docs_length_quantiles": length_quantiles,
         "docs_stratified_sample": docs_stratified_sample,
+        "docs_domain_budget": docs_domain_budget,
+        "docs_decontaminate": docs_decontaminate,
+        "docs_distinct_kmv": distinct_tokens_kmv,
         "docs_exact_dedup": exact_dedup_sf,
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprints,
@@ -1226,7 +1234,11 @@ def oracle_sql() -> dict[str, str]:
         NGRAM_JACCARD_SQL,
         SIMHASH_PAIRS_SQL,
     )
+    from neo4j_document_pipeline_ray.extras.decontam import (
+        docs_decontaminate_sql,
+    )
     from neo4j_document_pipeline_ray.extras.sampling import (
+        docs_domain_budget_sql,
         docs_stratified_sample_sql,
     )
     from neo4j_document_pipeline_ray.extras.similarity import DOC_HYBRID_SQL
@@ -1234,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
         FINGERPRINT_SQL,
         CURATION_FILTER_SQL,
         REPETITION_SQL,
+        distinct_tokens_kmv_sql,
         salient_terms_sql,
         LANG_ID_SQL,
         QUALITY_SQL,
@@ -1547,6 +1560,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_top_tokens": top_tokens_sql(),
         "docs_length_quantiles": length_quantiles_sql(),
         "docs_stratified_sample": docs_stratified_sample_sql(),
+        "docs_domain_budget": docs_domain_budget_sql(),
+        "docs_decontaminate": docs_decontaminate_sql(),
+        "docs_distinct_kmv": distinct_tokens_kmv_sql(),
         "docs_lang_id": LANG_ID_SQL,
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_repetition": REPETITION_SQL,

@@ -79,3 +79,75 @@ SELECT doc_id, lang, sample_rank FROM (
     FROM documents
 ) WHERE sample_rank <= {per_stratum}
 """
+
+
+def domain_budget_sample(
+    ds: "ray.data.Dataset",
+    domain_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-domain QUOTA sampling: walk each domain's rows in hash order
+    and keep rows while the cumulative weight consumed BEFORE the row is
+    under ``budget`` (so every domain keeps at least one row, and the
+    kept set is a prefix of the same deterministic order
+    ``stratified_sample`` uses — shrinking the budget nests the sample).
+
+    This is the per-domain token-budget cap of the C4 / RefinedWeb /
+    FineWeb recipes: a handful of giant domains would otherwise dominate
+    the corpus, so each domain contributes at most ~``budget`` weight
+    (chars here; swap in a token count column for token budgets).
+
+    Same partitioning contract as the other grouped operators: one
+    domain's rows co-located by hash of the domain key; the
+    prefix-sum + filter inside a partition is vectorized over all
+    domains of that partition at once.  Output adds ``cum_weight``
+    (inclusive prefix sum in kept order) for auditability.
+    """
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = sample_key(df[id_col].to_numpy()).astype(np.int64)
+        df = df.sort_values([domain_col, "_h", id_col], kind="mergesort")
+        w = df[weight_col].to_numpy()
+        grp = df.groupby(domain_col, sort=False)
+        cum = grp[weight_col].cumsum().to_numpy()
+        before = cum - w
+        df["cum_weight"] = cum
+        out = df[before < budget].drop(columns=["_h"])
+        return out.astype({"cum_weight": "int64"})
+
+    return partitioned_group_map(ds, domain_col, pick,
+                                 num_partitions=num_partitions)
+
+
+def docs_domain_budget(sf_dir: str, budget: int = 2000) -> "ray.data.Dataset":
+    """Per-source char-budget cap over the documents table.  Reads ONLY
+    ``doc_id, source, n_chars`` — the text never leaves storage."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return domain_budget_sample(docs, "source", "doc_id", "n_chars", budget)
+
+
+def docs_domain_budget_sql(budget: int = 2000) -> str:
+    return f"""
+SELECT doc_id, source, n_chars, cum_weight FROM (
+    SELECT doc_id, source, n_chars,
+           CAST(SUM(n_chars) OVER w AS BIGINT) AS cum_weight,
+           COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * {_KNUTH}) % 4294967296, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS before
+    FROM documents
+    WINDOW w AS (
+        PARTITION BY source
+        ORDER BY (doc_id * {_KNUTH}) % 4294967296, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+) WHERE before < {budget}
+"""

@@ -856,3 +856,94 @@ WITH rep AS ({REPETITION_SQL}
 )
 SELECT doc_id, reason = '' AS keep, reason FROM s
 """
+
+
+# --- KMV distinct-count sketch ---------------------------------------------
+
+_KMV_SPACE = 1 << 61  # hash space after the 61-bit mask (fits int64)
+
+
+def distinct_tokens_kmv(sf_dir: str, k: int = 8):
+    """Estimate the corpus' distinct-token count with a K-Minimum-Values
+    sketch (Bar-Yossef et al. 2002): keep the k smallest DISTINCT token
+    hashes; the estimator is ``(k-1) * SPACE / kth_smallest``.
+
+    The 100-TB shape: each batch contributes its own k smallest distinct
+    hashes (a few hundred bytes), so the exchange is O(k x n_batches)
+    regardless of corpus size — the union of per-batch k-minima provably
+    contains the global k minima, which is the whole trick.  Unlike
+    HyperLogLog the estimator is a pure integer function of the data,
+    so a DuckDB replay hash-matches it exactly (HLL's register layout
+    is implementation-defined; KMV's "k smallest hashes" is not).
+
+    Hashing reuses the fingerprint kernel's FNV-1a word hash masked to
+    61 bits (same ASCII caveat as FINGERPRINT_SQL).  Returns ONE row:
+    ``kmv_k, kth_hash, est_distinct`` (all int64; estimate is exact
+    integer floor division, and falls back to the exact count when the
+    corpus has fewer than k distinct tokens).
+    """
+    if k < 2:
+        raise ValueError("KMV needs k >= 2")
+    ds = _read_documents(sf_dir, ["text"])
+
+    def partial_kmin(t: pa.Table) -> pa.Table:
+        hs = [
+            _word_hashes(x) & _FP_MOD_MASK for x in t["text"].to_pylist()
+        ]
+        flat = np.unique(np.concatenate(hs)) if hs else np.zeros(0, np.uint64)
+        return pa.table({"h": pa.array(flat[:k].astype(np.int64), pa.int64())})
+
+    parts = ds.map_batches(partial_kmin, batch_format="pyarrow").take_all()
+    union = np.unique(np.array([r["h"] for r in parts], dtype=np.int64))
+    kmin = union[:k]
+    if len(kmin) == 0:
+        kth, est = 0, 0
+    elif len(kmin) < k:
+        kth, est = int(kmin[-1]), len(kmin)  # exact: fewer than k distinct
+    else:
+        kth = int(kmin[-1])
+        est = ((k - 1) * _KMV_SPACE) // kth
+    return pa.table({
+        "kmv_k": pa.array([k], pa.int64()),
+        "kth_hash": pa.array([kth], pa.int64()),
+        "est_distinct": pa.array([est], pa.int64()),
+    })
+
+
+def distinct_tokens_kmv_sql(k: int = 8) -> str:
+    """DuckDB mirror of :func:`distinct_tokens_kmv` — same FNV word
+    hashes (HUGEINT wrap emulation as in FINGERPRINT_SQL), 61-bit mask,
+    k smallest distinct, integer-exact estimator."""
+    m64 = 1 << 64
+    return f"""
+    WITH d AS (
+        SELECT CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS words
+        FROM documents
+    ), h AS (
+        SELECT list_transform(words, w ->
+                   list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                               i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))),
+                       (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                             CAST(b AS UBIGINT)) AS HUGEINT)
+                                    * 1099511628211) % {m64}
+                   )
+               ) AS hs
+        FROM d
+    ), tok AS (
+        SELECT DISTINCT unnest(hs) % {_KMV_SPACE} AS h61 FROM h
+    ), ranked AS (
+        SELECT h61 FROM tok ORDER BY h61 LIMIT {k}
+    )
+    SELECT CAST({k} AS BIGINT) AS kmv_k,
+           CAST(COALESCE(max(h61), 0) AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                     WHEN count(*) < {k} THEN count(*)
+                     ELSE (CAST({k - 1} AS HUGEINT) * {_KMV_SPACE})
+                          // max(h61)
+                END AS BIGINT) AS est_distinct
+    FROM ranked
+    """
