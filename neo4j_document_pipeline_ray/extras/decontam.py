@@ -41,31 +41,23 @@ import ray.data
 
 from neo4j_document_pipeline_ray.extras.textstats import (
     _FP_BASE,
-    _FP_MOD_MASK,
     _WINDOW,
+    _flat_gram_hashes,
     _read_documents,
-    _word_hashes,
+    _word_hashes_texts,
 )
 
 # A benchmark gram set bigger than this is a sign the "benchmark" is
 # actually a corpus; the broadcast-array design assumes a small side.
 MAX_BENCHMARK_GRAMS = 50_000_000  # 400 MB as uint64 — still broadcastable
 
-_GRAM_WEIGHTS = np.array(
-    [pow(int(_FP_BASE), _WINDOW - 1 - i, 1 << 61) for i in range(_WINDOW)],
-    dtype=np.uint64,
-)
-
 
 def gram_hashes(text: str) -> np.ndarray:
     """61-bit rolling-polynomial hashes of the word ``_WINDOW``-grams of
     ``text`` — the same grams :func:`textstats.fingerprint_batch` takes
     its winnowing minimum over (cited mirror: FINGERPRINT_SQL)."""
-    hs = _word_hashes(text or "")
-    if len(hs) < _WINDOW:
-        return np.zeros(0, dtype=np.uint64)
-    win = np.lib.stride_tricks.sliding_window_view(hs, _WINDOW)
-    return (win * _GRAM_WEIGHTS).sum(axis=1, dtype=np.uint64) & _FP_MOD_MASK
+    grams, _ = _flat_gram_hashes(*_word_hashes_texts([text]))
+    return grams
 
 
 def benchmark_gram_set(bench: "ray.data.Dataset") -> "ray.ObjectRef":
@@ -78,8 +70,9 @@ def benchmark_gram_set(bench: "ray.data.Dataset") -> "ray.ObjectRef":
     """
 
     def partial(t: pa.Table) -> pa.Table:
-        gs = [gram_hashes(x) for x in t["text"].to_pylist()]
-        flat = np.unique(np.concatenate(gs)) if gs else np.zeros(0, np.uint64)
+        grams, _ = _flat_gram_hashes(
+            *_word_hashes_texts(t["text"].to_pylist()))
+        flat = np.unique(grams)
         return pa.table({"gram": pa.array(flat.astype(np.int64), pa.int64())})
 
     parts = bench.select_columns(["text"]).map_batches(
@@ -103,15 +96,14 @@ def decontaminate(
 
     def probe(t: pa.Table) -> pa.Table:
         bench = ray.get(gram_ref)  # zero-copy from local object store
-        hits = np.empty(t.num_rows, dtype=np.int64)
-        for i, text in enumerate(t["text"].to_pylist()):
-            g = gram_hashes(text)
-            if len(g) == 0 or len(bench) == 0:
-                hits[i] = 0
-                continue
-            pos = np.searchsorted(bench, g)
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        grams, gdoc = _flat_gram_hashes(
+            *_word_hashes_texts(t["text"].to_pylist()))
+        if len(grams) and len(bench):
+            pos = np.searchsorted(bench, grams)
             pos[pos == len(bench)] = len(bench) - 1
-            hits[i] = int((bench[pos] == g).sum())
+            hit = bench[pos] == grams
+            hits += np.bincount(gdoc[hit], minlength=t.num_rows)
         return pa.table({
             "doc_id": t["doc_id"],
             "n_gram_hits": pa.array(hits, pa.int64()),

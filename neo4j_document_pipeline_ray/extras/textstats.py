@@ -222,6 +222,8 @@ _WINDOW = 5
 
 
 def _word_hashes(text: str) -> np.ndarray:
+    """Scalar FNV-1a 64 per word — the REFERENCE implementation the
+    vectorized batch kernel below is pinned against in pytest."""
     words = text.lower().split()
     if not words:
         return np.zeros(0, dtype=np.uint64)
@@ -234,31 +236,108 @@ def _word_hashes(text: str) -> np.ndarray:
     return out
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _word_hashes_texts(texts) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized FNV-1a 64 over every word of every text in one shot.
+
+    Returns ``(hashes, offsets)``: ``hashes`` concatenates each text's
+    word-hash sequence (uint64, bit-identical to :func:`_word_hashes`);
+    ``hashes[offsets[i]:offsets[i+1]]`` is text ``i``'s sequence.
+
+    The per-byte FNV fold is inherently sequential per WORD but not
+    across words: the batch loops over byte POSITIONS (bounded by the
+    longest word, ~tens) with every step a full-width numpy op, instead
+    of a Python loop over every byte of every word of every row.  Word
+    boundaries are found in utf-8 byte space — 0x20 never occurs inside
+    a multi-byte utf-8 sequence, and ``str.split()`` words contain no
+    whitespace, so the single ``' '.join``-ed buffer splits exactly.
+    """
+    tokens_per = [(t or "").lower().split() for t in texts]
+    counts = np.fromiter((len(ts) for ts in tokens_per), np.int64,
+                         len(tokens_per))
+    offsets = np.zeros(len(tokens_per) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    n = int(offsets[-1])
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), offsets
+    buf = np.frombuffer(
+        " ".join(w for ts in tokens_per for w in ts).encode("utf-8"),
+        dtype=np.uint8)
+    sep = np.flatnonzero(buf == 0x20)
+    starts = np.zeros(n, dtype=np.int64)
+    starts[1:] = sep + 1
+    ends = np.empty(n, dtype=np.int64)
+    ends[:-1] = sep
+    ends[-1] = len(buf)
+    lens = ends - starts
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    live = np.arange(n)          # words whose fold hasn't finished
+    pos = starts.copy()
+    while len(live):
+        h[live] = (h[live] ^ buf[pos[live]].astype(np.uint64)) * _FNV_PRIME
+        pos[live] += 1
+        live = live[pos[live] < ends[live]]
+    return h, offsets
+
+
+_FP_WEIGHTS = np.array(
+    [pow(int(_FP_BASE), _WINDOW - 1 - i, 1 << 61) for i in range(_WINDOW)],
+    dtype=np.uint64,
+)
+
+
+def _flat_gram_hashes(
+    hashes: np.ndarray, offsets: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Window-``_WINDOW`` polynomial gram hashes for EVERY doc of a flat
+    word-hash batch at once.  Returns ``(grams, gram_doc)`` where
+    ``gram_doc[i]`` is the doc index of ``grams[i]``; docs shorter than
+    the window contribute nothing.  Computes sliding windows over the
+    concatenated array and keeps only windows that don't cross a doc
+    boundary — one matmul-shaped pass instead of a per-doc loop."""
+    n = len(hashes)
+    if n < _WINDOW:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, _WINDOW)
+    g_all = (win * _FP_WEIGHTS).sum(axis=1, dtype=np.uint64) & _FP_MOD_MASK
+    p = np.arange(n - _WINDOW + 1)
+    doc_of = np.searchsorted(offsets, p, side="right") - 1
+    valid = (p + _WINDOW) <= offsets[doc_of + 1]
+    return g_all[valid], doc_of[valid]
+
+
 def fingerprint_batch(t: pa.Table) -> pa.Table:
-    doc_ids, fps, n_grams = [], [], []
-    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        hs = _word_hashes(text or "")
-        if len(hs) >= _WINDOW:
-            # rolling polynomial hash over word-hash windows
-            weights = np.array(
-                [pow(int(_FP_BASE), _WINDOW - 1 - i, 1 << 61) for i in range(_WINDOW)],
-                dtype=np.uint64)
-            win = np.lib.stride_tricks.sliding_window_view(hs, _WINDOW)
-            grams = (win * weights).sum(axis=1, dtype=np.uint64) & _FP_MOD_MASK
-            fp = int(grams.min())  # winnowing-style minimum gram hash
-            ng = len(grams)
-        elif len(hs) > 0:
-            # masked to 61 bits like the gram path so it fits int64
-            fp = int(hs.min() & _FP_MOD_MASK)
-            ng = 1
-        else:
-            fp, ng = 0, 0
-        doc_ids.append(doc_id)
-        fps.append(fp)
-        n_grams.append(ng)
+    """Winnowing fingerprint per doc, fully vectorized over the batch:
+    one flat FNV pass (:func:`_word_hashes_texts`), one flat gram pass
+    (:func:`_flat_gram_hashes`), per-doc minima via ``np.minimum.at``.
+    Bit-identical to the scalar reference path (pinned in pytest and by
+    the FINGERPRINT_SQL hash gate)."""
+    ndocs = t.num_rows
+    hs, offs = _word_hashes_texts(t["text"].to_pylist())
+    nw = np.diff(offs)
+    grams, gdoc = _flat_gram_hashes(hs, offs)
+
+    fps = np.zeros(ndocs, dtype=np.uint64)
+    # gram path: min gram hash per doc with >= _WINDOW words
+    has_grams = nw >= _WINDOW
+    gmin = np.full(ndocs, np.iinfo(np.uint64).max, dtype=np.uint64)
+    np.minimum.at(gmin, gdoc, grams)
+    fps[has_grams] = gmin[has_grams]
+    # short-doc path: min word hash masked to 61 bits like the grams
+    short = (nw > 0) & ~has_grams
+    if short.any():
+        wmin = np.full(ndocs, np.iinfo(np.uint64).max, dtype=np.uint64)
+        np.minimum.at(wmin, np.repeat(np.arange(ndocs), nw), hs)
+        fps[short] = wmin[short] & _FP_MOD_MASK
+
+    n_grams = np.where(has_grams, nw - _WINDOW + 1,
+                       np.where(nw > 0, 1, 0)).astype(np.int64)
     return pa.table({
-        "doc_id": pa.array(doc_ids, pa.int64()),
-        "fingerprint": pa.array(fps, pa.int64()),
+        "doc_id": t["doc_id"],
+        "fingerprint": pa.array(fps.astype(np.int64), pa.int64()),
         "n_grams": pa.array(n_grams, pa.int64()),
     })
 
@@ -887,10 +966,8 @@ def distinct_tokens_kmv(sf_dir: str, k: int = 8):
     ds = _read_documents(sf_dir, ["text"])
 
     def partial_kmin(t: pa.Table) -> pa.Table:
-        hs = [
-            _word_hashes(x) & _FP_MOD_MASK for x in t["text"].to_pylist()
-        ]
-        flat = np.unique(np.concatenate(hs)) if hs else np.zeros(0, np.uint64)
+        hs, _ = _word_hashes_texts(t["text"].to_pylist())
+        flat = np.unique(hs & _FP_MOD_MASK)
         return pa.table({"h": pa.array(flat[:k].astype(np.int64), pa.int64())})
 
     parts = ds.map_batches(partial_kmin, batch_format="pyarrow").take_all()

@@ -168,3 +168,81 @@ class TestDistinctKMV:
         exact = len({w for t in docs_df.text for w in t.lower().split()})
         sigma = exact / np.sqrt(k - 2)
         assert abs(got.est_distinct - exact) <= 3 * sigma
+
+
+class TestVectorizedFNVKernel:
+    """The batch FNV/gram kernels must be bit-identical to the scalar
+    reference path (_word_hashes + per-doc sliding windows)."""
+
+    CASES = [
+        "",                       # empty
+        "   ",                    # whitespace only
+        "one",                    # single word, no separator in buffer
+        "a b c d",                # shorter than the gram window
+        "alpha beta gamma delta epsilon zeta eta",
+        "MIXED Case\tTabs\nand newlines   collapse",
+        "unicode café naïve 中文 über",  # multi-byte utf-8
+        "repeat repeat repeat repeat repeat repeat",
+    ]
+
+    def test_word_hashes_match_scalar(self):
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            _word_hashes,
+            _word_hashes_texts,
+        )
+
+        hs, offs = _word_hashes_texts(self.CASES)
+        for i, text in enumerate(self.CASES):
+            got = hs[offs[i]:offs[i + 1]]
+            want = _word_hashes(text)
+            assert got.tolist() == want.tolist(), text
+
+    def test_gram_hashes_match_scalar(self):
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            _FP_MOD_MASK,
+            _FP_WEIGHTS,
+            _WINDOW,
+            _flat_gram_hashes,
+            _word_hashes,
+            _word_hashes_texts,
+        )
+
+        grams, gdoc = _flat_gram_hashes(*_word_hashes_texts(self.CASES))
+        for i, text in enumerate(self.CASES):
+            hs = _word_hashes(text)
+            if len(hs) >= _WINDOW:
+                win = np.lib.stride_tricks.sliding_window_view(hs, _WINDOW)
+                want = ((win * _FP_WEIGHTS).sum(axis=1, dtype=np.uint64)
+                        & _FP_MOD_MASK).tolist()
+            else:
+                want = []
+            assert grams[gdoc == i].tolist() == want, text
+
+    def test_fingerprint_batch_matches_scalar_reference(self, docs_df):
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            _FP_MOD_MASK,
+            _FP_WEIGHTS,
+            _WINDOW,
+            _word_hashes,
+            fingerprint_batch,
+        )
+
+        texts = list(docs_df.text[:50]) + self.CASES
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": texts,
+        })
+        got = fingerprint_batch(t).to_pydict()
+        for i, text in enumerate(texts):
+            hs = _word_hashes(text)
+            if len(hs) >= _WINDOW:
+                win = np.lib.stride_tricks.sliding_window_view(hs, _WINDOW)
+                grams = ((win * _FP_WEIGHTS).sum(axis=1, dtype=np.uint64)
+                         & _FP_MOD_MASK)
+                fp, ng = int(grams.min()), len(grams)
+            elif len(hs):
+                fp, ng = int(hs.min() & _FP_MOD_MASK), 1
+            else:
+                fp, ng = 0, 0
+            assert got["fingerprint"][i] == fp, text
+            assert got["n_grams"][i] == ng, text
