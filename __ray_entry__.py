@@ -462,6 +462,24 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(sf_dir)
 
 
+def _q_docs_scrub(sf_dir: str):
+    """Blocklist scrub: whole-word regex rewrite of blocklisted terms
+    (RE2 on both engines), zero-exchange single pass; the PII variant
+    shares the kernel and is covered in pytest."""
+    from neo4j_document_pipeline_ray.extras.redact import scrub_blocklist
+
+    return scrub_blocklist(sf_dir)
+
+
+def _q_docs_unigram_logprob(sf_dir: str):
+    """Corpus-LM quality score: mean unigram ln-probability per doc —
+    one vocabulary hash aggregate broadcast once, then a zero-exchange
+    scoring pass."""
+    from neo4j_document_pipeline_ray.extras.textstats import unigram_logprob
+
+    return unigram_logprob(sf_dir)
+
+
 # fixed retrieval inputs for the oracle-checked query-layer entries;
 # tokens chosen to overlap many entity surface forms so the keyword
 # channel's scoring/ranking is exercised on a non-trivial result set
@@ -1011,6 +1029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": win.q_events_sliding_window,
         "events_band_pairs": win.q_events_band_pairs,
         "events_asof_purchase": win.q_events_asof_purchase,
+        "events_anomaly": win.q_events_anomaly,
+        "events_range_join": win.q_events_range_join,
         # --- training-data curation extras ---
         "docs_token_count": token_count,
         "docs_token_pack": token_pack,
@@ -1027,6 +1047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "docs_salient_terms": _q_docs_salient_terms,
         "docs_curation_filter": _q_docs_curation_filter,
+        "docs_scrub": _q_docs_scrub,
+        "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_ngram_jaccard": _q_ngram_jaccard,
         "docs_minhash_pairs": _q_minhash_pairs,
         "docs_minhash_components": _q_minhash_components,
@@ -1241,11 +1263,13 @@ def oracle_sql() -> dict[str, str]:
         docs_domain_budget_sql,
         docs_stratified_sample_sql,
     )
+    from neo4j_document_pipeline_ray.extras.redact import scrub_blocklist_sql
     from neo4j_document_pipeline_ray.extras.similarity import DOC_HYBRID_SQL
     from neo4j_document_pipeline_ray.extras.textstats import (
         FINGERPRINT_SQL,
         CURATION_FILTER_SQL,
         REPETITION_SQL,
+        UNIGRAM_LOGPROB_SQL,
         distinct_tokens_kmv_sql,
         salient_terms_sql,
         LANG_ID_SQL,
@@ -1554,6 +1578,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": win.events_sliding_window_sql(),
         "events_band_pairs": win.events_band_pairs_sql(),
         "events_asof_purchase": win.EVENTS_ASOF_PURCHASE_SQL,
+        "events_anomaly": win.events_anomaly_sql(),
+        "events_range_join": win.events_range_join_sql(),
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_token_pack": TOKEN_PACK_SQL,
         "docs_quality": QUALITY_SQL,
@@ -1568,6 +1594,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": REPETITION_SQL,
         "docs_salient_terms": salient_terms_sql(3),
         "docs_curation_filter": CURATION_FILTER_SQL,
+        "docs_scrub": scrub_blocklist_sql(),
+        "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
         # exact given the band recall guarantee (hamming <= 3 over 4

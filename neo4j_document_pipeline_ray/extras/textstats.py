@@ -1024,3 +1024,98 @@ def distinct_tokens_kmv_sql(k: int = 8) -> str:
                 END AS BIGINT) AS est_distinct
     FROM ranked
     """
+
+
+# --- corpus-LM document scoring (unigram log-probability) -------------------
+
+def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the classic cheap "does this doc look like the
+    corpus" quality score (a KenLM stand-in that needs no model
+    artifact).  ``avg_logprob = mean over token instances of
+    ln(count(token) / total_tokens)``.
+
+    Distributed shape: pass 1 is the :func:`top_tokens` two-phase hash
+    aggregate (the exchange carries per-batch vocabularies, not
+    tokens); the merged vocabulary is ``ray.put`` ONCE and pass 2 is a
+    zero-exchange ``map_batches`` — a doc is one input row, so its
+    whole score is computed locally with a hash-indexer lookup + one
+    ``np.bincount``.  Scale assumption (documented per the engine's
+    broadcast rule): the vocabulary must fit in a worker heap — at
+    open-web scale pre-prune with a min-df cut the way the salience
+    operator's docstring prescribes; the score of a pruned token is
+    then a smoothed floor, which this exact-parity version deliberately
+    omits.
+    """
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    vocab = hash_aggregate(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        "token", [("n", "sum", "n")],
+    ).to_pandas()  # small: one row per distinct token
+    total = float(vocab["n"].sum())
+    vocab_idx = pd.Index(vocab["token"])
+    lnp = np.log(vocab["n"].to_numpy(np.float64) / total)
+
+    import ray
+
+    ref = ray.put((vocab_idx, lnp))
+
+    def score(t: pa.Table) -> pa.Table:
+        v_idx, v_lnp = ray.get(ref)
+        n = t.num_rows
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
+        words = flat.filter(pa.array(keep)).to_pandas()
+        pos = v_idx.get_indexer(words)  # hash lookup, -1 impossible:
+        # pass 2 tokenizes identically to pass 1, so every token is in
+        # the vocabulary by construction
+        sums = np.bincount(idx, weights=v_lnp[pos], minlength=n)
+        cnts = np.bincount(idx, minlength=n).astype(np.int64)
+        has = cnts > 0
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(has)),
+            "n_tokens": pa.array(cnts[has], pa.int64()),
+            "avg_logprob": pa.array(sums[has] / cnts[has], pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+), t2 AS (
+    SELECT doc_id, token FROM toks WHERE token <> ''
+), vocab AS (
+    SELECT token, count(*) AS c FROM t2 GROUP BY token
+), tot AS (
+    SELECT CAST(sum(c) AS DOUBLE) AS total FROM vocab
+)
+SELECT t2.doc_id,
+       count(*) AS n_tokens,
+       avg(ln(CAST(v.c AS DOUBLE) / tot.total)) AS avg_logprob
+FROM t2 JOIN vocab v USING (token), tot
+GROUP BY t2.doc_id
+"""

@@ -341,3 +341,181 @@ SELECT event_id, user_id, event_type,
        CAST(coalesce(since, -1) AS BIGINT) AS us_since_purchase
 FROM w
 """
+
+
+# --- hourly anomaly detection (z-score per type) -----------------------------
+
+def q_events_anomaly(sf_dir: str, z_thresh: float = 2.0) -> "ray.data.Dataset":
+    """Hours whose per-type event count is anomalous: |z| > ``z_thresh``
+    against that type's own mean/population-std over its OBSERVED hours
+    (an hour with zero events of a type contributes nothing — the
+    operator audits traffic that happened, it does not impute gaps).
+
+    Scale shape: one two-phase hash aggregate to (type, hour) counts
+    (the exchange carries per-batch partials), one tiny per-type
+    moments aggregate (rows = #types), broadcast back through
+    ``broadcast_join``'s size gate, then a vectorized z + filter per
+    batch.  No sort, no driver loop.
+    """
+    hour_us = 3600 * _US
+    ev = _read_events(sf_dir, ["ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        hr = pc.multiply(
+            pc.cast(pc.floor(pc.divide(epoch, hour_us)), pa.int64()),
+            hour_us)
+        return pa.table({"event_type": t["event_type"], "hour_start_us": hr})
+
+    from neo4j_document_pipeline_ray.stages.grouped import broadcast_join
+
+    counts = hash_aggregate(
+        ev.map_batches(bucket, batch_format="pyarrow"),
+        ["event_type", "hour_start_us"], [(None, "count", "n")],
+    )
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        return t.append_column("n2", pc.multiply(t["n"], t["n"]))
+
+    stats = hash_aggregate(
+        counts.map_batches(add_sq, batch_format="pyarrow"),
+        "event_type",
+        [("n", "sum", "s"), ("n2", "sum", "s2"), (None, "count", "h")],
+    )
+
+    joined = broadcast_join(counts, stats, on=("event_type",))
+
+    def zfilter(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s2 = t["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = s / h
+        var = np.maximum(s2 / h - mu * mu, 0.0)
+        sd = np.sqrt(var)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (n - mu) / sd, 0.0)
+        keep = (sd > 0) & (np.abs(z) > z_thresh)
+        out = t.select(["event_type", "hour_start_us", "n"]).filter(
+            pa.array(keep))
+        return out.append_column("z", pa.array(z[keep], pa.float64()))
+
+    return joined.map_batches(zfilter, batch_format="pyarrow")
+
+
+def events_anomaly_sql(z_thresh: float = 2.0) -> str:
+    hour_us = 3600 * _US
+    return f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / {hour_us}) AS BIGINT) * {hour_us}
+           AS hour_start_us,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         avg(CAST(n AS DOUBLE)) AS mu,
+         stddev_pop(CAST(n AS DOUBLE)) AS sd
+  FROM c GROUP BY 1
+)
+SELECT c.event_type, c.hour_start_us, CAST(c.n AS BIGINT) AS n,
+       (CAST(c.n AS DOUBLE) - s.mu) / s.sd AS z
+FROM c JOIN s USING (event_type)
+WHERE s.sd > 0
+  AND abs((CAST(c.n AS DOUBLE) - s.mu) / s.sd) > {z_thresh}
+"""
+
+
+# --- windowed range-join aggregate -------------------------------------------
+
+def q_events_range_join(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
+    """For every ``purchase``: how many of the same user's ``click``
+    events landed in the preceding ``window_s`` seconds (inclusive at
+    the far edge, strictly before the purchase), plus their value sum —
+    the attribution-window special case of a keyed range join, which
+    the as-of join (most recent ONE match) cannot express.
+
+    Scale shape: one hash exchange on ``user_id``, then a per-partition
+    composite-key ``searchsorted`` against the clicks' prefix sums —
+    zero Python per row, O(n log n) per partition.  Same exactly-once
+    partitioning assumption as the other keyed temporal operators: a
+    user's events fit one partition group.  Composite-key headroom:
+    ``user_ordinal * span`` must fit int64 — with span = time-range +
+    window (~years in us) that allows ~1e5 users per PARTITION GROUP
+    (not per corpus); a denser corpus lowers ``num_partitions`` head-on
+    or sub-buckets time like the band join.
+    """
+    win_us = window_s * _US
+    ev = _read_events(
+        sf_dir, ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "click"]))
+        t = t.filter(keep)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "is_purchase": pc.equal(t["event_type"], "purchase"),
+            "epoch_us": pc.cast(t["ts"], pa.int64()),
+            "value_milli": pa.array(
+                _value_milli_np(
+                    t["value"].combine_chunks().to_numpy(
+                        zero_copy_only=False)), pa.int64()),
+        })
+
+    def rjoin(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "n_clicks": pd.Series([], dtype="int64"),
+            "sum_click_value_milli": pd.Series([], dtype="int64"),
+        })
+        if not len(df):
+            return empty
+        df = df.sort_values(["user_id", "epoch_us"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        t = df["epoch_us"].to_numpy()
+        g = pd.factorize(pd.Series(uid), sort=False)[0].astype(np.int64)
+        rel = t - t.min()
+        span = int(rel.max()) + win_us + 2
+        key = g * span + rel  # user blocks can never overlap: a
+        # purchase's window floor (key - win_us) stays inside its block
+        is_p = df["is_purchase"].to_numpy()
+        ckey = key[~is_p]
+        cval = df["value_milli"].to_numpy()[~is_p]
+        csum = np.r_[0, np.cumsum(cval)]
+        pkey = key[is_p]
+        lo = np.searchsorted(ckey, pkey - win_us, side="left")
+        hi = np.searchsorted(ckey, pkey, side="left")  # strictly before
+        if not is_p.any():
+            return empty
+        return pd.DataFrame({
+            "event_id": pd.Series(
+                df["event_id"].to_numpy()[is_p], dtype="int64"),
+            "user_id": pd.Series(uid[is_p], dtype="int64"),
+            "n_clicks": pd.Series(hi - lo, dtype="int64"),
+            "sum_click_value_milli": pd.Series(
+                csum[hi] - csum[lo], dtype="int64"),
+        })
+
+    slimmed = ev.map_batches(slim, batch_format="pyarrow")
+    return partitioned_group_map(slimmed, "user_id", rjoin,
+                                 num_partitions=16)
+
+
+def events_range_join_sql(window_s: int = 3600) -> str:
+    win_us = window_s * _US
+    return f"""
+SELECT p.event_id, p.user_id,
+       count(c.event_id) AS n_clicks,
+       CAST(coalesce(sum(CAST(round(c.value * 1000) AS BIGINT)), 0)
+            AS BIGINT) AS sum_click_value_milli
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts < p.ts
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= {win_us}
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""

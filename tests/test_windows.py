@@ -167,3 +167,119 @@ class TestAsof:
         assert (p["prior_purchase_id"] != p["event_id"]).all()
         matched = p[p["prior_purchase_id"] >= 0]
         assert (matched["us_since_purchase"] > 0).all()
+
+
+class TestAnomaly:
+    def test_matches_bruteforce(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_anomaly,
+        )
+
+        got = (
+            q_events_anomaly(SF, z_thresh=1.5).to_pandas()
+            .sort_values(["event_type", "hour_start_us"])
+            .reset_index(drop=True)
+        )
+
+        hour_us = 3600 * 1_000_000
+        df = events_df.copy()
+        df["hour_start_us"] = (df["epoch_us"] // hour_us) * hour_us
+        counts = (df.groupby(["event_type", "hour_start_us"])
+                  .size().rename("n").reset_index())
+        rows = []
+        for et, g in counts.groupby("event_type"):
+            n = g["n"].to_numpy(dtype=float)
+            mu, sd = n.mean(), n.std()  # population std
+            if sd <= 0:
+                continue
+            z = (n - mu) / sd
+            keep = np.abs(z) > 1.5
+            for hr, cnt, zz in zip(
+                    g["hour_start_us"].to_numpy()[keep],
+                    n[keep].astype(int), z[keep]):
+                rows.append((et, int(hr), int(cnt), zz))
+        want = pd.DataFrame(rows, columns=[
+            "event_type", "hour_start_us", "n", "z",
+        ]).sort_values(["event_type", "hour_start_us"]).reset_index(drop=True)
+        assert len(got) == len(want) and len(got) > 0
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=False, atol=1e-9)
+
+    def test_uniform_counts_yield_nothing(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_anomaly,
+        )
+
+        # 3 hours x exactly 2 events each: sd == 0 -> no anomalies
+        base = 1_600_000_000_000_000
+        ts = [base + h * 3600_000_000 + i for h in range(3) for i in (0, 1)]
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(6), pa.int64()),
+            "user_id": pa.array([1] * 6, pa.int64()),
+            "event_type": pa.array(["click"] * 6, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array([1.0] * 6, pa.float64()),
+        }), tmp_path / "events.parquet")
+        assert q_events_anomaly(str(tmp_path)).count() == 0
+
+
+class TestRangeJoin:
+    def test_matches_bruteforce(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            _value_milli_np,
+            q_events_range_join,
+        )
+
+        win_us = 3600 * 1_000_000
+        got = (
+            q_events_range_join(SF, window_s=3600).to_pandas()
+            .set_index("event_id").sort_index()
+        )
+        purchases = events_df[events_df["event_type"] == "purchase"]
+        clicks = events_df[events_df["event_type"] == "click"].copy()
+        clicks["vm"] = _value_milli_np(clicks["value"].to_numpy())
+        assert len(got) == len(purchases)
+        for _, p in purchases.iterrows():
+            m = clicks[
+                (clicks["user_id"] == p["user_id"])
+                & (clicks["epoch_us"] < p["epoch_us"])
+                & (p["epoch_us"] - clicks["epoch_us"] <= win_us)
+            ]
+            r = got.loc[p["event_id"]]
+            assert r["n_clicks"] == len(m)
+            assert r["sum_click_value_milli"] == int(m["vm"].sum())
+
+    def test_window_edges(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_range_join,
+        )
+
+        base = 1_600_000_000_000_000
+        win = 10 * 1_000_000  # 10 s
+        # clicks at -win-1 (out), -win (in, inclusive far edge),
+        # -1 (in), 0 (out: strictly before), and another user's click
+        rows = [
+            (1, 10, "click", base - win - 1, 1.0),
+            (2, 10, "click", base - win, 2.0),
+            (3, 10, "click", base - 1, 4.0),
+            (4, 10, "click", base, 8.0),
+            (5, 99, "click", base - 1, 16.0),
+            (6, 10, "purchase", base, 0.0),
+        ]
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }), tmp_path / "events.parquet")
+        out = q_events_range_join(str(tmp_path), window_s=10).take_all()
+        assert len(out) == 1
+        assert out[0]["n_clicks"] == 2
+        assert out[0]["sum_click_value_milli"] == 6000
