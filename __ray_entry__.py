@@ -745,6 +745,18 @@ def _q_kg_integrity(sf_dir: str):
         batch_format="pyarrow")
 
 
+_KCORE_K = 12
+
+
+def _q_kg_kcore(sf_dir: str):
+    """k-core decomposition of the KG (Neo4j GDS kcore analog):
+    surviving nodes of iterative peeling at k=_KCORE_K with their
+    in-core degree (pipelines/graph_algo.py:kcore)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import kcore
+
+    return kcore(_kg(sf_dir)["edges"], k=_KCORE_K)
+
+
 def _q_kg_schema_report(sf_dir: str):
     """Graph-schema report (src label, rel type, dst label, edge
     count) - the reference's schema-visualization endpoint
@@ -1011,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccur_topk": _q_kg_cooccur_topk,
         "kg_link_pred_topk": _q_kg_link_pred_topk,
         "kg_components": _q_kg_components,
+        "kg_kcore": _q_kg_kcore,
         "kg_schema_report": _q_kg_schema_report,
         "kg_integrity": _q_kg_integrity,
         "kg_export_neo4j": _q_kg_export_neo4j,
@@ -1418,6 +1431,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS entity_id, min(r) AS component
             FROM reach GROUP BY id
+        """,
+        # k-core by recursive peeling: each iteration recomputes the
+        # surviving set from the previous round's working table (DuckDB
+        # permits the multi-reference), emitting rows only while the
+        # set strictly shrinks; the final peel applied OUTSIDE the
+        # recursion returns the fixpoint set (or the empty core when
+        # the last candidate round peeled to nothing)
+        "kg_kcore": f"""
+            WITH RECURSIVE e0 AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+                FROM read_parquet('{_TRUTH_001}')
+            ), ee AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e0 WHERE s <> d
+            ), bo AS (
+                SELECT a AS node, b AS peer FROM ee
+                UNION ALL SELECT b, a FROM ee
+            ), keep(round, node, cnt) AS (
+                SELECT 0, node, CAST(count(*) OVER () AS BIGINT) FROM (
+                    SELECT node FROM bo
+                    GROUP BY node HAVING count(*) >= {_KCORE_K}
+                )
+                UNION ALL
+                SELECT round, node, csize FROM (
+                    SELECT round, node, prev_cnt,
+                           CAST(count(*) OVER () AS BIGINT) AS csize
+                    FROM (
+                        SELECT min(k1.round) + 1 AS round, b.node AS node,
+                               min(k1.cnt) AS prev_cnt
+                        FROM bo b
+                        JOIN keep k1 ON b.node = k1.node
+                        JOIN keep k2 ON b.peer = k2.node
+                        GROUP BY b.node
+                        HAVING count(*) >= {_KCORE_K}
+                    ) s
+                ) s2 WHERE csize < prev_cnt
+            ), fin AS (
+                SELECT node FROM keep
+                WHERE round = (SELECT max(round) FROM keep)
+            )
+            SELECT b.node AS entity_id, CAST(count(*) AS BIGINT) AS deg
+            FROM bo b
+            JOIN fin f1 ON b.node = f1.node
+            JOIN fin f2 ON b.peer = f2.node
+            GROUP BY b.node HAVING count(*) >= {_KCORE_K}
         """,
         "kg_export_neo4j": f"""
             WITH m AS (

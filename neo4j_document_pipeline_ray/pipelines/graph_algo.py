@@ -535,6 +535,120 @@ def cooccurrence_reference(mention_pairs, n_docs: int = None,
 
 # --- link prediction (common neighbors) -------------------------------------
 
+def kcore(
+    edges: "ray.data.Dataset",
+    k: int = 3,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    max_rounds: int = 64,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """``(entity_id, deg)`` for every node of the graph's k-core — the
+    maximal subgraph where every node keeps degree >= ``k`` (Neo4j GDS
+    ``kcore`` analog; the reference delegates all graph analytics to
+    Neo4j, ``main.py:600-726``).  ``deg`` is the node's degree INSIDE
+    the core.  Graph semantics match the other analytics here:
+    undirected, distinct pairs, self-loops dropped.
+
+    Iterative peeling as a bounded driver loop (the
+    :func:`pagerank` / ``connected_components`` template): each round
+    is ONE E-sized hash aggregate (degrees of the surviving subgraph)
+    plus a membership filter of the edge list against the surviving
+    node set — node-sided (O(V)) and riding :func:`broadcast_join`'s
+    size gate, so it broadcasts when it fits and falls back to a hash
+    semi-join when it doesn't.  The edge list only ever shrinks.  Exit
+    is the count fixpoint: surviving sets only shrink, so equal counts
+    of consecutive rounds imply equal sets.  Every non-final round
+    removes at least one node, so ``max_rounds`` caps pathological
+    peel chains (a long path peels one layer per round); hitting the
+    cap logs a warning and returns the (conservative, superset)
+    current round.
+    """
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "peer": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    cur = e.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    empty = pa.table({"entity_id": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64())})
+    prev_n = None
+    alive = None
+    for round_no in range(max_rounds):
+        deg = hash_aggregate(
+            cur, "node", [(None, "count", "deg")],
+            num_partitions=num_partitions,
+        )
+        alive = deg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["deg"], k)),
+            batch_format="pyarrow",
+        ).materialize()
+        n = alive.count()
+        if n == 0:
+            return ray.data.from_arrow(empty)
+        if n == prev_n:
+            # fixpoint: alive's degrees were computed within the
+            # previous (== this) surviving set — they ARE core degrees
+            break
+        prev_n = n
+        members = alive.select_columns(["node"])
+        # semi-join both endpoints against the surviving set (right
+        # side is key-only and unique, so inner join == semi-join)
+        cur = broadcast_join(cur, members, on=("node",),
+                             num_partitions=num_partitions)
+        cur = broadcast_join(cur, members.map_batches(
+            lambda t: t.rename_columns(["peer"]), batch_format="pyarrow"),
+            on=("peer",), num_partitions=num_partitions).materialize()
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "kcore: max_rounds=%d hit before fixpoint; returning the "
+            "current (superset) round", max_rounds)
+
+    return alive.map_batches(
+        lambda t: pa.table({"entity_id": t["node"], "deg": t["deg"]}),
+        batch_format="pyarrow",
+    )
+
+
+def kcore_reference(edge_pairs, k: int = 3) -> dict:
+    """Pure-Python peeling replay (test oracle): dict node -> core deg."""
+    adj: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        doomed = {v for v in alive if len(adj[v] & alive) < k}
+        if not doomed:
+            break
+        alive -= doomed
+    return {v: len(adj[v] & alive) for v in alive}
+
+
 def link_prediction_topk(
     edges: "ray.data.Dataset",
     k: int = 20,

@@ -222,3 +222,44 @@ class TestLinkPrediction:
         assert len(rows) == 1
         # (1,3) and (2,4) tie at 2; tie-break = smaller entity_a
         assert (rows[0]["entity_a"], rows[0]["entity_b"]) == (1, 3)
+
+
+class TestKCore:
+    def _run(self, pairs, k):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import kcore
+
+        rows = kcore(_edges_ds(pairs), k=k).take_all()
+        return {r["entity_id"]: r["deg"] for r in rows}
+
+    def test_matches_python_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            kcore_reference,
+        )
+
+        import random
+
+        rng = random.Random(11)
+        pairs = set()
+        while len(pairs) < 160:
+            a, b = rng.randrange(40), rng.randrange(40)
+            if a != b:
+                pairs.add((a, b))
+        pairs = sorted(pairs)
+        for k in (2, 3, 5, 8):
+            assert self._run(pairs, k) == kcore_reference(pairs, k)
+
+    def test_multi_round_peel_chain(self, ray_session):
+        # path 1-2-3-4-5 hanging off a triangle 5-6-7(-5): 2-core must
+        # peel the path ONE NODE PER ROUND (4 rounds) before reaching
+        # the triangle fixpoint — exercises the iterative loop depth
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 5)]
+        assert self._run(pairs, 2) == {5: 2, 6: 2, 7: 2}
+
+    def test_empty_core(self, ray_session):
+        # a tree has no 2-core
+        pairs = [(1, 2), (1, 3), (2, 4), (2, 5)]
+        assert self._run(pairs, 2) == {}
+
+    def test_self_loops_and_duplicates_ignored(self, ray_session):
+        pairs = [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (3, 1)]
+        assert self._run(pairs, 2) == {1: 2, 2: 2, 3: 2}
