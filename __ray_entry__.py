@@ -978,7 +978,10 @@ def _q_mm_frames(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_document_pipeline_ray.extras.decontam import docs_decontaminate
-    from neo4j_document_pipeline_ray.extras.dedup import exact_dedup_sf
+    from neo4j_document_pipeline_ray.extras.dedup import (
+        exact_dedup_sf,
+        segment_dedup_sf,
+    )
     from neo4j_document_pipeline_ray.extras.sampling import (
         docs_domain_budget,
         docs_stratified_sample,
@@ -1055,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": docs_decontaminate,
         "docs_distinct_kmv": distinct_tokens_kmv,
         "docs_exact_dedup": exact_dedup_sf,
+        "docs_segment_dedup": segment_dedup_sf,
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprints,
         "docs_repetition": _q_docs_repetition,
@@ -1263,6 +1267,7 @@ def _pagerank_sql(nsub: str, nobj: str, iters: int = 3) -> str:
 def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.dedup import (
         EXACT_DEDUP_SQL,
+        SEGMENT_DEDUP_SQL,
         MINHASH_COMPONENTS_SQL,
         MINHASH_PAIRS_SQL,
         NEAR_DEDUP_KEEP_SQL,
@@ -1655,6 +1660,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_scrub": scrub_blocklist_sql(),
         "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,
+        "docs_segment_dedup": SEGMENT_DEDUP_SQL,
         "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
         # exact given the band recall guarantee (hamming <= 3 over 4
         # bands => one band equal by pigeonhole); the SQL mirrors the

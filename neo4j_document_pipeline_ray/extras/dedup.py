@@ -952,3 +952,165 @@ JOIN sizes sa ON sa.doc_id = inter.a
 JOIN sizes sb ON sb.doc_id = inter.b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
 """
+
+
+# --- segment-level (line) dedup -------------------------------------------
+
+_SEG_WINDOW = 3      # tokens per segment
+_SEG_MIN_DOCS = 5    # segment appearing in >= this many docs = boilerplate
+
+
+def _doc_segments(t: pa.Table, window: int):
+    """Vectorized segmentation of a batch: lowercase tokens split on
+    whitespace, grouped into consecutive non-overlapping ``window``-token
+    segments (the last, possibly short, segment included).  Returns a
+    pandas frame (doc row index, seg index, seg_text, seg_toks); docs
+    with no tokens contribute nothing.
+    """
+    import pandas as pd
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)[keep]
+    # position within doc, then the segment index it falls into
+    offsets = np.zeros(t.num_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    pos = np.arange(int(offsets[-1]), dtype=np.int64) - np.repeat(
+        offsets[:-1], lens)
+    seg = pos[keep] // window
+    words = flat.filter(pa.array(keep)).to_pandas()
+    df = pd.DataFrame({"doc": doc_idx, "seg": seg, "tok": words})
+    segs = df.groupby(["doc", "seg"], sort=True).agg(
+        seg_text=("tok", " ".join), seg_toks=("tok", "size"))
+    return segs.reset_index()
+
+
+def segment_dedup(
+    docs: "ray.data.Dataset",
+    window: int = _SEG_WINDOW,
+    min_docs: int = _SEG_MIN_DOCS,
+) -> "ray.data.Dataset":
+    """CCNet-style duplicated-segment removal over ``(doc_id, text)``:
+    a SEGMENT (``window`` consecutive lowercased whitespace tokens,
+    non-overlapping) occurring in >= ``min_docs`` DISTINCT documents is
+    boilerplate (headers, footers, navigation chrome) and is dropped
+    from every document carrying it.  Real web text would segment on
+    newlines/sentences; the synthetic corpus has neither, so the window
+    segmentation IS the operator's segmenter, parameterized.
+
+    Returns per-doc ``(doc_id, n_segments, n_removed, n_tokens_kept)``
+    — the removal report a curation pipeline audits before committing
+    the cleaned text.
+
+    Scale shape: two passes over the corpus.  Pass 1 exchanges
+    per-batch (segment -> distinct-doc partial count) vocabularies
+    (a doc lives wholly in one row, so within-doc dedup is local and
+    the partials sum to distinct-doc counts); the df table is then
+    FILTERED to df >= min_docs BEFORE leaving the cluster, so only the
+    small boilerplate set is broadcast (``ray.put`` once) into the
+    zero-exchange pass 2.  At open-web scale segments would ride a
+    128-bit hash instead of the string (same contract as the minhash
+    sketches above); the string keeps the DuckDB mirror exact here.
+    """
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        segs = _doc_segments(t, window)
+        per_doc = segs.drop_duplicates(["doc", "seg_text"])
+        vc = per_doc["seg_text"].value_counts()
+        return pa.table({
+            "seg_text": pa.array(vc.index, pa.string()),
+            "n": pa.array(vc.to_numpy(), pa.int64()),
+        })
+
+    df_tbl = hash_aggregate(
+        docs.map_batches(partial_df, batch_format="pyarrow"),
+        "seg_text", [("n", "sum", "n")],
+    )
+    boiler = df_tbl.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_docs))
+                   .select(["seg_text"]),
+        batch_format="pyarrow",
+    )
+    boiler_set = frozenset(
+        x["seg_text"] for x in boiler.take_all())  # small: df-filtered
+
+    import ray
+
+    ref = ray.put(boiler_set)
+
+    def report(t: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        segs = _doc_segments(t, window)
+        if not len(segs):
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_segments": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+                "n_tokens_kept": pa.array([], pa.int64()),
+            })
+        dup = segs["seg_text"].isin(bset).to_numpy()
+        toks = segs["seg_toks"].to_numpy()
+        n = t.num_rows
+        doc = segs["doc"].to_numpy()
+        n_segments = np.bincount(doc, minlength=n)
+        n_removed = np.bincount(doc, weights=dup, minlength=n)
+        kept_toks = np.bincount(doc, weights=np.where(dup, 0, toks),
+                                minlength=n)
+        has = n_segments > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[has]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_segments": pa.array(n_segments[has], pa.int64()),
+            "n_removed": pa.array(n_removed[has].astype(np.int64)),
+            "n_tokens_kept": pa.array(kept_toks[has].astype(np.int64)),
+        })
+
+    return docs.map_batches(report, batch_format="pyarrow")
+
+
+def segment_dedup_sf(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return segment_dedup(ds)
+
+
+def _segment_dedup_sql(window: int = _SEG_WINDOW,
+                       min_docs: int = _SEG_MIN_DOCS) -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+    FROM documents WHERE trim(text) <> ''
+), p AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM d
+), t AS (
+    SELECT doc_id, (pos - 1) // {window} AS seg, toks[pos] AS tok, pos
+    FROM p
+), segs AS (
+    SELECT doc_id, seg,
+           string_agg(tok, ' ' ORDER BY pos) AS seg_text,
+           count(*) AS seg_toks
+    FROM t GROUP BY doc_id, seg
+), df AS (
+    SELECT seg_text, count(DISTINCT doc_id) AS df
+    FROM segs GROUP BY seg_text
+), j AS (
+    SELECT s.doc_id, s.seg_toks, (f.df >= {min_docs}) AS dup
+    FROM segs s JOIN df f USING (seg_text)
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN dup THEN 0 ELSE seg_toks END) AS BIGINT)
+           AS n_tokens_kept
+FROM j GROUP BY doc_id
+"""
+
+
+SEGMENT_DEDUP_SQL = _segment_dedup_sql()

@@ -824,3 +824,49 @@ class TestMultiQueryANN:
             assert by_q[int(qid)] == single
             # the query vector itself is its own best match
             assert by_q[int(qid)][0][0] == int(qid)
+
+
+class TestSegmentDedup:
+    def _run(self, texts, **kw):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.dedup import segment_dedup
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        return {r["doc_id"]: (r["n_segments"], r["n_removed"],
+                              r["n_tokens_kept"])
+                for r in segment_dedup(ds, **kw).take_all()}
+
+    def test_boilerplate_removed_everywhere(self, ray_session):
+        # "c1 c2 c3" opens 5 docs -> boilerplate at min_docs=5; the
+        # 6th doc has only unique segments
+        texts = [f"c1 c2 c3 u{i}a u{i}b u{i}c" for i in range(5)]
+        texts.append("z1 z2 z3 z4 z5 z6")
+        got = self._run(texts, window=3, min_docs=5)
+        for i in range(5):
+            assert got[i] == (2, 1, 3)  # 2 segments, 1 removed, 3 kept
+        assert got[5] == (2, 0, 6)
+
+    def test_within_doc_repeat_counts_once_for_df(self, ray_session):
+        # one doc repeating a segment 10 times is NOT boilerplate:
+        # df counts DISTINCT docs
+        texts = ["r1 r2 r3 " * 10 + "tail1 tail2 tail3"]
+        got = self._run(texts, window=3, min_docs=2)
+        assert got[0] == (11, 0, 33)
+
+    def test_short_tail_segment_and_empty_doc(self, ray_session):
+        texts = ["a b c d e", "   ", ""]
+        got = self._run(texts, window=3, min_docs=2)
+        # 5 tokens -> segments "a b c" + "d e"; empty docs emit nothing
+        assert got == {0: (2, 0, 5)}
+
+    def test_threshold_boundary(self, ray_session):
+        # segment in exactly min_docs-1 docs survives
+        texts = [f"k1 k2 k3 u{i}x u{i}y u{i}z" for i in range(4)]
+        got = self._run(texts, window=3, min_docs=5)
+        assert all(v == (2, 0, 6) for v in got.values())
