@@ -978,6 +978,7 @@ def _q_mm_frames(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_document_pipeline_ray.extras.decontam import docs_decontaminate
+    from neo4j_document_pipeline_ray.extras.importance import docs_importance
     from neo4j_document_pipeline_ray.extras.dedup import (
         exact_dedup_sf,
         segment_dedup_sf,
@@ -985,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_document_pipeline_ray.extras.sampling import (
         docs_domain_budget,
         docs_stratified_sample,
+        docs_weighted_sample,
     )
     from neo4j_document_pipeline_ray.extras.textstats import (
         distinct_tokens_kmv,
@@ -1054,11 +1056,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": top_tokens,
         "docs_length_quantiles": length_quantiles,
         "docs_stratified_sample": docs_stratified_sample,
+        "docs_weighted_sample": docs_weighted_sample,
         "docs_domain_budget": docs_domain_budget,
         "docs_decontaminate": docs_decontaminate,
         "docs_distinct_kmv": distinct_tokens_kmv,
         "docs_exact_dedup": exact_dedup_sf,
         "docs_segment_dedup": segment_dedup_sf,
+        "docs_importance": docs_importance,
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprints,
         "docs_repetition": _q_docs_repetition,
@@ -1279,6 +1283,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from neo4j_document_pipeline_ray.extras.sampling import (
         docs_domain_budget_sql,
+        docs_weighted_sample_sql,
         docs_stratified_sample_sql,
     )
     from neo4j_document_pipeline_ray.extras.redact import scrub_blocklist_sql
@@ -1296,6 +1301,9 @@ def oracle_sql() -> dict[str, str]:
         TOKEN_PACK_SQL,
         length_quantiles_sql,
         top_tokens_sql,
+    )
+    from neo4j_document_pipeline_ray.extras.importance import (
+        DOCS_IMPORTANCE_SQL,
     )
     from neo4j_document_pipeline_ray.functions.chunking import chunks_sql
     from neo4j_document_pipeline_ray.pipelines import relational as rel
@@ -1650,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_quantiles": length_quantiles_sql(),
         "docs_stratified_sample": docs_stratified_sample_sql(),
         "docs_domain_budget": docs_domain_budget_sql(),
+        "docs_weighted_sample": docs_weighted_sample_sql(),
         "docs_decontaminate": docs_decontaminate_sql(),
         "docs_distinct_kmv": distinct_tokens_kmv_sql(),
         "docs_lang_id": LANG_ID_SQL,
@@ -1661,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_segment_dedup": SEGMENT_DEDUP_SQL,
+        "docs_importance": DOCS_IMPORTANCE_SQL,
         "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
         # exact given the band recall guarantee (hamming <= 3 over 4
         # bands => one band equal by pigeonhole); the SQL mirrors the

@@ -24,6 +24,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -150,4 +151,70 @@ SELECT doc_id, source, n_chars, cum_weight FROM (
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     )
 ) WHERE before < {budget}
+"""
+
+
+def weighted_sample_topk(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+) -> "ray.data.Dataset":
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): every row gets priority
+    ``-ln(u)/w`` with ``u`` a pure hash of its id mapped into (0,1),
+    and the k SMALLEST priorities win — exactly a weighted draw of k
+    rows without replacement, but reproducible across runs, engines
+    and cluster shapes because the randomness is a function of the
+    data alone (same contract as :func:`sample_key`).
+
+    Scale shape: priority is a one-pass ``map_batches``; each batch
+    pre-shrinks to its local k smallest before the global
+    ``sort().limit(k)``, so the exchange carries O(k x n_blocks) rows,
+    not the corpus.  Ties are broken by id (and are measure-zero
+    anyway).
+    """
+
+    def prio(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = w > 0
+        u = (sample_key(ids).astype(np.float64) + 1.0) / 4294967297.0
+        pr = -np.log(u) / np.where(keep, w, 1.0)
+        out = pa.table({
+            id_col: t[id_col],
+            weight_col: t[weight_col],
+            "priority": pa.array(pr, pa.float64()),
+        }).filter(pa.array(keep))
+        if out.num_rows > k:
+            order = np.lexsort((
+                out[id_col].to_numpy(zero_copy_only=False),
+                out["priority"].to_numpy(),
+            ))[:k]
+            out = out.take(pa.array(np.sort(order)))
+        return out
+
+    return ds.map_batches(prio, batch_format="pyarrow") \
+             .sort(["priority", id_col]).limit(k)
+
+
+def docs_weighted_sample(sf_dir: str, k: int = 100) -> "ray.data.Dataset":
+    """Char-weighted doc sample: long docs proportionally more likely,
+    reading ONLY ``doc_id, n_chars`` — the text never leaves storage."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    return weighted_sample_topk(docs, "doc_id", "n_chars", k)
+
+
+def docs_weighted_sample_sql(k: int = 100) -> str:
+    return f"""
+SELECT doc_id, n_chars,
+       -ln((((doc_id * {_KNUTH}) % 4294967296) + 1) / 4294967297.0)
+           / CAST(n_chars AS DOUBLE) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority, doc_id
+LIMIT {k}
 """

@@ -870,3 +870,99 @@ class TestSegmentDedup:
         texts = [f"k1 k2 k3 u{i}x u{i}y u{i}z" for i in range(4)]
         got = self._run(texts, window=3, min_docs=5)
         assert all(v == (2, 0, 6) for v in got.values())
+
+
+class TestImportance:
+    def _docs(self, rows):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "is_target": pa.array([r[2] for r in rows], pa.bool_()),
+        }))
+
+    @staticmethod
+    def _reference(rows):
+        import math
+
+        from collections import Counter
+
+        c_s, c_t = Counter(), Counter()
+        for _, text, tgt in rows:
+            for tok in text.lower().split():
+                c_s[tok] += 1
+                if tgt:
+                    c_t[tok] += 1
+        v = len(c_s)
+        n_s, n_t = sum(c_s.values()), sum(c_t.values())
+        out = {}
+        for did, text, _ in rows:
+            toks = text.lower().split()
+            if not toks:
+                continue
+            s = sum(math.log((c_t[w] + 1) / (n_t + v))
+                    - math.log((c_s[w] + 1) / (n_s + v)) for w in toks)
+            out[did] = s / len(toks)
+        return out
+
+    def test_matches_python_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.importance import (
+            dsir_importance,
+        )
+
+        rows = [
+            (1, "alpha beta alpha", True),
+            (2, "alpha beta gamma", True),
+            (3, "delta delta epsilon", False),
+            (4, "alpha delta", False),
+            (5, "", False),
+        ]
+        got = {r["doc_id"]: r["importance"]
+               for r in dsir_importance(self._docs(rows)).take_all()}
+        want = self._reference(rows)
+        assert set(got) == set(want)  # empty doc excluded
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9
+        # target-looking docs rank above source-only docs
+        assert got[1] > got[3] and got[2] > got[3]
+
+
+class TestWeightedSample:
+    def test_matches_exact_replay_and_is_deterministic(self, ray_session):
+        import math
+
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.sampling import (
+            weighted_sample_topk,
+        )
+
+        ids = list(range(1, 201))
+        w = [(i % 7) for i in ids]  # includes zero weights (i%7==0)
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(w, pa.int64()),
+        }))
+
+        def replay(k):
+            pr = []
+            for i, wi in zip(ids, w):
+                if wi <= 0:
+                    continue
+                u = ((i * 2654435761) % 4294967296 + 1) / 4294967297.0
+                pr.append((-math.log(u) / wi, i))
+            return [i for _, i in sorted(pr)[:k]]
+
+        got = [r["doc_id"] for r in
+               weighted_sample_topk(ds, "doc_id", "n_chars", k=25).take_all()]
+        assert got == replay(25)
+        # zero-weight rows can never be drawn
+        assert all(g % 7 != 0 for g in got)
+        got2 = [r["doc_id"] for r in
+                weighted_sample_topk(ds, "doc_id", "n_chars", k=25).take_all()]
+        assert got2 == got
