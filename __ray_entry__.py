@@ -990,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from neo4j_document_pipeline_ray.extras.textstats import (
         distinct_tokens_kmv,
+        docs_ppl_bucket,
         length_quantiles,
         quality_stats,
         token_count,
@@ -1069,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_salient_terms": _q_docs_salient_terms,
         "docs_curation_filter": _q_docs_curation_filter,
         "docs_scrub": _q_docs_scrub,
+        "docs_ppl_bucket": docs_ppl_bucket,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_ngram_jaccard": _q_ngram_jaccard,
         "docs_minhash_pairs": _q_minhash_pairs,
@@ -1292,6 +1294,7 @@ def oracle_sql() -> dict[str, str]:
         FINGERPRINT_SQL,
         CURATION_FILTER_SQL,
         REPETITION_SQL,
+        PPL_BUCKET_SQL,
         UNIGRAM_LOGPROB_SQL,
         distinct_tokens_kmv_sql,
         salient_terms_sql,
@@ -1668,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_curation_filter": CURATION_FILTER_SQL,
         "docs_scrub": scrub_blocklist_sql(),
         "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+        "docs_ppl_bucket": PPL_BUCKET_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_segment_dedup": SEGMENT_DEDUP_SQL,
         "docs_importance": DOCS_IMPORTANCE_SQL,

@@ -1119,3 +1119,142 @@ SELECT t2.doc_id,
 FROM t2 JOIN vocab v USING (token), tot
 GROUP BY t2.doc_id
 """
+
+
+# --- CCNet-style quality buckets -------------------------------------------
+
+_FAM_SCALE = 10**6
+
+
+def familiarity_bucket(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """CCNet-style head/middle/tail corpus bucketing (Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" — there by KenLM perplexity terciles; here by an
+    INTEGER-EXACT familiarity surrogate so the distributed run is
+    hash-checkable): ``fam = (sum of corpus-wide counts of the doc's
+    tokens) * 1e6 // n_tokens`` — mean token frequency, the monotone
+    cheap stand-in for negative perplexity.  Docs are split at the
+    EXACT 1/3 and 2/3 ``quantile_disc`` thresholds of ``fam``:
+    ``fam > t_2/3`` = head (most familiar), ``> t_1/3`` = middle,
+    else tail.
+
+    Scale shape: one vocabulary exchange (the
+    :func:`unigram_logprob` template), a zero-exchange integer scoring
+    pass, the engine's exact-quantile histogram (cardinality <=
+    distinct fam values; at open-web scale swap in a sampled or
+    sketched quantile, documented trade), then a zero-exchange
+    labeling pass with the two thresholds closed over.  Ties AT a
+    threshold all land on the same side in every engine because the
+    comparison is integer.
+    """
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    vocab = hash_aggregate(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        "token", [("n", "sum", "n")],
+    ).to_pandas()
+    vocab_idx = pd.Index(vocab["token"])
+    counts = vocab["n"].to_numpy(np.int64)
+
+    import ray
+
+    ref = ray.put((vocab_idx, counts))
+
+    def fam(t: pa.Table) -> pa.Table:
+        v_idx, v_n = ray.get(ref)
+        n = t.num_rows
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
+        words = flat.filter(pa.array(keep)).to_pandas()
+        pos = v_idx.get_indexer(words)
+        sums = np.bincount(idx, weights=v_n[pos].astype(np.float64),
+                           minlength=n).astype(np.int64)
+        cnts = np.bincount(idx, minlength=n).astype(np.int64)
+        has = cnts > 0
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(has)),
+            "n_tokens": pa.array(cnts[has], pa.int64()),
+            "fam": pa.array(sums[has] * _FAM_SCALE // cnts[has], pa.int64()),
+        })
+
+    fam_ds = docs.map_batches(fam, batch_format="pyarrow").materialize()
+
+    def partial_hist(t: pa.Table) -> pa.Table:
+        vc = t["fam"].combine_chunks().value_counts()
+        return pa.table({
+            "v": pc.cast(vc.field("values"), pa.int64()),
+            "c": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    hist = hash_aggregate(
+        fam_ds.map_batches(partial_hist, batch_format="pyarrow"),
+        "v", [("c", "sum", "c")],
+    ).sort("v").take_all()
+    vals = np.asarray([r["v"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(np.asarray([r["c"] for r in hist], dtype=np.int64))
+    n_docs = int(cum[-1]) if len(cum) else 0
+    if n_docs == 0:
+        return fam_ds.map_batches(
+            lambda t: t.append_column("bucket", pa.array([], pa.string())),
+            batch_format="pyarrow")
+    thresholds = []
+    for num, den in ((1, 3), (2, 3)):
+        kth = (num * n_docs + den - 1) // den  # ceil(q*n) exactly
+        thresholds.append(int(vals[int(np.searchsorted(cum, kth))]))
+    t1, t2 = thresholds
+
+    def label(t: pa.Table) -> pa.Table:
+        f = t["fam"].to_numpy(zero_copy_only=False)
+        b = np.where(f > t2, "head", np.where(f > t1, "middle", "tail"))
+        return t.append_column("bucket", pa.array(b, pa.string()))
+
+    return fam_ds.map_batches(label, batch_format="pyarrow")
+
+
+def docs_ppl_bucket(sf_dir: str) -> "ray.data.Dataset":
+    return familiarity_bucket(_read_documents(sf_dir, ["doc_id", "text"]))
+
+
+PPL_BUCKET_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+), t2 AS (
+    SELECT doc_id, token FROM toks WHERE token <> ''
+), vocab AS (
+    SELECT token, count(*) AS c FROM t2 GROUP BY token
+), fam AS (
+    SELECT t2.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(v.c) AS BIGINT) * {_FAM_SCALE} // count(*) AS fam
+    FROM t2 JOIN vocab v USING (token)
+    GROUP BY t2.doc_id
+), th AS (
+    SELECT quantile_disc(fam, 1::DOUBLE/3) AS t1,
+           quantile_disc(fam, 2::DOUBLE/3) AS t2
+    FROM fam
+)
+SELECT doc_id, n_tokens, fam,
+       CASE WHEN fam > th.t2 THEN 'head'
+            WHEN fam > th.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM fam, th
+"""

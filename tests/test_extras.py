@@ -966,3 +966,33 @@ class TestWeightedSample:
         got2 = [r["doc_id"] for r in
                 weighted_sample_topk(ds, "doc_id", "n_chars", k=25).take_all()]
         assert got2 == got
+
+
+class TestFamiliarityBucket:
+    def test_terciles_and_exact_scores(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            familiarity_bucket,
+        )
+
+        # "common" appears 6x corpus-wide, each u_i once -> doc fams
+        # separate cleanly into three groups of 2
+        texts = {
+            1: "common common", 2: "common common",          # fam high
+            3: "common u3", 4: "common u4",                  # fam mid
+            5: "u5a u5b", 6: "u6a u6b",                      # fam low
+        }
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }))
+        rows = {r["doc_id"]: r for r in familiarity_bucket(ds).take_all()}
+        assert rows[1]["fam"] == 6_000_000  # mean count 6
+        assert rows[3]["fam"] == 3_500_000  # (6+1)/2
+        assert rows[5]["fam"] == 1_000_000
+        assert rows[1]["bucket"] == rows[2]["bucket"] == "head"
+        assert rows[3]["bucket"] == rows[4]["bucket"] == "middle"
+        assert rows[5]["bucket"] == rows[6]["bucket"] == "tail"
