@@ -757,6 +757,66 @@ def _q_kg_kcore(sf_dir: str):
     return kcore(_kg(sf_dir)["edges"], k=_KCORE_K)
 
 
+def _q_kg_ppr(sf_dir: str):
+    """Personalized PageRank from the top-degree entity (3 rounds,
+    85/100 damping) — the relevance-to-a-seed ranking a GraphRAG
+    retrieval layer uses to order expansion (Neo4j GDS analog).
+    Integer arithmetic; mirrored by an unrolled DuckDB oracle."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        personalized_pagerank,
+    )
+
+    return personalized_pagerank(_kg(sf_dir)["edges"], iters=3)
+
+
+_LPA_ROUNDS = 4
+
+
+def _q_kg_communities(sf_dir: str):
+    """Synchronous label-propagation communities over the KG (Neo4j
+    GDS labelPropagation analog), fixed rounds, min-of-modal-label
+    tie-break (pipelines/graph_algo.py:label_prop_communities)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        label_prop_communities,
+    )
+
+    return label_prop_communities(_kg(sf_dir)["edges"], rounds=_LPA_ROUNDS)
+
+
+def _q_kg_sssp(sf_dir: str):
+    """BFS hop distances from the top-degree entity over the
+    undirected KG — the distance-decay input of a retrieval ranker
+    (reference's APOC BFS returns the neighborhood set only,
+    graphutil.py:547-632)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        bfs_distances,
+    )
+
+    return bfs_distances(_kg(sf_dir)["edges"])
+
+
+def _q_kg_node_similarity(sf_dir: str):
+    """Neighbor-set Jaccard top-20 (Neo4j GDS nodeSimilarity analog) —
+    the entity-conflation signal of a KG curation pass
+    (pipelines/graph_algo.py:node_similarity_topk)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        node_similarity_topk,
+    )
+
+    return node_similarity_topk(_kg(sf_dir)["edges"], k=20)
+
+
+def _q_kg_link_pred_ra_topk(sf_dir: str):
+    """Resource-allocation link prediction: top-20 non-adjacent pairs
+    by integer-scaled sum of 1/deg over common neighbors
+    (pipelines/graph_algo.py:link_prediction_ra_topk)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        link_prediction_ra_topk,
+    )
+
+    return link_prediction_ra_topk(_kg(sf_dir)["edges"], k=20)
+
+
 def _q_kg_schema_report(sf_dir: str):
     """Graph-schema report (src label, rel type, dst label, edge
     count) - the reference's schema-visualization endpoint
@@ -1028,8 +1088,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_cooccur_topk": _q_kg_cooccur_topk,
         "kg_link_pred_topk": _q_kg_link_pred_topk,
+        "kg_link_pred_ra_topk": _q_kg_link_pred_ra_topk,
+        "kg_node_similarity": _q_kg_node_similarity,
         "kg_components": _q_kg_components,
         "kg_kcore": _q_kg_kcore,
+        "kg_ppr": _q_kg_ppr,
+        "kg_communities": _q_kg_communities,
+        "kg_sssp": _q_kg_sssp,
         "kg_schema_report": _q_kg_schema_report,
         "kg_integrity": _q_kg_integrity,
         "kg_export_neo4j": _q_kg_export_neo4j,
@@ -1050,6 +1115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase": win.q_events_asof_purchase,
         "events_anomaly": win.q_events_anomaly,
         "events_range_join": win.q_events_range_join,
+        "events_funnel": win.q_events_funnel,
+        "events_transitions": win.q_events_transitions,
+        "events_retention": win.q_events_retention,
         # --- training-data curation extras ---
         "docs_token_count": token_count,
         "docs_token_pack": token_pack,
@@ -1270,6 +1338,171 @@ def _pagerank_sql(nsub: str, nobj: str, iters: int = 3) -> str:
             + f" SELECT id AS entity_id, r AS rank_scaled FROM i{iters}")
 
 
+def _ppr_sql(nsub: str, nobj: str, iters: int = 3) -> str:
+    """Unrolled integer personalized-PageRank mirror of
+    pipelines/graph_algo.py:personalized_pagerank — seed = argmax
+    total degree (tie min id) over the distinct directed pair set."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import PR_SCALE
+
+    num, den = 85, 100
+    base = (PR_SCALE * (den - num)) // den
+    ctes = [f"""
+        e AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), nodes AS (
+            SELECT s AS id FROM e UNION SELECT d FROM e
+        ), deg AS (
+            SELECT s, count(*) AS outdeg FROM e GROUP BY s
+        ), dg2 AS (
+            SELECT id, count(*) AS dg
+            FROM (SELECT s AS id FROM e UNION ALL SELECT d FROM e)
+            GROUP BY id
+        ), sd AS (
+            SELECT id FROM dg2 ORDER BY dg DESC, id LIMIT 1
+        ), i0 AS (
+            SELECT id, CAST(CASE WHEN id = (SELECT id FROM sd)
+                                 THEN {PR_SCALE} ELSE 0 END AS BIGINT) AS r
+            FROM nodes
+        )"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        i{k} AS (
+            SELECT n.id,
+                   CAST(CASE WHEN n.id = (SELECT id FROM sd)
+                             THEN {base} ELSE 0 END
+                        + ({num} * coalesce(si.s_in, 0)) // {den}
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.d AS id, sum(p.r // dg.outdeg) AS s_in
+                FROM e JOIN i{k-1} p ON e.s = p.id
+                       JOIN deg dg ON dg.s = e.s
+                GROUP BY e.d
+            ) si ON n.id = si.id
+        )""")
+    return ("WITH " + ",".join(ctes)
+            + f" SELECT id AS entity_id, r AS rank_scaled FROM i{iters}")
+
+
+def _undirected_sql(nsub: str, nobj: str) -> str:
+    """Shared CTE prelude: distinct undirected self-loop-free edge set
+    (``ee``) and its both-directions adjacency (``bo``) from the
+    ground-truth triples — the graph convention of kcore/triangles."""
+    return f"""
+        e0 AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), ee AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM e0 WHERE s <> d
+        ), bo AS (
+            SELECT a AS node, b AS peer FROM ee
+            UNION ALL SELECT b, a FROM ee
+        )"""
+
+
+def _lpa_sql(nsub: str, nobj: str, rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation mirror of
+    pipelines/graph_algo.py:label_prop_communities."""
+    ctes = [_undirected_sql(nsub, nobj) + """
+        , l0 AS (
+            SELECT DISTINCT node AS id, node AS lab FROM bo
+        )"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+        c{k} AS (
+            SELECT b.node, l.lab, count(*) AS n
+            FROM bo b JOIN l{k-1} l ON b.peer = l.id
+            GROUP BY 1, 2
+        ), l{k} AS (
+            SELECT node AS id, min(lab) AS lab
+            FROM (SELECT node, lab, n,
+                         max(n) OVER (PARTITION BY node) AS mx
+                  FROM c{k})
+            WHERE n = mx GROUP BY node
+        )""")
+    return ("WITH " + ",".join(ctes)
+            + f" SELECT id AS entity_id, lab AS community FROM l{rounds}")
+
+
+def _sssp_sql(nsub: str, nobj: str, max_rounds: int = 32) -> str:
+    """Recursive-CTE BFS mirror of pipelines/graph_algo.py:
+    bfs_distances — min hop distance from the top-degree node."""
+    return f"""
+        WITH RECURSIVE {_undirected_sql(nsub, nobj)},
+        dg AS (
+            SELECT node, count(*) AS dg FROM bo GROUP BY node
+        ), sd AS (
+            SELECT node FROM dg ORDER BY dg DESC, node LIMIT 1
+        ), p(node, d) AS (
+            SELECT node, 0 FROM sd
+            UNION
+            SELECT b.peer, p.d + 1
+            FROM p JOIN bo b ON b.node = p.node
+            WHERE p.d < {max_rounds}
+        )
+        SELECT node AS entity_id, CAST(min(d) AS BIGINT) AS dist
+        FROM p GROUP BY node
+    """
+
+
+def _link_pred_ra_sql(nsub: str, nobj: str, k: int = 20) -> str:
+    """Exact SQL mirror of pipelines/graph_algo.py:
+    link_prediction_ra_topk (integer-scaled resource allocation)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import RA_SCALE
+
+    return f"""
+        WITH {_undirected_sql(nsub, nobj)},
+        deg AS (
+            SELECT node, count(*) AS dg FROM bo GROUP BY node
+        ), w AS (
+            SELECT x.peer AS a, y.peer AS b, {RA_SCALE} // d.dg AS ra
+            FROM bo x JOIN bo y ON x.node = y.node AND x.peer < y.peer
+            JOIN deg d ON d.node = x.node
+        ), cn AS (
+            SELECT a, b,
+                   CAST(count(*) AS BIGINT) AS common_neighbors,
+                   CAST(sum(ra) AS BIGINT) AS ra_scaled
+            FROM w GROUP BY a, b
+        )
+        SELECT cn.a AS entity_a, cn.b AS entity_b,
+               cn.ra_scaled, cn.common_neighbors
+        FROM cn LEFT JOIN ee ON cn.a = ee.a AND cn.b = ee.b
+        WHERE ee.a IS NULL
+        ORDER BY cn.ra_scaled DESC, cn.a, cn.b
+        LIMIT {k}
+    """
+
+
+def _node_similarity_sql(nsub: str, nobj: str, k: int = 20) -> str:
+    """Exact SQL mirror of pipelines/graph_algo.py:node_similarity_topk
+    (integer-scaled neighbor-set Jaccard, adjacent pairs included)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        JACCARD_SCALE,
+    )
+
+    return f"""
+        WITH {_undirected_sql(nsub, nobj)},
+        deg AS (
+            SELECT node, count(*) AS dg FROM bo GROUP BY node
+        ), w AS (
+            SELECT x.peer AS a, y.peer AS b
+            FROM bo x JOIN bo y ON x.node = y.node AND x.peer < y.peer
+        ), cn AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS intersection
+            FROM w GROUP BY a, b
+        )
+        SELECT cn.a AS entity_a, cn.b AS entity_b, cn.intersection,
+               CAST(({JACCARD_SCALE} * cn.intersection)
+                    // (da.dg + db.dg - cn.intersection) AS BIGINT)
+                 AS jaccard_scaled
+        FROM cn JOIN deg da ON da.node = cn.a
+                JOIN deg db ON db.node = cn.b
+        ORDER BY jaccard_scaled DESC, cn.a, cn.b
+        LIMIT {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.dedup import (
         EXACT_DEDUP_SQL,
@@ -1393,6 +1626,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_bm25_index_topk": _bm25_topk_sql(nname),
         "kg_khop": _khop_sql(nsub, nobj),
         "kg_pagerank": _pagerank_sql(nsub, nobj),
+        "kg_ppr": _ppr_sql(nsub, nobj),
+        "kg_communities": _lpa_sql(nsub, nobj, rounds=_LPA_ROUNDS),
+        "kg_sssp": _sssp_sql(nsub, nobj),
+        "kg_link_pred_ra_topk": _link_pred_ra_sql(nsub, nobj, k=20),
+        "kg_node_similarity": _node_similarity_sql(nsub, nobj, k=20),
         "kg_degree_topk": f"""
             WITH e AS (
                 SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
@@ -1654,6 +1892,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_purchase": win.EVENTS_ASOF_PURCHASE_SQL,
         "events_anomaly": win.events_anomaly_sql(),
         "events_range_join": win.events_range_join_sql(),
+        "events_funnel": win.events_funnel_sql(),
+        "events_transitions": win.EVENTS_TRANSITIONS_SQL,
+        "events_retention": win.EVENTS_RETENTION_SQL,
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_token_pack": TOKEN_PACK_SQL,
         "docs_quality": QUALITY_SQL,

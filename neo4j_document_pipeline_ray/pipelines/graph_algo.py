@@ -649,6 +649,681 @@ def kcore_reference(edge_pairs, k: int = 3) -> dict:
     return {v: len(adj[v] & alive) for v in alive}
 
 
+def personalized_pagerank(
+    edges: "ray.data.Dataset",
+    iters: int = 3,
+    scale: int = PR_SCALE,
+    damping: tuple = (85, 100),
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+) -> "ray.data.Dataset":
+    """Integer PERSONALIZED PageRank: all restart mass concentrates on
+    one seed node — the relevance-to-a-query-entity ranking a GraphRAG
+    retrieval layer uses to order an expansion frontier (the reference
+    delegates this class to Neo4j GDS).  Seed = the highest-total-degree
+    node of the distinct directed pair set (ties: min entity_id) —
+    deterministic, so the DuckDB mirror picks the identical node.
+
+    Same determinism contract and scale shape as :func:`pagerank`; the
+    only change is the restart term: ``r0 = scale`` at the seed and 0
+    elsewhere, and the per-round base is added at the seed only.
+    Returns ``(entity_id, rank_scaled)`` for every node (zeros kept —
+    the row set must not depend on float-free reachability accidents).
+    """
+    num, den = damping
+    base = (scale * (den - num)) // den
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col]),
+        [src_col, dst_col], [(None, "count", "_m")],
+    ).drop_columns(["_m"])
+
+    deg = hash_aggregate(e, src_col, [(None, "count", "outdeg")])
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([
+            t[src_col].combine_chunks(), t[dst_col].combine_chunks(),
+        ])
+        return pa.table({"entity_id": ids})
+
+    e = e.materialize()
+    deg = deg.materialize()
+
+    # total degree (out+in over the distinct pair set) per node; the
+    # argmax IS the seed — a tiny node-sided aggregate, driver takes one row
+    tot = hash_aggregate(
+        e.map_batches(both_ends, batch_format="pyarrow"),
+        "entity_id", [(None, "count", "deg")],
+    ).materialize()
+    top = tot.sort(["deg", "entity_id"], descending=[True, False]).take(1)
+    seed = int(top[0]["entity_id"])
+
+    nodes = tot.drop_columns(["deg"]).materialize()
+
+    def seed_rank(t: pa.Table) -> pa.Table:
+        is_seed = pc.equal(t["entity_id"], seed)
+        return t.append_column(
+            "rank_scaled",
+            pc.cast(pc.if_else(is_seed, scale, 0), pa.int64()))
+
+    ranks = nodes.map_batches(seed_rank, batch_format="pyarrow")
+
+    for _ in range(iters):
+        with_deg = broadcast_join(deg, ranks, on=(src_col,),
+                                  right_on=("entity_id",))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            return pa.table({
+                src_col: t[src_col],
+                "c": pc.divide(t["rank_scaled"], t["outdeg"]),
+            })
+
+        c = with_deg.map_batches(contrib, batch_format="pyarrow")
+        flows = broadcast_join(e, c, on=(src_col,))
+        sums = hash_aggregate(
+            flows.select_columns([dst_col, "c"]),
+            dst_col, [("c", "sum", "s_in")],
+        )
+        joined = broadcast_join(nodes, sums, on=("entity_id",),
+                                right_on=(dst_col,), join_type="left_outer")
+
+        def update(t: pa.Table) -> pa.Table:
+            s = pc.fill_null(t["s_in"], 0)
+            restart = pc.cast(
+                pc.if_else(pc.equal(t["entity_id"], seed), base, 0),
+                pa.int64())
+            r = pc.add(restart, pc.divide(pc.multiply(num, s), den))
+            return pa.table({
+                "entity_id": t["entity_id"],
+                "rank_scaled": pc.cast(r, pa.int64()),
+            })
+
+        ranks = joined.map_batches(update, batch_format="pyarrow")
+
+    return ranks
+
+
+def personalized_pagerank_reference(edge_pairs, iters: int = 3,
+                                    scale: int = PR_SCALE,
+                                    damping: tuple = (85, 100)) -> dict:
+    """Pure-Python replay of the exact integer semantics (test oracle)."""
+    num, den = damping
+    base = (scale * (den - num)) // den
+    e = sorted(set(edge_pairs))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    deg_tot: dict = {}
+    for u, v in e:
+        deg_tot[u] = deg_tot.get(u, 0) + 1
+        deg_tot[v] = deg_tot.get(v, 0) + 1
+    seed = max(nodes, key=lambda n: (deg_tot[n], -n))
+    outdeg: dict = {}
+    for u, _ in e:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = {v: (scale if v == seed else 0) for v in nodes}
+    for _ in range(iters):
+        s_in = {v: 0 for v in nodes}
+        for u, v in e:
+            s_in[v] += r[u] // outdeg[u]
+        r = {v: (base if v == seed else 0) + (num * s_in[v]) // den
+             for v in nodes}
+    return r
+
+
+# --- label-propagation communities -------------------------------------------
+
+def label_prop_communities(
+    edges: "ray.data.Dataset",
+    rounds: int = 4,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Community detection by SYNCHRONOUS label propagation over the
+    undirected distinct graph (self-loops dropped) — the Neo4j GDS
+    ``labelPropagation`` analog, a FIXED number of rounds so the
+    result is a pure function of the edge set (async LPA's order
+    dependence cannot hash-match an oracle).
+
+    Per round every node adopts the minimum label among its most
+    frequent neighbor labels (count ties break to the smaller label —
+    fully deterministic).  Initial label = the node's own id.
+
+    Scale shape per round: one E-sized streaming probe of the label
+    table along the adjacency (node-sided O(V) right sides ride
+    ``broadcast_join``'s size gate), one (node, label)-keyed two-phase
+    hash aggregate, one node-keyed max, and one node-keyed min — no
+    driver-side data paths, bit-identical under repartitioning.
+    Returns ``(entity_id, community)``.
+    """
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "peer": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    bo = e.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    labels = hash_aggregate(
+        bo.select_columns(["node"]), "node", [(None, "count", "_m")],
+    ).drop_columns(["_m"]).map_batches(
+        lambda t: t.append_column("lab", t["node"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(rounds):
+        # each (node, peer) row fetches peer's current label: E-sized
+        # streaming probe against the node-sided label table
+        j = broadcast_join(
+            bo, labels.map_batches(
+                lambda t: pa.table({"peer": t["node"], "lab": t["lab"]}),
+                batch_format="pyarrow"),
+            on=("peer",), num_partitions=num_partitions)
+        counts = hash_aggregate(
+            j.select_columns(["node", "lab"]),
+            ["node", "lab"], [(None, "count", "n")],
+            num_partitions=num_partitions,
+        ).materialize()
+        mx = hash_aggregate(
+            counts, "node", [("n", "max", "mx")],
+            num_partitions=num_partitions,
+        )
+        jm = broadcast_join(counts, mx, on=("node",),
+                            num_partitions=num_partitions)
+        best = jm.map_batches(
+            lambda t: t.filter(pc.equal(t["n"], t["mx"])),
+            batch_format="pyarrow")
+        labels = hash_aggregate(
+            best.select_columns(["node", "lab"]),
+            "node", [("lab", "min", "lab")],
+            num_partitions=num_partitions,
+        ).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table({"entity_id": t["node"], "community": t["lab"]}),
+        batch_format="pyarrow",
+    )
+
+
+def label_prop_reference(edge_pairs, rounds: int = 4) -> dict:
+    """Pure-Python replay of synchronous min-of-modal LPA (test oracle)."""
+    adj: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt: dict = {}
+            for u in nbrs:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            best = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == best)
+        lab = new
+    return lab
+
+
+# --- BFS shortest-path distances ---------------------------------------------
+
+def bfs_distances(
+    edges: "ray.data.Dataset",
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    max_rounds: int = 32,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Single-source shortest-path (hop) distances over the undirected
+    distinct graph, from the highest-degree node (ties: min
+    entity_id) — the k-hop expansion generalized to per-node distances
+    (the reference's APOC BFS, ``graphutil.py:547-632``, returns the
+    neighborhood; this returns HOW FAR, the input a retrieval layer
+    needs to decay relevance by distance).
+
+    Frontier BFS as a bounded driver loop: each round expands the
+    frontier along the adjacency (E-sized streaming probe of a
+    node-sided frontier), dedups candidates with one hash aggregate,
+    and anti-joins the visited set (node-sided, size-gated broadcast).
+    The frontier only ever shrinks once the ball saturates; exit on
+    empty frontier.  Returns ``(entity_id, dist)`` for REACHABLE nodes.
+    """
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "peer": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    bo = e.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    deg = hash_aggregate(
+        bo.select_columns(["node"]), "node", [(None, "count", "deg")],
+        num_partitions=num_partitions,
+    ).materialize()
+    top = deg.sort(["deg", "node"], descending=[True, False]).take(1)
+    seed = int(top[0]["node"])
+
+    import numpy as np
+
+    dist = ray.data.from_arrow(pa.table({
+        "entity_id": pa.array([seed], pa.int64()),
+        "dist": pa.array([0], pa.int64()),
+    })).materialize()
+    frontier = dist
+
+    for d in range(1, max_rounds + 1):
+        hop = broadcast_join(
+            bo, frontier.select_columns(["entity_id"]),
+            on=("node",), right_on=("entity_id",),
+            num_partitions=num_partitions)
+        cand = hash_aggregate(
+            hop.select_columns(["peer"]), "peer", [(None, "count", "_m")],
+            num_partitions=num_partitions,
+        ).drop_columns(["_m"])
+        seen = dist.select_columns(["entity_id"]).map_batches(
+            lambda t: t.append_column(
+                "_seen", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow")
+        nxt = broadcast_join(cand, seen, on=("peer",),
+                             right_on=("entity_id",),
+                             join_type="left_outer",
+                             num_partitions=num_partitions)
+        new = nxt.map_batches(
+            lambda t, _d=d: pa.table({
+                "entity_id": t.filter(pc.is_null(t["_seen"]))["peer"],
+                "dist": pa.array(
+                    [_d] * t.filter(pc.is_null(t["_seen"])).num_rows,
+                    pa.int64()),
+            }),
+            batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            break
+        dist = dist.union(new).materialize()
+        frontier = new
+
+    return dist
+
+
+def bfs_distances_reference(edge_pairs) -> dict:
+    """Pure-Python BFS replay (test oracle): node -> hop distance."""
+    adj: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if not adj:
+        return {}
+    seed = max(adj, key=lambda n: (len(adj[n]), -n))
+    dist = {seed: 0}
+    frontier = [seed]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+# --- resource-allocation link prediction --------------------------------------
+
+RA_SCALE = 10**6
+
+
+def link_prediction_ra_topk(
+    edges: "ray.data.Dataset",
+    k: int = 20,
+    scale: int = RA_SCALE,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+    max_neighbors: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Top-k non-adjacent pairs by the RESOURCE-ALLOCATION index
+    ``Σ_{z ∈ CN(a,b)} 1/deg(z)`` — the degree-weighted refinement of
+    :func:`link_prediction_topk` (a hub shared by everyone carries
+    less evidence than a rare mutual contact).  Kept INTEGER
+    (``ra_scaled = Σ scale // deg(z)``) so a DuckDB replay
+    hash-matches; the true RA value is ``ra_scaled / scale``.
+
+    Same wedge shape and caps as :func:`link_prediction_topk`; the
+    apex degree rides the wedge rows (one extra node-sided broadcast
+    join before pair generation).  Ties: (entity_a, entity_b).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"]).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "v": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    adj = e.map_batches(both_dirs, batch_format="pyarrow")
+
+    deg = hash_aggregate(
+        adj.select_columns(["u"]), "u", [(None, "count", "deg")],
+        num_partitions=num_partitions,
+    )
+    adj_deg = broadcast_join(adj, deg, on=("u",),
+                             num_partitions=num_partitions)
+
+    def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["u", "v"], kind="mergesort")
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        dg = df["deg"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends_ = np.r_[starts[1:], len(u)]
+        xs, ys, rs = [], [], []
+        truncated = 0
+        for s, t_ in zip(starts, ends_):
+            n = t_ - s
+            if max_neighbors is not None and n > max_neighbors:
+                truncated += n - max_neighbors
+                t_ = s + max_neighbors
+                n = max_neighbors
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            nb = v[s:t_]  # sorted, so pairs come out (lo, hi)
+            xs.append(nb[i])
+            ys.append(nb[j])
+            rs.append(np.full(len(i), scale // int(dg[s]), dtype=np.int64))
+        if truncated:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "link_prediction_ra_topk: dropped %d neighbors beyond "
+                "max_neighbors=%d (first-by-id kept); RA scores are now "
+                "approximate", truncated, max_neighbors)
+        if not xs:
+            return pd.DataFrame({
+                "entity_a": pd.Series([], dtype="int64"),
+                "entity_b": pd.Series([], dtype="int64"),
+                "ra": pd.Series([], dtype="int64"),
+            })
+        return pd.DataFrame({
+            "entity_a": np.concatenate(xs),
+            "entity_b": np.concatenate(ys),
+            "ra": np.concatenate(rs),
+        })
+
+    wedge_ds = partitioned_group_map(
+        adj_deg, "u", wedges, num_partitions=num_partitions)
+
+    cn = hash_aggregate(
+        wedge_ds, ["entity_a", "entity_b"],
+        [("ra", "sum", "ra_scaled"), (None, "count", "common_neighbors")],
+        num_partitions=num_partitions,
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lo": t["lo"],
+            "hi": t["hi"],
+            "_is_edge": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+
+    marked = e.map_batches(mark, batch_format="pyarrow")
+    j = broadcast_join(cn, marked, on=("entity_a", "entity_b"),
+                       right_on=("lo", "hi"), join_type="left_outer")
+
+    def non_edges(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.is_null(t["_is_edge"])).drop_columns(["_is_edge"])
+        if out.num_rows > k:
+            order = np.lexsort((
+                out["entity_b"].to_numpy(), out["entity_a"].to_numpy(),
+                -out["ra_scaled"].to_numpy(),
+            ))[:k]
+            out = out.take(pa.array(np.sort(order)))
+        return out
+
+    cand = j.map_batches(non_edges, batch_format="pyarrow")
+    return cand.sort(
+        ["ra_scaled", "entity_a", "entity_b"],
+        descending=[True, False, False],
+    ).limit(k)
+
+
+JACCARD_SCALE = 10**6
+
+
+def node_similarity_topk(
+    edges: "ray.data.Dataset",
+    k: int = 20,
+    scale: int = JACCARD_SCALE,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+    max_neighbors: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Top-k node pairs by NEIGHBOR-SET JACCARD over the undirected
+    distinct graph — the Neo4j GDS ``nodeSimilarity`` analog (the
+    entity-conflation signal of a KG curation pass: two nodes whose
+    neighborhoods nearly coincide are candidate aliases).  Unlike link
+    prediction, ADJACENT pairs are scored too (GDS semantics: any pair
+    sharing >= 1 neighbor).
+
+    Kept INTEGER: ``jaccard_scaled = scale * |N(a) ∩ N(b)| //
+    (deg(a) + deg(b) - |∩|)`` — exact-mirrorable in SQL.  Same wedge
+    machinery and caps as :func:`link_prediction_topk`; the two
+    endpoint degrees arrive via node-sided size-gated broadcast joins.
+    Ties: (entity_a, entity_b).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"]).materialize()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "v": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    adj = e.map_batches(both_dirs, batch_format="pyarrow")
+
+    deg = hash_aggregate(
+        adj.select_columns(["u"]), "u", [(None, "count", "deg")],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def wedges(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["u", "v"], kind="mergesort")
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends_ = np.r_[starts[1:], len(u)]
+        xs, ys = [], []
+        truncated = 0
+        for s, t_ in zip(starts, ends_):
+            n = t_ - s
+            if max_neighbors is not None and n > max_neighbors:
+                truncated += n - max_neighbors
+                t_ = s + max_neighbors
+                n = max_neighbors
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            nb = v[s:t_]
+            xs.append(nb[i])
+            ys.append(nb[j])
+        if truncated:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "node_similarity_topk: dropped %d neighbors beyond "
+                "max_neighbors=%d; Jaccard scores are now approximate",
+                truncated, max_neighbors)
+        if not xs:
+            return pd.DataFrame({
+                "entity_a": pd.Series([], dtype="int64"),
+                "entity_b": pd.Series([], dtype="int64"),
+            })
+        return pd.DataFrame({
+            "entity_a": np.concatenate(xs),
+            "entity_b": np.concatenate(ys),
+        })
+
+    wedge_ds = partitioned_group_map(
+        adj, "u", wedges, num_partitions=num_partitions)
+
+    cn = hash_aggregate(
+        wedge_ds, ["entity_a", "entity_b"],
+        [(None, "count", "intersection")],
+        num_partitions=num_partitions,
+    )
+
+    with_a = broadcast_join(cn, deg, on=("entity_a",), right_on=("u",))
+    with_a = with_a.map_batches(
+        lambda t: t.rename_columns(
+            [{"deg": "deg_a"}.get(c, c) for c in t.schema.names]),
+        batch_format="pyarrow")
+    both = broadcast_join(with_a, deg, on=("entity_b",), right_on=("u",))
+
+    def score(t: pa.Table) -> pa.Table:
+        inter = t["intersection"].to_numpy()
+        da = t["deg_a"].to_numpy()
+        db = t["deg"].to_numpy()
+        union = da + db - inter
+        jac = (scale * inter.astype(np.int64)) // union
+        out = pa.table({
+            "entity_a": t["entity_a"],
+            "entity_b": t["entity_b"],
+            "intersection": t["intersection"],
+            "jaccard_scaled": pa.array(jac, pa.int64()),
+        })
+        if out.num_rows > k:
+            order = np.lexsort((
+                out["entity_b"].to_numpy(), out["entity_a"].to_numpy(),
+                -out["jaccard_scaled"].to_numpy(),
+            ))[:k]
+            out = out.take(pa.array(np.sort(order)))
+        return out
+
+    scored = both.map_batches(score, batch_format="pyarrow")
+    return scored.sort(
+        ["jaccard_scaled", "entity_a", "entity_b"],
+        descending=[True, False, False],
+    ).limit(k)
+
+
+def node_similarity_reference(edge_pairs, scale: int = JACCARD_SCALE) -> dict:
+    """Pure-Python replay (test oracle): {(a,b): (intersection,
+    jaccard_scaled)} for pairs sharing >= 1 neighbor."""
+    und = {tuple(sorted(p)) for p in edge_pairs if p[0] != p[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out: dict = {}
+    seen: dict = {}
+    for z, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                seen[p] = seen.get(p, 0) + 1
+    for (a, b), inter in seen.items():
+        union = len(adj[a]) + len(adj[b]) - inter
+        out[(a, b)] = (inter, (scale * inter) // union)
+    return out
+
+
+def link_prediction_ra_reference(edge_pairs, scale: int = RA_SCALE) -> dict:
+    """Pure-Python RA replay (test oracle): {(a,b): (cn, ra_scaled)}
+    for NON-adjacent pairs with >=1 common neighbor."""
+    und = {tuple(sorted(p)) for p in edge_pairs if p[0] != p[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out: dict = {}
+    for z, nbrs in adj.items():
+        part = scale // len(nbrs)
+        ns = sorted(nbrs)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                p = (ns[i], ns[j])
+                c, r = out.get(p, (0, 0))
+                out[p] = (c + 1, r + part)
+    return {p: v for p, v in out.items() if p not in und}
+
+
 def link_prediction_topk(
     edges: "ray.data.Dataset",
     k: int = 20,

@@ -504,6 +504,222 @@ def q_events_range_join(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset"
                                  num_partitions=16)
 
 
+def q_events_funnel(
+    sf_dir: str, steps: "tuple[str, ...]" = ("view", "click", "purchase")
+) -> "ray.data.Dataset":
+    """Ordered-funnel detection (the MATCH_RECOGNIZE / sequence-pattern
+    class no batch relational operator expresses directly): for every
+    user, the earliest ``steps[0]`` event, the earliest ``steps[1]``
+    STRICTLY after it, the earliest ``steps[2]`` strictly after that,
+    and so on.  One row per user with the per-step timestamps
+    (microseconds; ``-1`` once the funnel is abandoned, the same
+    sentinel convention as the as-of join).
+
+    Scale shape: one hash exchange on ``user_id``, then a per-partition
+    vectorized scan — per step, a groupby-min over the step's rows
+    filtered against the previous step's per-user timestamp (pandas
+    merge + boolean mask; no per-row Python).  Same partitioning
+    assumption as sessionize: a user's events fit one partition group.
+    """
+    ev = _read_events(sf_dir, ["user_id", "event_type", "ts"])
+    want = pa.array(list(steps))
+
+    def slim(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=want))
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "epoch_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    # every user with >=1 event appears in the output, even if they
+    # never hit steps[0] — the funnel reports abandonment, not presence
+    all_users = hash_aggregate(
+        _read_events(sf_dir, ["user_id"]), "user_id", [(None, "count", "_m")],
+    ).drop_columns(["_m"])
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"user_id": df["user_id"].unique()})
+        prev = pd.Series(
+            np.full(len(out), -(1 << 62), dtype=np.int64),
+            index=out["user_id"].to_numpy())
+        for i, step in enumerate(steps):
+            rows = df[df["event_type"] == step]
+            # strictly after the user's previous-step timestamp
+            pv = prev.reindex(rows["user_id"].to_numpy()).to_numpy()
+            ok = rows[rows["epoch_us"].to_numpy() > pv]
+            t_i = ok.groupby("user_id")["epoch_us"].min()
+            col = t_i.reindex(out["user_id"].to_numpy())
+            out[f"t{i + 1}_us"] = pd.Series(
+                np.where(np.isnan(col), -1, col), dtype="int64").to_numpy()
+            # an abandoned user can never re-enter: -1 maps to +inf
+            prev = t_i.reindex(prev.index)
+            prev = prev.fillna(np.inf)
+        return out
+
+    per_user = partitioned_group_map(
+        ev.map_batches(slim, batch_format="pyarrow"),
+        "user_id", funnel, num_partitions=16)
+
+    # left-attach so step-less users still emit a row of sentinels
+    from neo4j_document_pipeline_ray.stages.grouped import broadcast_join
+
+    j = broadcast_join(all_users, per_user, on=("user_id",),
+                       join_type="left_outer")
+
+    def fill(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for i in range(len(steps)):
+            cols[f"t{i + 1}_us"] = pc.fill_null(t[f"t{i + 1}_us"], -1)
+        return pa.table(cols)
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+def events_funnel_sql(
+    steps: "tuple[str, ...]" = ("view", "click", "purchase")
+) -> str:
+    ctes = ["u AS (SELECT DISTINCT user_id FROM events)"]
+    prev = None
+    for i, step in enumerate(steps):
+        cond = (f" JOIN s{i - 1} p ON e.user_id = p.user_id "
+                f"AND epoch_us(e.ts) > p.t" if prev else "")
+        ctes.append(f"""
+  s{i} AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t
+    FROM events e{cond}
+    WHERE e.event_type = '{step}'
+    GROUP BY e.user_id
+  )""")
+        prev = step
+    sel = ", ".join(
+        f"CAST(coalesce(s{i}.t, -1) AS BIGINT) AS t{i + 1}_us"
+        for i in range(len(steps)))
+    joins = "".join(
+        f" LEFT JOIN s{i} ON u.user_id = s{i}.user_id"
+        for i in range(len(steps)))
+    return (f"WITH {','.join(ctes)}\n"
+            f"SELECT u.user_id, {sel} FROM u{joins}")
+
+
+def q_events_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Event-type transition matrix: counts of consecutive
+    ``(prev_type, next_type)`` pairs along every user's timeline
+    (ordered by ``ts`` then ``event_id`` — the deterministic total
+    order).  The Markov-chain summary of a clickstream, i.e. the
+    sequence-mining counterpart of :func:`q_events_funnel`'s pattern
+    match.
+
+    Scale shape: one hash exchange on ``user_id``, per-partition
+    vectorized shift, then a tiny (|types|^2-row) hash aggregate of
+    in-partition partial counts.
+    """
+    ev = _read_events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "epoch_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "epoch_us", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = np.r_[False, uid[1:] == uid[:-1]]
+        prev = np.r_[[""], et[:-1]]
+        g = pd.DataFrame({
+            "prev_type": prev[same], "next_type": et[same],
+        }).groupby(["prev_type", "next_type"], sort=False)
+        out = g.size().rename("n").reset_index()
+        return out.astype({"n": "int64"})
+
+    partials = partitioned_group_map(
+        ev.map_batches(slim, batch_format="pyarrow"),
+        "user_id", transitions, num_partitions=16)
+    return hash_aggregate(
+        partials, ["prev_type", "next_type"], [("n", "sum", "n")],
+        num_partitions=1)
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_events_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort retention matrix: users are cohorted by their FIRST
+    active day; each ``(cohort_day_us, day_offset)`` cell counts how
+    many of that cohort's users were active ``day_offset`` days later
+    (offset 0 = cohort size).  The standard product-analytics operator
+    a clickstream warehouse serves.
+
+    Scale shape: distinct (user, day) pairs via one two-phase hash
+    aggregate; per-user first day via a second (user-keyed) aggregate,
+    broadcast back through the size gate; the final cell aggregate is
+    tiny (cohorts × offsets).  No sort, no driver-side data paths.
+    """
+    day_us = 86400 * _US
+    ev = _read_events(sf_dir, ["user_id", "ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())
+        d = pc.multiply(
+            pc.cast(pc.floor(pc.divide(epoch, day_us)), pa.int64()), day_us)
+        return pa.table({"user_id": t["user_id"], "day_us": d})
+
+    days = hash_aggregate(
+        ev.map_batches(day, batch_format="pyarrow"),
+        ["user_id", "day_us"], [(None, "count", "_m")],
+    ).drop_columns(["_m"]).materialize()
+
+    first = hash_aggregate(days, "user_id", [("day_us", "min", "cohort_day_us")])
+
+    from neo4j_document_pipeline_ray.stages.grouped import broadcast_join
+
+    j = broadcast_join(days, first, on=("user_id",))
+
+    def offset(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day_us": t["cohort_day_us"],
+            "day_offset": pc.divide(
+                pc.subtract(t["day_us"], t["cohort_day_us"]), day_us),
+        })
+
+    return hash_aggregate(
+        j.map_batches(offset, batch_format="pyarrow"),
+        ["cohort_day_us", "day_offset"], [(None, "count", "n_users")],
+        num_partitions=1)
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / {86400 * _US}) AS BIGINT) * {86400 * _US}
+           AS day_us
+  FROM events
+), f AS (
+  SELECT user_id, min(day_us) AS cohort_day_us FROM d GROUP BY user_id
+)
+SELECT f.cohort_day_us,
+       (d.day_us - f.cohort_day_us) // {86400 * _US} AS day_offset,
+       count(*) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def events_range_join_sql(window_s: int = 3600) -> str:
     win_us = window_s * _US
     return f"""

@@ -263,3 +263,189 @@ class TestKCore:
     def test_self_loops_and_duplicates_ignored(self, ray_session):
         pairs = [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (3, 1)]
         assert self._run(pairs, 2) == {1: 2, 2: 2, 3: 2}
+
+
+class TestPersonalizedPagerank:
+    def test_matches_integer_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            personalized_pagerank,
+            personalized_pagerank_reference,
+        )
+
+        pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 6),
+                 (6, 5), (1, 2), (7, 3)]
+        got = {r["entity_id"]: r["rank_scaled"]
+               for r in personalized_pagerank(
+                   _edges_ds(pairs), iters=4).take_all()}
+        want = personalized_pagerank_reference(pairs, iters=4)
+        assert got == want
+
+    def test_mass_concentrates_near_seed(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            personalized_pagerank,
+        )
+
+        # two disjoint cycles; the seed (top-degree, here node 0 of the
+        # bigger component) must outrank everything, and the OTHER
+        # component must stay at exactly zero (no teleport mass)
+        pairs = ([(i, (i + 1) % 5) for i in range(5)] + [(0, 2), (2, 0)]
+                 + [(10, 11), (11, 10)])
+        got = {r["entity_id"]: r["rank_scaled"]
+               for r in personalized_pagerank(
+                   _edges_ds(pairs), iters=3).take_all()}
+        assert got[0] == max(got.values())
+        assert got[10] == 0 and got[11] == 0
+        # rows are emitted for EVERY node, zeros included
+        assert set(got) == {0, 1, 2, 3, 4, 10, 11}
+
+
+class TestLabelPropCommunities:
+    def test_matches_python_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            label_prop_communities,
+            label_prop_reference,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        pairs = set()
+        while len(pairs) < 120:
+            a, b = rng.randrange(30), rng.randrange(30)
+            if a != b:
+                pairs.add((a, b))
+        pairs = sorted(pairs)
+        for rounds in (1, 3, 4):
+            got = {r["entity_id"]: r["community"]
+                   for r in label_prop_communities(
+                       _edges_ds(pairs), rounds=rounds).take_all()}
+            assert got == label_prop_reference(pairs, rounds=rounds)
+
+    def test_two_cliques_with_a_bridge(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            label_prop_communities,
+        )
+
+        k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        pairs = k1 + k2 + [(3, 10)]
+        got = {r["entity_id"]: r["community"]
+               for r in label_prop_communities(
+                   _edges_ds(pairs), rounds=4).take_all()}
+        # each clique converges to ONE community label
+        assert len({got[n] for n in range(4)}) == 1
+        assert len({got[n] for n in range(10, 14)}) == 1
+
+
+class TestBfsDistances:
+    def test_matches_python_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            bfs_distances,
+            bfs_distances_reference,
+        )
+
+        # hub 0 (seed) - two chains and a cycle; 99 unreachable island
+        pairs = [(0, 1), (0, 2), (0, 3), (1, 4), (4, 5), (2, 5),
+                 (5, 6), (6, 7), (99, 98)]
+        got = {r["entity_id"]: r["dist"]
+               for r in bfs_distances(_edges_ds(pairs)).take_all()}
+        want = bfs_distances_reference(pairs)
+        assert got == want
+        assert got[0] == 0
+        assert 99 not in got  # unreachable nodes emit no row
+
+    def test_direction_ignored(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            bfs_distances,
+        )
+
+        # edges all point AT the hub; undirected BFS still reaches out
+        pairs = [(1, 0), (2, 0), (3, 1), (0, 9), (0, 8)]
+        got = {r["entity_id"]: r["dist"]
+               for r in bfs_distances(_edges_ds(pairs)).take_all()}
+        assert got == {0: 0, 1: 1, 2: 1, 9: 1, 8: 1, 3: 2}
+
+
+class TestLinkPredRA:
+    def test_matches_python_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            link_prediction_ra_topk,
+            link_prediction_ra_reference,
+        )
+
+        import random
+
+        rng = random.Random(13)
+        pairs = set()
+        while len(pairs) < 90:
+            a, b = rng.randrange(25), rng.randrange(25)
+            if a != b:
+                pairs.add((a, b))
+        pairs = sorted(pairs)
+        out = link_prediction_ra_topk(_edges_ds(pairs), k=10**9).take_all()
+        got = {(r["entity_a"], r["entity_b"]):
+               (r["common_neighbors"], r["ra_scaled"]) for r in out}
+        assert got == link_prediction_ra_reference(pairs)
+
+    def test_rare_shared_neighbor_beats_hub(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            link_prediction_ra_topk,
+        )
+
+        # hub 100 connects to everyone; z=50 connects ONLY to 1 and 2.
+        # RA must weight the rare mutual contact (deg-2 z contributes
+        # S/2) far above the hub (deg-7, S/7): (1,2) outranks (3,4)
+        # even though plain common-neighbor count is 2 vs 1.
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import RA_SCALE
+
+        hub = [(100, i) for i in range(1, 8)]
+        pairs = hub + [(50, 1), (50, 2)]
+        out = link_prediction_ra_topk(_edges_ds(pairs), k=10**9).take_all()
+        ra = {(r["entity_a"], r["entity_b"]): r["ra_scaled"] for r in out}
+        assert ra[(1, 2)] == RA_SCALE // 7 + RA_SCALE // 2
+        assert ra[(3, 4)] == RA_SCALE // 7
+        assert ra[(1, 2)] > ra[(3, 4)]
+        # deg-2 endpoints 1 and 2 beat the deg-7 hub as common
+        # neighbors of (50, 100) too: that pair tops the list
+        assert (out[0]["entity_a"], out[0]["entity_b"]) == (50, 100)
+        assert out[0]["ra_scaled"] == 2 * (RA_SCALE // 2)
+
+
+class TestNodeSimilarity:
+    def test_matches_python_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            node_similarity_topk,
+            node_similarity_reference,
+        )
+
+        import random
+
+        rng = random.Random(17)
+        pairs = set()
+        while len(pairs) < 90:
+            a, b = rng.randrange(25), rng.randrange(25)
+            if a != b:
+                pairs.add((a, b))
+        pairs = sorted(pairs)
+        out = node_similarity_topk(_edges_ds(pairs), k=10**9).take_all()
+        got = {(r["entity_a"], r["entity_b"]):
+               (r["intersection"], r["jaccard_scaled"]) for r in out}
+        assert got == node_similarity_reference(pairs)
+
+    def test_twins_score_full_jaccard(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            JACCARD_SCALE,
+            node_similarity_topk,
+        )
+
+        # 1 and 2 have IDENTICAL neighborhoods {10, 11, 12}: Jaccard 1.0;
+        # adjacent pair (10, 11) shares {1, 2} but also has extra
+        # neighbors, so it scores lower — and must still be SCORED
+        # (GDS semantics include adjacent pairs)
+        pairs = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 12),
+                 (10, 11)]
+        out = node_similarity_topk(_edges_ds(pairs), k=5).take_all()
+        assert (out[0]["entity_a"], out[0]["entity_b"]) == (1, 2)
+        assert out[0]["jaccard_scaled"] == JACCARD_SCALE
+        scored = {(r["entity_a"], r["entity_b"]) for r in out}
+        assert (10, 11) in scored

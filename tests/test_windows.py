@@ -283,3 +283,125 @@ class TestRangeJoin:
         assert len(out) == 1
         assert out[0]["n_clicks"] == 2
         assert out[0]["sum_click_value_milli"] == 6000
+
+
+class TestFunnel:
+    def test_matches_bruteforce(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_funnel,
+        )
+
+        steps = ("view", "click", "purchase")
+        got = (
+            q_events_funnel(SF, steps=steps).to_pandas()
+            .sort_values("user_id").reset_index(drop=True)
+        )
+        rows = []
+        for uid, g in events_df.groupby("user_id"):
+            ts = [-1, -1, -1]
+            prev = -(1 << 62)
+            for i, step in enumerate(steps):
+                cand = g[(g["event_type"] == step)
+                         & (g["epoch_us"] > prev)]["epoch_us"]
+                if prev == (1 << 62) or not len(cand):
+                    prev = 1 << 62
+                    continue
+                ts[i] = int(cand.min())
+                prev = ts[i]
+            rows.append((uid, *ts))
+        want = pd.DataFrame(rows, columns=[
+            "user_id", "t1_us", "t2_us", "t3_us",
+        ]).sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns].astype("int64"),
+                                      want.astype("int64"))
+        # the funnel is ordered: each reached step is strictly later
+        r = got[(got["t1_us"] >= 0) & (got["t2_us"] >= 0)]
+        assert (r["t2_us"] > r["t1_us"]).all()
+
+    def test_abandoned_user_cannot_reenter(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_funnel,
+        )
+
+        base = 1_600_000_000_000_000
+        # user 1: click BEFORE any view -> t2 must be the click AFTER
+        # the view, not the earlier one; user 2: never views -> all -1
+        # beyond t1; user 3: only an error event -> row of sentinels
+        rows = [
+            (1, 1, "click", base + 1),
+            (2, 1, "view", base + 2),
+            (3, 1, "click", base + 3),
+            (4, 2, "click", base + 1),
+            (5, 2, "purchase", base + 2),
+            (6, 3, "error", base + 1),
+        ]
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }), tmp_path / "events.parquet")
+        got = {r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"])
+               for r in q_events_funnel(str(tmp_path)).take_all()}
+        assert got[1] == (base + 2, base + 3, -1)
+        assert got[2] == (-1, -1, -1)
+        assert got[3] == (-1, -1, -1)
+
+
+class TestTransitions:
+    def test_matches_bruteforce(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_transitions,
+        )
+
+        got = (
+            q_events_transitions(SF).to_pandas()
+            .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+        )
+        df = events_df.sort_values(["user_id", "epoch_us", "event_id"])
+        prev = df.groupby("user_id")["event_type"].shift(1)
+        want = (
+            pd.DataFrame({"prev_type": prev, "next_type": df["event_type"]})
+            .dropna().groupby(["prev_type", "next_type"])
+            .size().rename("n").reset_index()
+            .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns], want, check_dtype=False)
+        assert int(got["n"].sum()) == len(events_df) - df["user_id"].nunique()
+
+
+class TestRetention:
+    def test_matches_bruteforce(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_retention,
+        )
+
+        day_us = 86400 * 1_000_000
+        got = (
+            q_events_retention(SF).to_pandas()
+            .sort_values(["cohort_day_us", "day_offset"])
+            .reset_index(drop=True)
+        )
+        df = events_df.copy()
+        df["day_us"] = (df["epoch_us"] // day_us) * day_us
+        d = df[["user_id", "day_us"]].drop_duplicates()
+        first = d.groupby("user_id")["day_us"].min().rename("cohort_day_us")
+        j = d.merge(first, on="user_id")
+        j["day_offset"] = (j["day_us"] - j["cohort_day_us"]) // day_us
+        want = (
+            j.groupby(["cohort_day_us", "day_offset"])
+            .size().rename("n_users").reset_index()
+            .sort_values(["cohort_day_us", "day_offset"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[want.columns].astype("int64"), want.astype("int64"))
+        # offset-0 cell of each cohort equals the cohort size
+        base = got[got["day_offset"] == 0].set_index("cohort_day_us")["n_users"]
+        sizes = first.value_counts()
+        assert base.sort_index().to_dict() == sizes.sort_index().to_dict()
