@@ -1107,6 +1107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_hourly": rel.q_events_hourly,
         "rel_orders_top": rel.q_orders_top,
         "rel_union_distinct": rel.q_nation_region_union,
+        "rel_lineitem_rollup": rel.q_lineitem_rollup,
+        "rel_events_pivot": rel.q_events_pivot,
         "rel_orders_no_lineitem": rel.q_orders_no_lineitem,
         # --- temporal operators over the event stream (§2.8 class) ---
         "events_sessions": win.q_events_sessions,
@@ -1885,6 +1887,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_hourly": rel.Q_EVENTS_HOURLY_SQL,
         "rel_orders_top": rel.Q_ORDERS_TOP_SQL,
         "rel_union_distinct": rel.Q_NATION_REGION_UNION_SQL,
+        "rel_lineitem_rollup": rel.Q_LINEITEM_ROLLUP_SQL,
+        "rel_events_pivot": rel.Q_EVENTS_PIVOT_SQL,
         "rel_orders_no_lineitem": rel.Q_ORDERS_NO_LINEITEM_SQL,
         "events_sessions": win.events_sessions_sql(),
         "events_sliding_window": win.events_sliding_window_sql(),

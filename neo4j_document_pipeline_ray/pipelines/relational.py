@@ -317,3 +317,108 @@ SELECT name, count(*) AS n FROM (
   SELECT r_name FROM region
 ) GROUP BY name
 """
+
+
+# --- OLAP rollup (multi-level aggregate in one pass) ---
+
+def q_lineitem_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): the finest level
+    plus per-flag and grand totals, with the 'ALL' sentinel instead of
+    SQL NULL so the result hashes identically across engines'
+    nullable-string handling.
+
+    Scale shape: ONE corpus-sized two-phase hash aggregate to the
+    finest level; the coarser levels replicate the (tiny) finest
+    result inside ``map_batches`` and re-aggregate — the rollup costs
+    one exchange over group-count-sized data, never a second corpus
+    pass per level.
+    """
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": pc.cast(t["l_quantity"], pa.int64()),
+        })
+
+    fine = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("qty", "sum", "sum_qty"), (None, "count", "n_rows")],
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        alls = pa.array(["ALL"] * n, pa.string())
+        return pa.concat_tables([
+            t,
+            pa.table({"l_returnflag": t["l_returnflag"],
+                      "l_linestatus": alls,
+                      "sum_qty": t["sum_qty"], "n_rows": t["n_rows"]}),
+            pa.table({"l_returnflag": alls, "l_linestatus": alls,
+                      "sum_qty": t["sum_qty"], "n_rows": t["n_rows"]}),
+        ])
+
+    return hash_aggregate(
+        fine.map_batches(expand, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "sum", "sum_qty"), ("n_rows", "sum", "n_rows")],
+        num_partitions=1,
+    )
+
+
+Q_LINEITEM_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# --- pivot (long -> wide conditional aggregation) ---
+
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def q_events_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot the event log long->wide: one row per user with a count
+    column per event type — the feature-vector shape a model-training
+    join consumes.  The column set is the FIXED known type vocabulary
+    (a data-dependent pivot needs a schema pass first; this operator
+    deliberately takes the static-schema contract).
+
+    Scale shape: per-batch indicator columns (Arrow compare + cast,
+    zero Python per row), then one user-keyed two-phase hash
+    aggregate — the pivot rides the same single exchange a plain
+    groupby-count pays.
+    """
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for et in _PIVOT_TYPES:
+            cols[f"n_{et}"] = pc.cast(
+                pc.equal(t["event_type"], et), pa.int64())
+        return pa.table(cols)
+
+    return hash_aggregate(
+        ev.map_batches(indicators, batch_format="pyarrow"),
+        "user_id",
+        [(f"n_{et}", "sum", f"n_{et}") for et in _PIVOT_TYPES],
+    )
+
+
+Q_EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+"""
