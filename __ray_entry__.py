@@ -1120,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": win.q_events_funnel,
         "events_transitions": win.q_events_transitions,
         "events_retention": win.q_events_retention,
+        "events_late_data": win.q_events_late_data,
         # --- training-data curation extras ---
         "docs_token_count": token_count,
         "docs_token_pack": token_pack,
@@ -1899,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": win.events_funnel_sql(),
         "events_transitions": win.EVENTS_TRANSITIONS_SQL,
         "events_retention": win.EVENTS_RETENTION_SQL,
+        "events_late_data": win.events_late_data_sql(),
         "docs_token_count": TOKEN_COUNT_SQL,
         "docs_token_pack": TOKEN_PACK_SQL,
         "docs_quality": QUALITY_SQL,

@@ -16,11 +16,15 @@ Every number is min-of-``$GRAFT_BENCH_REPS`` (default 3) wall times,
 with the per-rep spread in the artifact: this host shows +-50%
 (occasionally 8x) neighbor-load noise, and the minimum over
 temporally-separated reps is the least-contaminated estimate.
-Reps are PASS-INTERLEAVED — rep k of every query runs a whole sweep
-after rep k-1 — so a multi-minute neighbor burst contaminates at most
-one pass, never all N reps of a query (observed before the change:
-one burst took all 3 back-to-back reps of the graphrag family 10-20x
-over their quiet pins while the rest of the sweep ran clean).
+Query reps are PASS-INTERLEAVED — rep k of every query runs a whole
+sweep after rep k-1 — so a multi-minute neighbor burst contaminates
+at most one pass, never all N reps of a query (observed before the
+change: one burst took all 3 back-to-back reps of the graphrag family
+10-20x over their quiet pins while the rest of the sweep ran clean).
+The snapshot HEADLINE keeps back-to-back reps: Ray reaps idle workers
+between interleaved passes, so sweep-separated snapshot reps pay
+semi-cold worker spinup (+4-8 s measured) and stop measuring the
+pipeline; back-to-back matches the BENCH_r01-r03 protocol.
 
 ``--scaling`` reruns the headline in fresh processes at 8 and 32 CPUs
 on the same input and reports both throughputs + scaling efficiency
@@ -130,13 +134,21 @@ def run_bench() -> dict:
         return round(time.time() - t0, 3), r
 
     # scaling mode runs ONE rep per process (run_scaling takes its own
-    # min over fresh processes); the in-process sweep runs the first
-    # rep now and (BENCH_REPS-1) more passes INTERLEAVED with the query
-    # sweep below — a sustained neighbor burst can swallow N
-    # back-to-back reps, but not N whole sweeps minutes apart
-    dt0, root = _snapshot_build(out_dir)
-    headline_reps = [dt0]
-    headline = dt0
+    # min over fresh processes).  The HEADLINE keeps back-to-back reps:
+    # Ray reaps idle workers between interleaved passes (the SIGTERM
+    # traces in the logs), so a sweep-separated snapshot rep pays
+    # semi-cold worker spinup (+4-8 s of extraction) and stops
+    # measuring the pipeline; back-to-back reps 2..N run the warm pool,
+    # the same protocol as BENCH_r01-r03.  The QUERY sweep below is
+    # pass-interleaved instead — that is where burst contamination was
+    # actually observed.
+    reps = 1 if scaling_pages else BENCH_REPS
+    headline_reps = []
+    root = None
+    for _ in range(reps):
+        dt0, root = _snapshot_build(out_dir)
+        headline_reps.append(dt0)
+    headline = min(headline_reps)
 
     n_docs = root["counts"]["n_docs"]
     n_triples = root["counts"]["n_triples"]
@@ -300,16 +312,11 @@ def run_bench() -> dict:
         lambda: graphrag(tables, question, top_k=5, hops=2))
     assert res_scan["facts"] == res["facts"]
 
-    # pass-interleaved reps (see _snapshot_build note): each extra pass
-    # re-times a throwaway snapshot build plus every query in sweep
-    # order, so consecutive reps of the SAME measurement are separated
-    # by the length of a whole sweep — the only burst that can
-    # contaminate a min-of-N is now one lasting N full sweeps
-    rep_dir = out_dir + "_rep"
+    # pass-interleaved query reps: each extra pass re-times every query
+    # in sweep order, so consecutive reps of the SAME query are
+    # separated by the length of a whole sweep — the only burst that
+    # can contaminate a min-of-N is one lasting N full sweeps
     for _ in range(BENCH_REPS - 1):
-        dt, _r = _snapshot_build(rep_dir)
-        headline_reps.append(dt)
-        shutil.rmtree(rep_dir, ignore_errors=True)
         for name, thunk in rerun_queue:
             t0 = time.time()
             o = thunk()
@@ -319,7 +326,6 @@ def run_bench() -> dict:
             queries[name] = min(queries[name], v)
             spread[name] = [min(spread[name][0], v),
                             max(spread[name][1], v)]
-    headline = min(headline_reps)
     queries["kg_snapshot"] = round(headline, 3)
     spread["kg_snapshot"] = [min(headline_reps), max(headline_reps)]
 

@@ -720,6 +720,140 @@ GROUP BY 1, 2
 """
 
 
+def q_events_late_data(
+    sf_dir: str, window_s: int = 3600, lateness_s: int = 900,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Streaming watermark semantics over a batch log: each event
+    arrives in ``event_id`` order; the WATERMARK at its arrival is the
+    maximum event-time seen over all STRICTLY earlier arrivals minus
+    ``lateness_s``.  An event whose own event-time is below the
+    watermark is LATE (a streaming engine would route it to a side
+    output instead of its tumbling window).  Output: per
+    ``(win_start_us, status)`` counts, status in {on_time, late} — the
+    batch replay of the window/watermark/late-data contract the
+    reference's strictly-batch design never had (SURVEY.md §2.8).
+
+    Scale shape — distributed PREFIX SCAN over arrival order: one tiny
+    aggregate finds the arrival-id span; events partition into K
+    contiguous arrival ranges; pass 1 computes each range's event-time
+    max (per-batch Arrow partials, group-sized exchange); the driver
+    turns K maxima into K exclusive prefix offsets (O(K) scalars);
+    pass 2 streams each range again with its offset broadcast, running
+    an in-partition vectorized cummax — no global sort, no driver-side
+    data path.
+    """
+    win_us = window_s * _US
+    late_us = lateness_s * _US
+    ev = _read_events(sf_dir, ["event_id", "ts"])
+
+    from neo4j_document_pipeline_ray.stages.grouped import broadcast_join
+
+    # arrival-id span (two scalars) -> K contiguous ranges
+    def span_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lo": pa.array([pc.min(t["event_id"]).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(t["event_id"]).as_py()], pa.int64()),
+            "_k": pa.array([1], pa.int64()),
+        })
+
+    span = hash_aggregate(
+        ev.map_batches(span_partial, batch_format="pyarrow"),
+        "_k", [("lo", "min", "lo"), ("hi", "max", "hi")],
+        num_partitions=1,
+    ).take_all()
+    if not span:
+        return ray.data.from_arrow(pa.table({
+            "win_start_us": pa.array([], pa.int64()),
+            "status": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }))
+    lo, hi = span[0]["lo"], span[0]["hi"]
+    k = max(1, min(num_partitions, hi - lo + 1))
+    width = (hi - lo) // k + 1
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": pc.cast(pc.divide(
+                pc.subtract(t["event_id"], lo), width), pa.int64()),
+            "event_id": t["event_id"],
+            "epoch_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    bev = ev.map_batches(bucketed, batch_format="pyarrow").materialize()
+
+    # pass 1: per-range event-time max (group-sized exchange of partials)
+    rng_max = hash_aggregate(
+        bev.select_columns(["bucket", "epoch_us"]),
+        "bucket", [("epoch_us", "max", "mx")],
+        num_partitions=1,
+    ).take_all()
+    mx_by_bucket = {r["bucket"]: r["mx"] for r in rng_max}
+    # exclusive prefix maxima: watermark floor entering each range
+    prefix = {}
+    run = None
+    for b in range(k):
+        prefix[b] = run
+        if b in mx_by_bucket:
+            run = mx_by_bucket[b] if run is None else max(run, mx_by_bucket[b])
+
+    import numpy as np
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        # a hash partition holds SEVERAL arrival ranges; each range is
+        # scanned independently with ITS prefix maximum as the seed
+        if not len(df):
+            return pd.DataFrame({
+                "win_start_us": pd.Series([], dtype="int64"),
+                "status": pd.Series([], dtype="object"),
+            })
+        df = df.sort_values(["bucket", "event_id"], kind="mergesort")
+        b = df["bucket"].to_numpy()
+        t = df["epoch_us"].to_numpy()
+        wins, stats = [], []
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends_ = np.r_[starts[1:], len(b)]
+        for s, e in zip(starts, ends_):
+            ts = t[s:e]
+            pre = prefix.get(int(b[s]))
+            # watermark basis at each arrival: max event-time STRICTLY
+            # before it = shift-by-one cummax seeded with the prior
+            # ranges' prefix max (None only before any data at all)
+            cm = np.maximum.accumulate(
+                np.r_[(-(1 << 62)) if pre is None else pre, ts[:-1]])
+            late = ts < cm - late_us
+            wins.append((ts // win_us) * win_us)
+            stats.append(np.where(late, "late", "on_time"))
+        return pd.DataFrame({
+            "win_start_us": np.concatenate(wins),
+            "status": np.concatenate(stats),
+        })
+
+    scanned = partitioned_group_map(
+        bev, "bucket", scan, num_partitions=num_partitions)
+    return hash_aggregate(
+        scanned, ["win_start_us", "status"], [(None, "count", "n")],
+        num_partitions=1)
+
+
+def events_late_data_sql(window_s: int = 3600, lateness_s: int = 900) -> str:
+    win_us = window_s * _US
+    late_us = lateness_s * _US
+    return f"""
+WITH w AS (
+  SELECT epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT (t // {win_us}) * {win_us} AS win_start_us,
+       CASE WHEN wm IS NOT NULL AND t < wm - {late_us}
+            THEN 'late' ELSE 'on_time' END AS status,
+       count(*) AS n
+FROM w GROUP BY 1, 2
+"""
+
+
 def events_range_join_sql(window_s: int = 3600) -> str:
     win_us = window_s * _US
     return f"""

@@ -405,3 +405,56 @@ class TestRetention:
         base = got[got["day_offset"] == 0].set_index("cohort_day_us")["n_users"]
         sizes = first.value_counts()
         assert base.sort_index().to_dict() == sizes.sort_index().to_dict()
+
+
+class TestLateData:
+    def test_matches_bruteforce(self, ray_session, events_df):
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_late_data,
+        )
+
+        win_us = 3600 * 1_000_000
+        late_us = 900 * 1_000_000
+        got = {(r["win_start_us"], r["status"]): r["n"]
+               for r in q_events_late_data(SF).take_all()}
+        df = events_df.sort_values("event_id")
+        t = df["epoch_us"].to_numpy()
+        import numpy as np
+
+        wm = np.maximum.accumulate(np.r_[-(1 << 62), t[:-1]])
+        late = t < wm - late_us
+        want = {}
+        for ti, li in zip(t, late):
+            k = ((ti // win_us) * win_us, "late" if li else "on_time")
+            want[k] = want.get(k, 0) + 1
+        assert got == want
+
+    def test_out_of_order_arrival_is_late(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.pipelines.windows import (
+            q_events_late_data,
+        )
+
+        h = 3600 * 1_000_000
+        base = 444_444_445 * h  # hour-aligned epoch (~2026)
+        # arrival order: t=0h, t=3h (advances watermark), then a
+        # STRAGGLER with t=0h+1s — watermark 3h-15min > its event time
+        # -> late; a second straggler within lateness -> on_time
+        rows = [(0, base), (1, base + 3 * h), (2, base + 1_000_000),
+                (3, base + 3 * h - 600 * 1_000_000)]
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "event_type": pa.array(["click"] * 4, pa.string()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * 4, pa.float64()),
+        }), tmp_path / "events.parquet")
+        got = {(r["win_start_us"], r["status"]): r["n"]
+               for r in q_events_late_data(str(tmp_path)).take_all()}
+        assert got[(base, "late")] == 1            # the straggler
+        assert got[(base, "on_time")] == 1         # the first event
+        assert got[(base + 2 * h, "on_time")] == 1  # within lateness
+        assert got[(base + 3 * h, "on_time")] == 1
+        assert sum(got.values()) == 4
