@@ -795,6 +795,18 @@ def _q_kg_sssp(sf_dir: str):
     return bfs_distances(_kg(sf_dir)["edges"])
 
 
+def _q_kg_sssp_weighted(sf_dir: str):
+    """Weighted shortest-path costs from the top-degree entity —
+    integer Bellman-Ford over deterministic synthetic edge weights,
+    the traversal-COST generalization of kg_sssp
+    (pipelines/graph_algo.py:sssp_weighted)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        sssp_weighted,
+    )
+
+    return sssp_weighted(_kg(sf_dir)["edges"])
+
+
 def _q_kg_node_similarity(sf_dir: str):
     """Neighbor-set Jaccard top-20 (Neo4j GDS nodeSimilarity analog) —
     the entity-conflation signal of a KG curation pass
@@ -1095,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
         "kg_sssp": _q_kg_sssp,
+        "kg_sssp_weighted": _q_kg_sssp_weighted,
         "kg_schema_report": _q_kg_schema_report,
         "kg_integrity": _q_kg_integrity,
         "kg_export_neo4j": _q_kg_export_neo4j,
@@ -1449,6 +1462,47 @@ def _sssp_sql(nsub: str, nobj: str, max_rounds: int = 32) -> str:
     """
 
 
+def _sssp_weighted_sql(nsub: str, nobj: str, rounds: int = 24) -> str:
+    """Unrolled-round Bellman-Ford mirror of pipelines/graph_algo.py:
+    sssp_weighted — both sides compute the identical synchronous
+    integer recurrence (the Ray loop's early exit fires only at the
+    fixpoint, which equals every later round's state)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        SSSP_WEIGHT_MOD,
+    )
+
+    # each round references the previous one ONCE (relaxation over an
+    # adjacency extended with zero-weight self-edges == min(keep,
+    # relax)), and the adjacency + round CTEs are MATERIALIZED:
+    # DuckDB inlines plain CTEs, and optimizing the 24-level inlined
+    # megaquery takes minutes (a twice-referenced d{k-1} would even be
+    # exponential)
+    ctes = [_undirected_sql(nsub, nobj) + f"""
+        , wt AS (
+            SELECT a, b, 1 + ((a + b) % {SSSP_WEIGHT_MOD}) AS w FROM ee
+        ), bow AS MATERIALIZED (
+            SELECT a AS node, b AS peer, w FROM wt
+            UNION ALL SELECT b, a, w FROM wt
+            UNION ALL SELECT node, node, 0
+                      FROM (SELECT DISTINCT node FROM bo)
+        ), dg AS (
+            SELECT node, count(*) AS dg FROM bo GROUP BY node
+        ), sd AS (
+            SELECT node FROM dg ORDER BY dg DESC, node LIMIT 1
+        ), d0 AS (
+            SELECT node, CAST(0 AS BIGINT) AS dist FROM sd
+        )"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+        d{k} AS MATERIALIZED (
+            SELECT b.peer AS node, min(x.dist + b.w) AS dist
+            FROM d{k-1} x JOIN bow b ON b.node = x.node
+            GROUP BY b.peer
+        )""")
+    return ("WITH " + ",".join(ctes)
+            + f" SELECT node AS entity_id, dist FROM d{rounds}")
+
+
 def _link_pred_ra_sql(nsub: str, nobj: str, k: int = 20) -> str:
     """Exact SQL mirror of pipelines/graph_algo.py:
     link_prediction_ra_topk (integer-scaled resource allocation)."""
@@ -1632,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _ppr_sql(nsub, nobj),
         "kg_communities": _lpa_sql(nsub, nobj, rounds=_LPA_ROUNDS),
         "kg_sssp": _sssp_sql(nsub, nobj),
+        "kg_sssp_weighted": _sssp_weighted_sql(nsub, nobj),
         "kg_link_pred_ra_topk": _link_pred_ra_sql(nsub, nobj, k=20),
         "kg_node_similarity": _node_similarity_sql(nsub, nobj, k=20),
         "kg_degree_topk": f"""

@@ -1004,6 +1004,174 @@ def bfs_distances_reference(edge_pairs) -> dict:
     return dist
 
 
+# --- weighted single-source shortest paths -------------------------------------
+
+SSSP_WEIGHT_MOD = 9  # synthetic weight = 1 + (a + b) % MOD, in [1, MOD]
+
+
+def sssp_weighted(
+    edges: "ray.data.Dataset",
+    max_rounds: int = 24,
+    weight_mod: int = SSSP_WEIGHT_MOD,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Weighted single-source shortest paths over the undirected
+    distinct graph — integer Bellman-Ford, the weighted generalization
+    of :func:`bfs_distances` (hop counts can't express traversal COST;
+    a retrieval ranker decaying by path cost, or a routing pass over a
+    weighted KG, needs this relaxation class; the reference's APOC BFS,
+    ``graphutil.py:547-632``, is unweighted-hops only).
+
+    Edge weights are DETERMINISTIC INTEGERS so the result is
+    bit-identical under any partitioning (the module's determinism
+    contract): ``w(a, b) = 1 + (a + b) % weight_mod`` on the canonical
+    ``(min, max)`` id pair — a synthetic-but-replayable weight model
+    (swap in any integer weight column; the operator's contract is the
+    relaxation, not the weight derivation).  Seed = top-degree node
+    (ties: min id), the :func:`bfs_distances` convention.
+
+    Scale shape: per round ONE E-sized streaming probe of the
+    node-sided distance table (rides :func:`broadcast_join`'s size
+    gate) + one node-keyed min aggregate; no global sort, no
+    driver-side data path.  Early exit at the fixpoint — distances
+    only decrease and the reachable set only grows, so an unchanged
+    (count, sum) pair over one tiny scalar aggregate proves
+    convergence; the fixpoint equals the ``max_rounds``-round unroll,
+    which is exactly what the SQL oracle computes.
+
+    Returns ``(entity_id, dist)`` for nodes reachable within
+    ``max_rounds`` relaxation rounds.
+    """
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def both_dirs_weighted(t: pa.Table) -> pa.Table:
+        # a % m via a - (a // m) * m (pyarrow has no mod kernel);
+        # lo/hi are stable_id outputs (< 2^60, non-negative) so the
+        # sum stays in int64 and truncated division == floor division
+        s = pc.add(t["lo"], t["hi"])
+        m = pc.subtract(s, pc.multiply(pc.divide(s, weight_mod),
+                                       weight_mod))
+        w = pc.add(1, pc.cast(m, pa.int64()))
+        return pa.table({
+            "node": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "peer": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+            "w": pa.concat_arrays([
+                w.combine_chunks(), w.combine_chunks()]),
+        })
+
+    bo = e.map_batches(
+        both_dirs_weighted, batch_format="pyarrow").materialize()
+
+    deg = hash_aggregate(
+        bo.select_columns(["node"]), "node", [(None, "count", "deg")],
+        num_partitions=num_partitions,
+    ).materialize()
+    top = deg.sort(["deg", "node"], descending=[True, False]).take(1)
+    if not top:
+        return ray.data.from_arrow(pa.table({
+            "entity_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+        }))
+    seed = int(top[0]["node"])
+
+    dist = ray.data.from_arrow(pa.table({
+        "entity_id": pa.array([seed], pa.int64()),
+        "dist": pa.array([0], pa.int64()),
+    })).materialize()
+
+    def _fingerprint(ds: "ray.data.Dataset") -> tuple:
+        # (row count, sum of dist): dist rows only ever decrease in
+        # value and grow in count, so an unchanged pair == fixpoint
+        def p(t: pa.Table) -> pa.Table:
+            s = pc.sum(t["dist"]).as_py()
+            return pa.table({
+                "_k": pa.array([1], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([0 if s is None else s], pa.int64()),
+            })
+
+        r = hash_aggregate(
+            ds.map_batches(p, batch_format="pyarrow"),
+            "_k", [("n", "sum", "n"), ("s", "sum", "s")],
+            num_partitions=1,
+        ).take_all()
+        return (r[0]["n"], r[0]["s"]) if r else (0, 0)
+
+    fp = _fingerprint(dist)
+    for _ in range(max_rounds):
+        # relax: E-sized probe of the node-sided distance table
+        hop = broadcast_join(
+            bo, dist, on=("node",), right_on=("entity_id",),
+            num_partitions=num_partitions)
+
+        def relax(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "entity_id": t["peer"],
+                "dist": pc.cast(pc.add(t["dist"], t["w"]), pa.int64()),
+            })
+
+        cand = hop.map_batches(relax, batch_format="pyarrow")
+        dist = hash_aggregate(
+            dist.union(cand), "entity_id", [("dist", "min", "dist")],
+            num_partitions=num_partitions,
+        ).materialize()
+        nfp = _fingerprint(dist)
+        if nfp == fp:
+            break
+        fp = nfp
+
+    return dist
+
+
+def sssp_weighted_reference(
+    edge_pairs, max_rounds: int = 24, weight_mod: int = SSSP_WEIGHT_MOD,
+) -> dict:
+    """Pure-Python Bellman-Ford replay (test oracle): node -> dist
+    after at most ``max_rounds`` synchronous relaxation rounds."""
+    adj: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        w = 1 + (lo + hi) % weight_mod
+        adj.setdefault(a, {})
+        adj.setdefault(b, {})
+        adj[a][b] = min(adj[a].get(b, w), w)
+        adj[b][a] = min(adj[b].get(a, w), w)
+    if not adj:
+        return {}
+    seed = max(adj, key=lambda n: (len(adj[n]), -n))
+    dist = {seed: 0}
+    for _ in range(max_rounds):
+        new = dict(dist)
+        for u, du in dist.items():
+            for v, w in adj[u].items():
+                if du + w < new.get(v, 1 << 62):
+                    new[v] = du + w
+        if new == dist:
+            break
+        dist = new
+    return dist
+
+
 # --- resource-allocation link prediction --------------------------------------
 
 RA_SCALE = 10**6

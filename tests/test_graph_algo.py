@@ -366,6 +366,51 @@ class TestBfsDistances:
         assert got == {0: 0, 1: 1, 2: 1, 9: 1, 8: 1, 3: 2}
 
 
+class TestSsspWeighted:
+    def test_matches_python_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            sssp_weighted,
+            sssp_weighted_reference,
+        )
+
+        # hub 0 (seed), chains, a cycle, duplicate/reversed edges,
+        # a self-loop, and an unreachable island
+        pairs = [(0, 1), (0, 2), (0, 3), (1, 4), (4, 5), (2, 5),
+                 (5, 6), (6, 7), (3, 3), (2, 0), (0, 1), (99, 98)]
+        got = {r["entity_id"]: r["dist"]
+               for r in sssp_weighted(_edges_ds(pairs)).take_all()}
+        want = sssp_weighted_reference(pairs)
+        assert got == want
+        assert got[0] == 0
+        assert 99 not in got
+
+    def test_cheap_detour_beats_direct_edge(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            sssp_weighted,
+        )
+
+        # w(a,b) = 1 + (a+b) % 9: direct (1,7) costs 9, the detour
+        # 1-2 (w=4) + 2-7 (w=1) costs 5 — weighted relaxation must
+        # prefer MORE hops when they are cheaper (BFS cannot)
+        pairs = [(1, 7), (1, 2), (2, 7)]
+        got = {r["entity_id"]: r["dist"]
+               for r in sssp_weighted(_edges_ds(pairs)).take_all()}
+        assert got == {1: 0, 2: 4, 7: 5}
+
+    def test_bounded_rounds_cut_the_detour(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            sssp_weighted,
+        )
+
+        # with ONE relaxation round only direct edges resolve: the
+        # two-hop detour to 7 is not yet visible, so dist(7) = 9
+        pairs = [(1, 7), (1, 2), (2, 7)]
+        got = {r["entity_id"]: r["dist"]
+               for r in sssp_weighted(
+                   _edges_ds(pairs), max_rounds=1).take_all()}
+        assert got == {1: 0, 2: 4, 7: 9}
+
+
 class TestLinkPredRA:
     def test_matches_python_reference(self, ray_session):
         from neo4j_document_pipeline_ray.pipelines.graph_algo import (
