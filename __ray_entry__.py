@@ -888,6 +888,19 @@ def _q_kg_cooccur_topk(sf_dir: str):
     return cooccurrence_topk(_kg(sf_dir)["mentions"], k=50, min_count=2)
 
 
+def _q_kg_related_docs(sf_dir: str):
+    """Top related-document pairs by shared entities (integer Jaccard
+    over the doc x entity bipartite mentions graph, ubiquitous
+    entities excluded) — the 'related pages' signal
+    (pipelines/graph_algo.py:related_docs_topk)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        related_docs_topk,
+    )
+
+    return related_docs_topk(
+        _kg(sf_dir)["mentions"], k=50, min_shared=2, max_entity_docs=50)
+
+
 def _q_kg_graphrag_batch(sf_dir: str):
     """Batch retrieval serving: a GraphRAGServer actor pool (LocalKG
     rebuilt once per actor from ray.put tier refs) answers a question
@@ -1099,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_topk": _q_kg_degree_topk,
         "kg_triangles": _q_kg_triangles,
         "kg_cooccur_topk": _q_kg_cooccur_topk,
+        "kg_related_docs": _q_kg_related_docs,
         "kg_link_pred_topk": _q_kg_link_pred_topk,
         "kg_link_pred_ra_topk": _q_kg_link_pred_ra_topk,
         "kg_node_similarity": _q_kg_node_similarity,
@@ -1905,6 +1919,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN c cb ON cb.entity_id = entity_b
             WHERE n_docs_both >= 2
             ORDER BY lift_scaled DESC, entity_a, entity_b
+            LIMIT 50
+        """,
+        "kg_related_docs": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            ), m AS (
+                SELECT DISTINCT doc_id, {_eid_sql(nname)} AS entity_id FROM (
+                    SELECT doc_id, subject AS name FROM t
+                    UNION ALL SELECT doc_id, object FROM t
+                )
+            ), edf AS (
+                SELECT entity_id, count(*) AS df FROM m GROUP BY 1
+            ), mk AS (
+                SELECT m.doc_id, m.entity_id
+                FROM m JOIN edf USING (entity_id) WHERE df <= 50
+            ), sz AS (
+                SELECT doc_id, count(*) AS sz FROM mk GROUP BY 1
+            ), p2 AS (
+                SELECT m1.doc_id AS doc_a, m2.doc_id AS doc_b,
+                       count(*) AS shared_entities
+                FROM mk m1 JOIN mk m2 ON m1.entity_id = m2.entity_id
+                                      AND m1.doc_id < m2.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(shared_entities AS BIGINT) AS shared_entities,
+                   CAST((1000000 * shared_entities)
+                        // (sa.sz + sb.sz - shared_entities)
+                        AS BIGINT) AS jaccard_scaled
+            FROM p2
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE shared_entities >= 2
+            ORDER BY jaccard_scaled DESC, doc_a, doc_b
             LIMIT 50
         """,
         "pages_lang_stats": f"""

@@ -1004,6 +1004,170 @@ def bfs_distances_reference(edge_pairs) -> dict:
     return dist
 
 
+# --- related documents (bipartite projection onto docs) ------------------------
+
+RELDOC_SCALE = 10**6
+
+
+def related_docs_topk(
+    mentions: "ray.data.Dataset",
+    k: int = 50,
+    min_shared: int = 2,
+    max_entity_docs: int = 50,
+    scale: int = RELDOC_SCALE,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Top-k RELATED DOCUMENT pairs by shared entities — the doc-side
+    projection of the doc×entity bipartite mentions graph (the
+    transpose of :func:`cooccurrence_topk`): the "related pages /
+    recommended reading" signal a retrieval layer serves next to each
+    document (the reference's retrieval layer ranks docs per QUERY,
+    ``graphutil.py``; doc-to-doc relatedness has no counterpart there).
+
+    Semantics: entities mentioned in more than ``max_entity_docs``
+    documents are EXCLUDED from the projection and from the per-doc
+    set sizes — a ubiquitous entity carries no relatedness signal
+    (the stopword-entity blocking rule standard in entity-resolution
+    pipelines), and the exclusion is what bounds per-entity pair
+    fan-out at scale (a df cap is the semantics here, not a silent
+    truncation).  Score = integer Jaccard over the kept entity sets:
+    ``jaccard_scaled = (scale * |A∩B|) // (|A| + |B| - |A∩B|)``.
+
+    Shape: pair generation is per-entity (numpy triu inside a hash
+    partition, fan-out ≤ C(max_entity_docs, 2)); shared counts are a
+    two-phase hash aggregate; per-doc sizes are doc-sided and ride
+    ``broadcast_join``'s size gate; top-k is a per-batch partial with
+    the global-sort tie-break (jaccard desc, doc_a, doc_b).
+
+    Returns ``(doc_a, doc_b, shared_entities, jaccard_scaled)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = hash_aggregate(
+        mentions.select_columns(["doc_id", "entity_id"]),
+        ["doc_id", "entity_id"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    edf = hash_aggregate(
+        m.select_columns(["entity_id"]), "entity_id",
+        [(None, "count", "df")], num_partitions=num_partitions)
+    kept = edf.map_batches(
+        lambda t: t.filter(
+            pc.less_equal(t["df"], max_entity_docs)).drop_columns(["df"]),
+        batch_format="pyarrow")
+
+    # entity-sided filter table; broadcast when it fits
+    mk = broadcast_join(m, kept, on=("entity_id",),
+                        num_partitions=num_partitions).materialize()
+
+    dsz = hash_aggregate(
+        mk.select_columns(["doc_id"]), "doc_id", [(None, "count", "sz")],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["entity_id", "doc_id"], kind="mergesort")
+        e = df["entity_id"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, e[1:] != e[:-1]])
+        ends_ = np.r_[starts[1:], len(e)]
+        xs, ys = [], []
+        for s, t_ in zip(starts, ends_):
+            n = t_ - s
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, k=1)
+            docs = d[s:t_]  # sorted, so pairs come out (lo, hi)
+            xs.append(docs[i])
+            ys.append(docs[j])
+        if not xs:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype="object"),
+                "doc_b": pd.Series([], dtype="object"),
+            })
+        return pd.DataFrame({
+            "doc_a": np.concatenate(xs),
+            "doc_b": np.concatenate(ys),
+        })
+
+    pair_ds = partitioned_group_map(
+        mk, "entity_id", pairs, num_partitions=num_partitions)
+
+    shared = hash_aggregate(
+        pair_ds, ["doc_a", "doc_b"], [(None, "count", "shared_entities")],
+        num_partitions=num_partitions)
+    shared = shared.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["shared_entities"], min_shared)),
+        batch_format="pyarrow")
+
+    with_a = broadcast_join(shared, dsz, on=("doc_a",),
+                            right_on=("doc_id",))
+    with_a = with_a.map_batches(
+        lambda t: t.rename_columns(
+            [{"sz": "sz_a"}.get(c, c) for c in t.schema.names]),
+        batch_format="pyarrow")
+    both = broadcast_join(with_a, dsz, on=("doc_b",),
+                          right_on=("doc_id",))
+
+    def score(df: "pd.DataFrame") -> "pd.DataFrame":
+        sh = df["shared_entities"].to_numpy()
+        den = df["sz_a"].to_numpy() + df["sz"].to_numpy() - sh
+        out = pd.DataFrame({
+            "doc_a": df["doc_a"],
+            "doc_b": df["doc_b"],
+            "shared_entities": sh,
+            "jaccard_scaled": (scale * sh.astype(np.int64)) // den,
+        })
+        if len(out) > k:
+            # partial top-k with the SAME tie-break as the global sort
+            out = out.sort_values(
+                ["jaccard_scaled", "doc_a", "doc_b"],
+                ascending=[False, True, True], kind="mergesort").head(k)
+        return out
+
+    scored = both.map_batches(score, batch_format="pandas")
+    return scored.sort(
+        ["jaccard_scaled", "doc_a", "doc_b"],
+        descending=[True, False, False],
+    ).limit(k)
+
+
+def related_docs_reference(
+    mention_pairs, min_shared: int = 2, max_entity_docs: int = 50,
+    scale: int = RELDOC_SCALE,
+) -> list:
+    """Pure-Python replay (test oracle): (doc_id, entity_id) pairs ->
+    sorted [(doc_a, doc_b, shared, jaccard_scaled)]."""
+    m = set(mention_pairs)
+    by_ent: dict = {}
+    for d, e in m:
+        by_ent.setdefault(e, set()).add(d)
+    by_ent = {e: ds for e, ds in by_ent.items()
+              if len(ds) <= max_entity_docs}
+    sz: dict = {}
+    for ds in by_ent.values():
+        for d in ds:
+            sz[d] = sz.get(d, 0) + 1
+    cnt: dict = {}
+    for ds in by_ent.values():
+        docs = sorted(ds)
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                p = (docs[i], docs[j])
+                cnt[p] = cnt.get(p, 0) + 1
+    rows = []
+    for (a, b), sh in cnt.items():
+        if sh < min_shared:
+            continue
+        jac = (scale * sh) // (sz[a] + sz[b] - sh)
+        rows.append((a, b, sh, jac))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows
+
+
 # --- weighted single-source shortest paths -------------------------------------
 
 SSSP_WEIGHT_MOD = 9  # synthetic weight = 1 + (a + b) % MOD, in [1, MOD]

@@ -366,6 +366,63 @@ class TestBfsDistances:
         assert got == {0: 0, 1: 1, 2: 1, 9: 1, 8: 1, 3: 2}
 
 
+def _mentions_ds(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in pairs], pa.string()),
+        "entity_id": pa.array([e for _, e in pairs], pa.int64()),
+    }))
+
+
+class TestRelatedDocs:
+    def test_matches_python_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            related_docs_reference,
+            related_docs_topk,
+        )
+
+        pairs = [("d1", 10), ("d1", 11), ("d1", 12), ("d2", 10),
+                 ("d2", 11), ("d3", 11), ("d3", 12), ("d3", 13),
+                 ("d4", 13), ("d4", 10), ("d5", 12), ("d1", 10)]
+        got = [(r["doc_a"], r["doc_b"], r["shared_entities"],
+                r["jaccard_scaled"])
+               for r in related_docs_topk(
+                   _mentions_ds(pairs), k=10, min_shared=1,
+                   max_entity_docs=4).take_all()]
+        want = related_docs_reference(
+            pairs, min_shared=1, max_entity_docs=4)[:10]
+        assert got == want
+
+    def test_ubiquitous_entity_excluded(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            related_docs_topk,
+        )
+
+        # entity 99 appears in all 5 docs (df 5 > cap 4): it must
+        # contribute neither shared counts nor set sizes — d1/d2
+        # share only entity 7, over kept sets of size 1 each
+        pairs = [(f"d{i}", 99) for i in range(1, 6)]
+        pairs += [("d1", 7), ("d2", 7)]
+        got = [(r["doc_a"], r["doc_b"], r["shared_entities"],
+                r["jaccard_scaled"])
+               for r in related_docs_topk(
+                   _mentions_ds(pairs), k=10, min_shared=1,
+                   max_entity_docs=4).take_all()]
+        assert got == [("d1", "d2", 1, 10**6)]
+
+    def test_min_shared_filters(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            related_docs_topk,
+        )
+
+        pairs = [("a", 1), ("b", 1), ("a", 2), ("b", 2), ("c", 1)]
+        got = [(r["doc_a"], r["doc_b"], r["shared_entities"])
+               for r in related_docs_topk(
+                   _mentions_ds(pairs), k=10, min_shared=2).take_all()]
+        assert got == [("a", "b", 2)]
+
+
 class TestSsspWeighted:
     def test_matches_python_reference(self, ray_session):
         from neo4j_document_pipeline_ray.pipelines.graph_algo import (
