@@ -424,6 +424,43 @@ def _q_emb_near_dup(sf_dir: str):
     return out.sort(["a", "b"])
 
 
+def _q_emb_semdedup(sf_dir: str):
+    """SemDeDup (k-means clusters + within-cluster cosine dedup,
+    extras/similarity.py:semdedup) over the embeddings table augmented
+    with the same planted scaled copies as emb_near_dup: a copy points
+    the SAME direction, so it lands in its original's cluster with
+    cosine exactly 1.0 and must come back keep=false while every
+    original (no raw pair above 0.52) stays keep=true — the invariant
+    tests/test_extras.py pins.  rows-only at the gate: the cluster
+    assignment is float k-means, not SQL-replayable."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.similarity import semdedup
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in t["embedding"].to_pylist()])
+        pert = mat * 2.0
+        return pa.table({
+            "vec_id": pa.array(
+                np.concatenate([ids, ids + 1_000_000]), pa.int64()),
+            "embedding": pa.array(
+                list(np.concatenate([mat, pert])),
+                pa.list_(pa.float64())),
+        })
+
+    aug = emb.map_batches(augment, batch_format="pyarrow")
+    return semdedup(aug, threshold=0.95)
+
+
 def _q_lang_id(sf_dir: str):
     from neo4j_document_pipeline_ray.extras.textstats import lang_id
 
@@ -1076,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from neo4j_document_pipeline_ray.extras.textstats import (
         distinct_tokens_kmv,
         docs_ppl_bucket,
+        grouped_length_quantiles,
         length_quantiles,
         quality_stats,
         token_count,
@@ -1154,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": quality_stats,
         "docs_top_tokens": top_tokens,
         "docs_length_quantiles": length_quantiles,
+        "docs_len_quantiles_by_lang": grouped_length_quantiles,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_weighted_sample": docs_weighted_sample,
         "docs_domain_budget": docs_domain_budget,
@@ -1182,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
+        "emb_semdedup": _q_emb_semdedup,
         "mm_features": _q_mm_features,
         "mm_resize": _q_mm_resize,
         "mm_frames": _q_mm_frames,
@@ -1606,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
         QUALITY_SQL,
         TOKEN_COUNT_SQL,
         TOKEN_PACK_SQL,
+        grouped_length_quantiles_sql,
         length_quantiles_sql,
         top_tokens_sql,
     )
@@ -2011,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality": QUALITY_SQL,
         "docs_top_tokens": top_tokens_sql(),
         "docs_length_quantiles": length_quantiles_sql(),
+        "docs_len_quantiles_by_lang": grouped_length_quantiles_sql(),
         "docs_stratified_sample": docs_stratified_sample_sql(),
         "docs_domain_budget": docs_domain_budget_sql(),
         "docs_weighted_sample": docs_weighted_sample_sql(),

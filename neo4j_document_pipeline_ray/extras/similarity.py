@@ -550,6 +550,123 @@ def _make_bucket_pairs(threshold: float, bucket_cap: int):
     return bucket_pairs
 
 
+# --- SemDeDup (semantic dedup via k-means clusters) -------------------------
+
+
+def semdedup(
+    embeddings: "ray.data.Dataset",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 5,
+    train_rows: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means over the embedding space, then
+    within-cluster cosine near-dup removal — the published scale trick
+    is exactly that clustering REPLACES the all-pairs compare
+    (:func:`embedding_near_dup_pairs`'s LSH buckets catch near-copies;
+    SemDeDup's learned clusters catch *semantic* duplicates that hash
+    to different buckets).
+
+    Deterministic end to end: centroids from
+    :func:`train_ivf_centroids` on an id-hash sample (unbiased by
+    input order), argmax-to-lowest-centroid assignment, then a greedy
+    ascending-``vec_id`` scan per cluster — a row is DROPPED when its
+    cosine to any already-kept row of its cluster exceeds
+    ``threshold``.  The within-cluster scan is sequential by
+    construction (that is the published algorithm); CLUSTERS are the
+    parallel unit — each runs in a hash partition, and cluster sizes
+    are what ``n_centroids`` bounds (size k ∝ corpus for a fixed
+    average cluster size).
+
+    Returns ``(vec_id, cluster, keep)`` for every input row.
+    """
+    import pandas as pd
+
+    sample = _hash_sample(embeddings, id_col, emb_col, train_rows)
+    cents = train_ivf_centroids(sample, n_centroids, iters)
+
+    def assign(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, col=emb_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        a = ((m / norms[:, None]) @ cents.T).argmax(axis=1)
+        return pa.table({
+            "vec_id": t[id_col],
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "embedding": t[emb_col],
+        })
+
+    assigned = embeddings.map_batches(assign, batch_format="pyarrow")
+
+    def dedup_groups(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["cluster", "vec_id"], kind="mergesort")
+        cl = df["cluster"].to_numpy()
+        ids = df["vec_id"].to_numpy()
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64) \
+            if len(df) else np.zeros((0, 1))
+        keep = np.zeros(len(df), dtype=bool)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        ends_ = np.r_[starts[1:], len(cl)]
+        for s, e in zip(starts, ends_):
+            u = mat[s:e]
+            norms = np.linalg.norm(u, axis=1)
+            norms[norms == 0] = 1.0
+            u = u / norms[:, None]
+            kept = np.empty_like(u)
+            kn = 0
+            for i in range(e - s):
+                if kn == 0 or float((kept[:kn] @ u[i]).max()) <= threshold:
+                    kept[kn] = u[i]
+                    kn += 1
+                    keep[s + i] = True
+        return pd.DataFrame({
+            "vec_id": pd.Series(ids, dtype="int64"),
+            "cluster": pd.Series(cl, dtype="int64"),
+            "keep": pd.Series(keep, dtype="bool"),
+        })
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        partitioned_group_map,
+    )
+
+    return partitioned_group_map(
+        assigned, "cluster", dedup_groups, num_partitions=num_partitions)
+
+
+def semdedup_reference(
+    rows, threshold: float = 0.95, n_centroids: int = 16,
+    iters: int = 5,
+) -> dict:
+    """Pure-Python/numpy replay (test oracle) over in-memory
+    ``(vec_id, embedding)`` rows, training on ALL rows in the GIVEN
+    order (callers pass corpora below ``train_rows``, where
+    ``_hash_sample`` degenerates to the dataset order): vec_id ->
+    (cluster, keep).  The greedy scan is ascending vec_id regardless
+    of input order, like the distributed operator."""
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    cents = train_ivf_centroids(mat, n_centroids, iters)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    u = mat / norms[:, None]
+    assign = (u @ cents.T).argmax(axis=1)
+    out = {}
+    kept_by_cluster: dict = {}
+    for i in np.argsort(ids, kind="stable"):
+        vid, c = int(ids[i]), int(assign[i])
+        kept = kept_by_cluster.setdefault(c, [])
+        if kept and max(float(k @ u[i]) for k in kept) > threshold:
+            out[vid] = (c, False)
+        else:
+            kept.append(u[i])
+            out[vid] = (c, True)
+    return out
+
+
 def query_matrix(sf_dir: str, vec_ids) -> "tuple":
     """Deterministic query batch: embeddings of fixed vec_ids, as
     (ids array, row-major matrix)."""

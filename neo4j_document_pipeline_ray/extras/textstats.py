@@ -506,6 +506,89 @@ SELECT unnest([{qs}]) AS q, unnest([{vs}]) AS value FROM documents
 """
 
 
+def grouped_length_quantiles(
+    sf_dir: str,
+    group_col: str = "lang",
+    col: str = "n_chars",
+    num_partitions: int = 16,
+):
+    """EXACT per-group quantiles of an integer column — the grouped
+    generalization of :func:`length_quantiles` (per-language length
+    profiles are what a curation pass tunes its thresholds against;
+    one global quantile hides the per-language skew).
+
+    Same no-global-sort shape, but the histogram is keyed
+    ``(group, value)`` (cardinality = groups x distinct values, never
+    rows) and finalization is DISTRIBUTED: a vectorized per-group
+    cumsum scan inside hash partitions picks the ceil(q*n)-th smallest
+    per group — no driver-side data path, unlike the global variant's
+    three-row final (safe there, wrong once groups number in the
+    millions, e.g. per-domain profiles).  Matches DuckDB
+    ``quantile_disc`` per group in integer math.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        hash_aggregate,
+        partitioned_group_map,
+    )
+
+    ds = _read_documents(sf_dir, [group_col, col])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        agg = t.group_by([group_col, col], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            group_col: agg[group_col],
+            "v": pc.cast(agg[col], pa.int64()),
+            "c": pc.cast(agg["count_all"], pa.int64()),
+        })
+
+    hist = hash_aggregate(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        [group_col, "v"], [("c", "sum", "c")],
+        num_partitions=num_partitions)
+
+    def per_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values([group_col, "v"], kind="mergesort")
+        g = df[group_col].to_numpy()
+        v = df["v"].to_numpy()
+        c = df["c"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends_ = np.r_[starts[1:], len(g)]
+        out_g, out_q, out_v = [], [], []
+        for s, e in zip(starts, ends_):
+            cum = np.cumsum(c[s:e])
+            n = int(cum[-1])
+            for num, den in _QUANTILES:
+                kth = (num * n + den - 1) // den  # ceil(q*n) exactly
+                idx = int(np.searchsorted(cum, kth))
+                out_g.append(g[s])
+                out_q.append(num / den)
+                out_v.append(int(v[s:e][idx]))
+        return pd.DataFrame({
+            group_col: pd.Series(out_g, dtype="object"),
+            "q": pd.Series(out_q, dtype="float64"),
+            "value": pd.Series(out_v, dtype="int64"),
+        })
+
+    return partitioned_group_map(
+        hist, group_col, per_group, num_partitions=num_partitions)
+
+
+def grouped_length_quantiles_sql(
+    group_col: str = "lang", col: str = "n_chars") -> str:
+    qs = ", ".join(f"{num}/{den}::DOUBLE" for num, den in _QUANTILES)
+    vs = ", ".join(
+        f"quantile_disc({col}, {num}::DOUBLE/{den})"
+        for num, den in _QUANTILES)
+    return f"""
+SELECT {group_col}, unnest([{qs}]) AS q, unnest([{vs}]) AS value
+FROM documents GROUP BY {group_col}
+"""
+
+
 # --- repetition signals (Gopher-style) -------------------------------------
 
 REP_SCALE = 10**6

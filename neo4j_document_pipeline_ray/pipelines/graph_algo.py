@@ -1058,9 +1058,12 @@ def related_docs_topk(
             pc.less_equal(t["df"], max_entity_docs)).drop_columns(["df"]),
         batch_format="pyarrow")
 
-    # entity-sided filter table; broadcast when it fits
+    # entity-sided filter table; broadcast when it fits.  mk is
+    # MENTION-SIZED, so it is deliberately NOT materialized: the two
+    # consumers below re-run the filter as two streaming passes —
+    # cheaper than pinning a corpus-scale table in the object store
     mk = broadcast_join(m, kept, on=("entity_id",),
-                        num_partitions=num_partitions).materialize()
+                        num_partitions=num_partitions)
 
     dsz = hash_aggregate(
         mk.select_columns(["doc_id"]), "doc_id", [(None, "count", "sz")],

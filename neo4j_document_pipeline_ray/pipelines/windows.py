@@ -780,7 +780,10 @@ def q_events_late_data(
             "epoch_us": pc.cast(t["ts"], pa.int64()),
         })
 
-    bev = ev.map_batches(bucketed, batch_format="pyarrow").materialize()
+    # bev is EVENT-SIZED, so it is deliberately not materialized: the
+    # two passes below each re-run the pruned 2-column read + bucket
+    # map — two streaming scans instead of a corpus-scale pin
+    bev = ev.map_batches(bucketed, batch_format="pyarrow")
 
     # pass 1: per-range event-time max (group-sized exchange of partials)
     rng_max = hash_aggregate(

@@ -494,6 +494,46 @@ class TestSimilarity:
             assert sims == sorted(sims, reverse=True)
 
 
+class TestSemDedup:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_python_replay(self, ray_session):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            semdedup,
+            semdedup_reference,
+        )
+
+        emb = rd.read_parquet(f"{self.SF}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        got = {r["vec_id"]: (r["cluster"], r["keep"])
+               for r in semdedup(emb, threshold=0.8).take_all()}
+        t = pq.read_table(f"{self.SF}/embeddings.parquet")  # file order
+        rows = list(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+        want = semdedup_reference(rows, threshold=0.8)
+        assert got == want
+        assert len(got) == t.num_rows
+
+    def test_planted_copies_dropped_originals_kept(self, ray_session):
+        import __ray_entry__ as entry
+
+        out = entry.queries()["emb_semdedup"](self.SF).take_all()
+        by_id = {r["vec_id"]: r for r in out}
+        n = len(out) // 2
+        assert len(out) == 2 * n
+        for vid, r in by_id.items():
+            if vid >= 1_000_000:
+                # a scaled copy points the same direction: same
+                # cluster as its original, cosine exactly 1.0 -> drop
+                assert not r["keep"], vid
+                assert r["cluster"] == by_id[vid - 1_000_000]["cluster"]
+            else:
+                # no raw pair reaches 0.95 cosine: originals all stay
+                assert r["keep"], vid
+
+
 class TestIVF:
     @pytest.fixture()
     def emb(self, ray_session):

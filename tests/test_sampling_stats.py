@@ -39,6 +39,25 @@ class TestLengthQuantiles:
             assert val == v[kth - 1], (q, val, v[kth - 1])
 
 
+class TestGroupedLengthQuantiles:
+    def test_matches_per_group_kth_smallest(self, ray_session, docs_df):
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            grouped_length_quantiles,
+        )
+
+        got = grouped_length_quantiles(SF).to_pandas()
+        langs = set(docs_df["lang"])
+        assert set(got["lang"]) == langs
+        for lang, g in got.groupby("lang"):
+            v = np.sort(
+                docs_df.loc[docs_df["lang"] == lang, "n_chars"].to_numpy())
+            n = len(v)
+            assert len(g) == 3
+            for q, val in zip(g["q"], g["value"]):
+                kth = int(np.ceil(round(q * n, 9)))
+                assert val == v[kth - 1], (lang, q, val, v[kth - 1])
+
+
 class TestStratifiedSample:
     def test_ranks_and_counts(self, ray_session, docs_df):
         from neo4j_document_pipeline_ray.extras.sampling import (

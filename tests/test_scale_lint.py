@@ -69,6 +69,9 @@ ALLOWED = {
     "pipelines/graph_algo.py::node_similarity_topk": "iterative",
     "pipelines/graph_algo.py::pagerank": "iterative",
     "pipelines/graph_algo.py::personalized_pagerank": "iterative",
+    "pipelines/graph_algo.py::related_docs_topk": "node-sided",  # doc sizes
+    "pipelines/graph_algo.py::sssp_weighted": "iterative",
+    "pipelines/graph_algo.py::sssp_weighted._fingerprint": "group-sized",
     "pipelines/graph_algo.py::triangle_counts": "iterative",
     "pipelines/graphrag.py::_bm25_corpus_stats": "group-sized",
     "pipelines/graphrag.py::_bm25_with_retry": "k-sized",
@@ -83,6 +86,7 @@ ALLOWED = {
     "pipelines/graphrag_local.py::LocalKG.__init__": "serving",
     "pipelines/kg_build.py::build_kg": "group-sized",  # post-agg tables
     "pipelines/snapshot.py::run_extraction_shard": "shard-scoped",
+    "pipelines/windows.py::q_events_late_data": "group-sized",  # K-range span
     "pipelines/windows.py::q_events_retention": "group-sized",  # (user,day)
     "serve.py::GraphRAGService.documents.compute": "group-sized",
     "serve.py::GraphRAGService.graph_schema.compute": "group-sized",
