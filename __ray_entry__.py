@@ -925,6 +925,16 @@ def _q_kg_cooccur_topk(sf_dir: str):
     return cooccurrence_topk(_kg(sf_dir)["mentions"], k=50, min_count=2)
 
 
+def _q_kg_hits(sf_dir: str):
+    """Integer HITS hubs/authorities over the directed KG — the
+    mutual-recursion centrality (hub = survey entity, authority = the
+    entity facts converge on) PageRank conflates
+    (pipelines/graph_algo.py:hits)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import hits
+
+    return hits(_kg(sf_dir)["edges"], iters=3)
+
+
 def _q_kg_related_docs(sf_dir: str):
     """Top related-document pairs by shared entities (integer Jaccard
     over the doc x entity bipartite mentions graph, ubiquitous
@@ -1010,6 +1020,49 @@ def _q_pages_lang_stats(sf_dir: str):
         })
 
     return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def _q_pages_section_stats(sf_dir: str):
+    """Per-site-section crawl profile over the raw pages table:
+    section = first URL path segment (RE2 extract, '' when absent —
+    DuckDB's regexp_extract convention), page count, total raw HTML
+    bytes, and EXACT distinct-language count (two-phase: a
+    (section, lang) distinct aggregate, then a section-keyed count) —
+    the per-section crawl audit a web-curation pass runs before
+    extraction, the section analog of pages_lang_stats."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        hash_aggregate,
+    )
+
+    paths = _corpus(sf_dir)
+    pages = rd.read_parquet(paths["pages"], columns=["url", "lang", "html"])
+
+    def prep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ex = pc.extract_regex(t["url"], r"^https?://[^/]+/(?P<sec>[^/]+)")
+        return pa.table({
+            "section": pc.fill_null(pc.struct_field(ex, "sec"), ""),
+            "lang": t["lang"],
+            "html_bytes": pc.cast(pc.binary_length(t["html"]), pa.int64()),
+        })
+
+    # base is lazy and consumed by two streaming passes (no pin)
+    base = pages.map_batches(prep, batch_format="pyarrow")
+    sl = hash_aggregate(
+        base.select_columns(["section", "lang"]), ["section", "lang"],
+        [(None, "count", "_m")], num_partitions=4).drop_columns(["_m"])
+    nl = hash_aggregate(sl, "section", [(None, "count", "n_langs")],
+                        num_partitions=4)
+    agg = hash_aggregate(
+        base.select_columns(["section", "html_bytes"]), "section",
+        [(None, "count", "n_pages"),
+         ("html_bytes", "sum", "total_html_bytes")], num_partitions=4)
+    return broadcast_join(agg, nl, on=("section",))
 
 
 def _q_kg_label_counts(sf_dir: str):
@@ -1144,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bm25_index_topk": _q_kg_bm25_index_topk,
         "kg_khop": _q_kg_khop,
         "pages_lang_stats": _q_pages_lang_stats,
+        "pages_section_stats": _q_pages_section_stats,
         "kg_label_counts": _q_kg_label_counts,
         "kg_rel_counts": _q_kg_rel_counts,
         "kg_pagerank": _q_kg_pagerank,
@@ -1151,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_cooccur_topk": _q_kg_cooccur_topk,
         "kg_related_docs": _q_kg_related_docs,
+        "kg_hits": _q_kg_hits,
         "kg_link_pred_topk": _q_kg_link_pred_topk,
         "kg_link_pred_ra_topk": _q_kg_link_pred_ra_topk,
         "kg_node_similarity": _q_kg_node_similarity,
@@ -1516,6 +1571,56 @@ def _sssp_sql(nsub: str, nobj: str, max_rounds: int = 32) -> str:
     """
 
 
+def _hits_sql(nsub: str, nobj: str, iters: int = 3) -> str:
+    """Unrolled integer-HITS mirror of pipelines/graph_algo.py:hits.
+    Every CTE is MATERIALIZED (see _sssp_weighted_sql's note), and the
+    max-normalizer re-reads the materialized raw table."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        HITS_SCALE,
+    )
+
+    s = HITS_SCALE
+    ctes = [f"""
+        e AS MATERIALIZED (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), nd AS MATERIALIZED (
+            SELECT DISTINCT x AS id FROM (
+                SELECT s AS x FROM e UNION ALL SELECT d FROM e)
+        ), a0 AS MATERIALIZED (
+            SELECT id, CAST({s} AS BIGINT) AS sc FROM nd
+        )"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        hr{k} AS MATERIALIZED (
+            SELECT nd.id,
+                   CAST(COALESCE(sum(a.sc), 0) AS BIGINT) AS raw
+            FROM nd LEFT JOIN e ON e.s = nd.id
+                    LEFT JOIN a{k-1} a ON a.id = e.d
+            GROUP BY nd.id
+        ), h{k} AS MATERIALIZED (
+            SELECT id, CAST(raw // greatest(1,
+                ((SELECT max(raw) FROM hr{k}) + {s} - 1) // {s})
+                AS BIGINT) AS sc
+            FROM hr{k}
+        ), ar{k} AS MATERIALIZED (
+            SELECT nd.id,
+                   CAST(COALESCE(sum(h.sc), 0) AS BIGINT) AS raw
+            FROM nd LEFT JOIN e ON e.d = nd.id
+                    LEFT JOIN h{k} h ON h.id = e.s
+            GROUP BY nd.id
+        ), a{k} AS MATERIALIZED (
+            SELECT id, CAST(raw // greatest(1,
+                ((SELECT max(raw) FROM ar{k}) + {s} - 1) // {s})
+                AS BIGINT) AS sc
+            FROM ar{k}
+        )""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT h.id AS entity_id, h.sc AS hub_scaled,
+               a.sc AS auth_scaled
+        FROM h{iters} h JOIN a{iters} a ON a.id = h.id""")
+
+
 def _sssp_weighted_sql(nsub: str, nobj: str, rounds: int = 24) -> str:
     """Unrolled-round Bellman-Ford mirror of pipelines/graph_algo.py:
     sssp_weighted — both sides compute the identical synchronous
@@ -1742,6 +1847,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_communities": _lpa_sql(nsub, nobj, rounds=_LPA_ROUNDS),
         "kg_sssp": _sssp_sql(nsub, nobj),
         "kg_sssp_weighted": _sssp_weighted_sql(nsub, nobj),
+        "kg_hits": _hits_sql(nsub, nobj, iters=3),
         "kg_link_pred_ra_topk": _link_pred_ra_sql(nsub, nobj, k=20),
         "kg_node_similarity": _node_similarity_sql(nsub, nobj, k=20),
         "kg_degree_topk": f"""
@@ -1997,6 +2103,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE shared_entities >= 2
             ORDER BY jaccard_scaled DESC, doc_a, doc_b
             LIMIT 50
+        """,
+        "pages_section_stats": f"""
+            WITH b AS (
+                SELECT regexp_extract(url,
+                           '^https?://[^/]+/([^/]+)', 1) AS section,
+                       lang, octet_length(html) AS hb
+                FROM read_parquet('{_PAGES_001}')
+            )
+            SELECT section, CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(hb) AS BIGINT) AS total_html_bytes,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM b GROUP BY section
         """,
         "pages_lang_stats": f"""
             SELECT lang, count(*) AS n,

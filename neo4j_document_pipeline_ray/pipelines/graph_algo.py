@@ -1004,6 +1004,150 @@ def bfs_distances_reference(edge_pairs) -> dict:
     return dist
 
 
+# --- HITS hubs/authorities ------------------------------------------------------
+
+HITS_SCALE = 10**6
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    iters: int = 3,
+    scale: int = HITS_SCALE,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Integer HITS (Kleinberg 1999) over DISTINCT directed pairs —
+    the mutual-recursion centrality PageRank can't express: a HUB
+    points at good authorities, an AUTHORITY is pointed at by good
+    hubs (in a KG: hub = survey/index entity, authority = the entity
+    facts converge on — both are curation signals PageRank conflates
+    into one score).
+
+    Determinism contract (module docstring): all-integer.  Standard
+    HITS L2-normalizes each half-step; here each half-step floor-
+    divides by ``ceil(max_raw / scale)`` — an exact rational
+    max-normalization that keeps every score in ``[0, scale]`` and
+    int64-safe at any graph size (raw sums ≤ V*scale ≤ 1e14 at
+    V = 1e8), at the documented cost that scores are comparable
+    WITHIN a side, not a probability mass.
+
+    Per round: two E-sized streaming probes of node-sided score
+    tables (broadcast size gate) + two node-keyed sum aggregates +
+    two single-row max aggregates.  Returns
+    ``(entity_id, hub_scaled, auth_scaled)`` after ``iters`` rounds.
+    """
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col]),
+        [src_col, dst_col], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"]).materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([
+            t[src_col].combine_chunks(), t[dst_col].combine_chunks(),
+        ])
+        return pa.table({"entity_id": ids})
+
+    nodes = hash_aggregate(
+        e.map_batches(both_ends, batch_format="pyarrow"),
+        "entity_id", [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"]).materialize()
+
+    def _max_of(ds: "ray.data.Dataset", col: str) -> int:
+        def p(t: pa.Table) -> pa.Table:
+            m = pc.max(t[col]).as_py()
+            return pa.table({
+                "_k": pa.array([1], pa.int64()),
+                "m": pa.array([0 if m is None else m], pa.int64()),
+            })
+
+        r = hash_aggregate(
+            ds.map_batches(p, batch_format="pyarrow"),
+            "_k", [("m", "max", "m")], num_partitions=1,
+        ).take_all()
+        return int(r[0]["m"]) if r else 0
+
+    def _half_step(scores: "ray.data.Dataset", probe_col: str,
+                   out_col: str, alias: str) -> "ray.data.Dataset":
+        # raw(u) = sum of the counterpart score over edges keyed on
+        # probe_col, re-keyed to out_col; then floor-div renormalize
+        flows = broadcast_join(e, scores, on=(probe_col,),
+                               right_on=("entity_id",),
+                               num_partitions=num_partitions)
+        raw = hash_aggregate(
+            flows.select_columns([out_col, "s"]),
+            out_col, [("s", "sum", "raw")],
+            num_partitions=num_partitions)
+        mx = _max_of(raw, "raw")
+        d = max(1, (mx + scale - 1) // scale)
+        joined = broadcast_join(nodes, raw, on=("entity_id",),
+                                right_on=(out_col,),
+                                join_type="left_outer",
+                                num_partitions=num_partitions)
+
+        def norm(t: pa.Table) -> pa.Table:
+            r = pc.fill_null(t["raw"], 0)
+            return pa.table({
+                "entity_id": t["entity_id"],
+                alias: pc.cast(pc.divide(r, d), pa.int64()),
+            })
+
+        return joined.map_batches(norm, batch_format="pyarrow")
+
+    def seeded(alias: str) -> "ray.data.Dataset":
+        return nodes.map_batches(
+            lambda t, _a=alias: t.append_column(
+                _a, pa.array([scale] * t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+
+    auth = seeded("s")
+    hub = None
+    for _ in range(iters):
+        # hubs sum authority over OUT-edges; authorities then sum the
+        # fresh hub scores over IN-edges (the classic ordering)
+        hub = _half_step(auth, dst_col, src_col, "s").materialize()
+        auth = _half_step(hub, src_col, dst_col, "s").materialize()
+
+    hub = hub.map_batches(
+        lambda t: t.rename_columns(
+            [{"s": "hub_scaled"}.get(c, c) for c in t.schema.names]),
+        batch_format="pyarrow")
+    out = broadcast_join(hub, auth, on=("entity_id",),
+                         num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            [{"s": "auth_scaled"}.get(c, c) for c in t.schema.names]),
+        batch_format="pyarrow")
+
+
+def hits_reference(edge_pairs, iters: int = 3,
+                   scale: int = HITS_SCALE) -> dict:
+    """Pure-Python integer replay (test oracle):
+    node -> (hub_scaled, auth_scaled)."""
+    e = sorted(set(edge_pairs))
+    nodes = sorted({x for p in e for x in p})
+    auth = {n: scale for n in nodes}
+    hub = {n: 0 for n in nodes}
+
+    def half(scores, key_idx):
+        raw = {n: 0 for n in nodes}
+        for s, d_ in e:
+            if key_idx == 0:
+                raw[s] += scores[d_]
+            else:
+                raw[d_] += scores[s]
+        mx = max(raw.values()) if raw else 0
+        dv = max(1, (mx + scale - 1) // scale)
+        return {n: v // dv for n, v in raw.items()}
+
+    for _ in range(iters):
+        hub = half(auth, 0)
+        auth = half(hub, 1)
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
 # --- related documents (bipartite projection onto docs) ------------------------
 
 RELDOC_SCALE = 10**6

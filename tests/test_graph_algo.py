@@ -366,6 +366,36 @@ class TestBfsDistances:
         assert got == {0: 0, 1: 1, 2: 1, 9: 1, 8: 1, 3: 2}
 
 
+class TestHits:
+    def test_matches_integer_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            hits,
+            hits_reference,
+        )
+
+        # a strong authority (3), two hubs, a cycle, a self-loop,
+        # duplicate edges, and a disjoint 2-cycle
+        pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 6),
+                 (6, 5), (1, 2), (7, 3), (8, 8)]
+        got = {r["entity_id"]: (r["hub_scaled"], r["auth_scaled"])
+               for r in hits(_edges_ds(pairs), iters=3).take_all()}
+        want = hits_reference(pairs, iters=3)
+        assert got == want
+
+    def test_hub_and_authority_separate(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import hits
+
+        # pure bipartite: 1,2 point at 8,9 — hubs score 0 authority,
+        # authorities score 0 hub (PageRank cannot split these roles)
+        pairs = [(1, 8), (1, 9), (2, 8), (2, 9)]
+        got = {r["entity_id"]: (r["hub_scaled"], r["auth_scaled"])
+               for r in hits(_edges_ds(pairs), iters=2).take_all()}
+        for h in (1, 2):
+            assert got[h][0] > 0 and got[h][1] == 0
+        for a in (8, 9):
+            assert got[a][0] == 0 and got[a][1] > 0
+
+
 def _mentions_ds(pairs):
     import ray.data as rd
 

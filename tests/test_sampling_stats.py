@@ -58,6 +58,32 @@ class TestGroupedLengthQuantiles:
                 assert val == v[kth - 1], (lang, q, val, v[kth - 1])
 
 
+class TestPagesSectionStats:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as entry
+        from neo4j_document_pipeline_ray.sources.corpus import ensure_corpus
+
+        got = entry.queries()["pages_section_stats"](SF).to_pandas()
+        pages = ensure_corpus(SF)["pages"] + "/*.parquet"
+        want = duckdb.sql(f"""
+            WITH b AS (
+                SELECT regexp_extract(url,
+                           '^https?://[^/]+/([^/]+)', 1) AS section,
+                       lang, octet_length(html) AS hb
+                FROM read_parquet('{pages}')
+            )
+            SELECT section, CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(sum(hb) AS BIGINT) AS total_html_bytes,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM b GROUP BY section ORDER BY section
+        """).df()
+        got = got.sort_values("section").reset_index(drop=True)
+        cols = ["section", "n_pages", "total_html_bytes", "n_langs"]
+        assert got[cols].values.tolist() == want[cols].values.tolist()
+
+
 class TestStratifiedSample:
     def test_ranks_and_counts(self, ray_session, docs_df):
         from neo4j_document_pipeline_ray.extras.sampling import (

@@ -62,6 +62,8 @@ ALLOWED = {
     "extras/textstats.py::unigram_logprob.score": "batch-local",
     "pipelines/graph_algo.py::bfs_distances": "iterative",
     "pipelines/graph_algo.py::cooccurrence_topk": "node-sided",
+    "pipelines/graph_algo.py::hits": "iterative",
+    "pipelines/graph_algo.py::hits._max_of": "group-sized",  # 1 row
     "pipelines/graph_algo.py::kcore": "iterative",
     "pipelines/graph_algo.py::label_prop_communities": "iterative",
     "pipelines/graph_algo.py::link_prediction_ra_topk": "iterative",
