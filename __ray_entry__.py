@@ -475,6 +475,16 @@ def _q_docs_repetition(sf_dir: str):
     return repetition_stats(sf_dir)
 
 
+def _q_docs_dup_ngrams(sf_dir: str):
+    """Cross-document duplicated n-gram rate + longest shared span per
+    doc — the ExactSubstr dedup signal (Lee et al. 2021) at word-gram
+    granularity (extras/dupgrams.py; gram-hash partitions compute df,
+    doc-hash partitions fold flags into rate and run)."""
+    from neo4j_document_pipeline_ray.extras.dupgrams import docs_dup_ngrams
+
+    return docs_dup_ngrams(sf_dir)
+
+
 def _q_docs_curation_filter(sf_dir: str):
     """Composed C4/Gopher-style keep/drop gate with first-failing-rule
     reasons - the curation decision a pre-training pipeline applies
@@ -1259,6 +1269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": _q_lang_id,
         "docs_fingerprint": _q_fingerprints,
         "docs_repetition": _q_docs_repetition,
+        "docs_dup_ngrams": _q_docs_dup_ngrams,
         "docs_salient_terms": _q_docs_salient_terms,
         "docs_curation_filter": _q_docs_curation_filter,
         "docs_scrub": _q_docs_scrub,
@@ -1732,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.decontam import (
         docs_decontaminate_sql,
     )
+    from neo4j_document_pipeline_ray.extras.dupgrams import DUP_NGRAM_SQL
     from neo4j_document_pipeline_ray.extras.sampling import (
         docs_domain_budget_sql,
         docs_weighted_sample_sql,
@@ -2179,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id": LANG_ID_SQL,
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_repetition": REPETITION_SQL,
+        "docs_dup_ngrams": DUP_NGRAM_SQL,
         "docs_salient_terms": salient_terms_sql(3),
         "docs_curation_filter": CURATION_FILTER_SQL,
         "docs_scrub": scrub_blocklist_sql(),
