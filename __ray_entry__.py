@@ -1032,6 +1032,20 @@ def _q_pages_lang_stats(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_pages_url_dedup(sf_dir: str):
+    """Canonical-URL recrawl dedup over raw pages: collapse scheme /
+    www / default-port / trailing-slash / query-string spellings, keep
+    the earliest crawl per canonical URL — reads only url+warc_ts, the
+    HTML payload never leaves storage (extras/urls.py)."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.urls import url_dedup
+
+    paths = _corpus(sf_dir)
+    pages = rd.read_parquet(paths["pages"], columns=["url", "warc_ts"])
+    return url_dedup(pages)
+
+
 def _q_pages_section_stats(sf_dir: str):
     """Per-site-section crawl profile over the raw pages table:
     section = first URL path segment (RE2 extract, '' when absent —
@@ -1208,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_khop": _q_kg_khop,
         "pages_lang_stats": _q_pages_lang_stats,
         "pages_section_stats": _q_pages_section_stats,
+        "pages_url_dedup": _q_pages_url_dedup,
         "kg_label_counts": _q_kg_label_counts,
         "kg_rel_counts": _q_kg_rel_counts,
         "kg_pagerank": _q_kg_pagerank,
@@ -1744,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         docs_decontaminate_sql,
     )
     from neo4j_document_pipeline_ray.extras.dupgrams import DUP_NGRAM_SQL
+    from neo4j_document_pipeline_ray.extras.urls import url_dedup_sql
     from neo4j_document_pipeline_ray.extras.sampling import (
         docs_domain_budget_sql,
         docs_weighted_sample_sql,
@@ -2116,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY jaccard_scaled DESC, doc_a, doc_b
             LIMIT 50
         """,
+        "pages_url_dedup": url_dedup_sql(_PAGES_001),
         "pages_section_stats": f"""
             WITH b AS (
                 SELECT regexp_extract(url,

@@ -1,0 +1,116 @@
+"""Canonical-URL recrawl deduplication over the raw pages table.
+
+Web crawls re-fetch the same resource under many spellings — scheme
+casing, ``www.`` prefixes, default ports, trailing slashes, tracking
+query strings, fragments.  Every production curation pipeline (C4,
+CCNet, RefinedWeb §3.1) collapses these BEFORE content processing,
+because it is the cheapest dedup there is: the decision reads only the
+``url`` and ``warc_ts`` columns — the HTML payload never leaves
+storage (cf. the reference's per-document upsert, which keys raw
+``url`` only, ingestMD.py's MERGE-by-url).
+
+Canonicalization (every step an RE2 regex, mirrored verbatim in the
+DuckDB oracle):
+
+  1. split ``scheme://host/path`` (query + fragment DROPPED — the
+     aggressive recrawl convention; param-preserving variants belong
+     to a politeness layer, not dedup);
+  2. host: lowercase, strip leading ``www.``, strip default ports
+     ``:80`` / ``:443`` (scheme is dropped with the split, so http
+     and https recrawls collapse);
+  3. path: strip trailing slashes (kept case-sensitive);
+  4. URLs with no ``scheme://`` prefix canonicalize to their
+     lowercased whole form.
+
+Dedup keeps the EARLIEST crawl per canonical URL (ties broken by raw
+url byte order) via a single min aggregate over the sort key
+``strftime(ts) || '|' || url`` — one count+min hash aggregate, one
+exchange, no shuffle of page payloads.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+_SPLIT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<host>[^/?#]+)(?P<path>[^?#]*)"
+_TS_FMT = "%Y-%m-%d %H:%M:%S"  # fixed 19 chars; floor-to-second both sides
+
+
+def canonicalize_urls(urls: "pa.ChunkedArray | pa.Array") -> "pa.Array":
+    """Vectorized canonical form of a string array of URLs."""
+    ex = pc.extract_regex(urls, _SPLIT_RE)
+    host = pc.fill_null(pc.struct_field(ex, "host"), "")
+    path = pc.fill_null(pc.struct_field(ex, "path"), "")
+    host = pc.utf8_lower(host)
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    host = pc.replace_substring_regex(host, r":(80|443)$", "")
+    path = pc.replace_substring_regex(path, r"/+$", "")
+    canon = pc.binary_join_element_wise(host, path, "")
+    return pc.if_else(pc.equal(host, ""), pc.utf8_lower(urls), canon)
+
+
+def _canon_batch(t: pa.Table) -> pa.Table:
+    sec = pc.floor_temporal(t["warc_ts"], unit="second").cast(
+        pa.timestamp("s"))
+    sortkey = pc.binary_join_element_wise(
+        pc.strftime(sec, format=_TS_FMT), t["url"], "|")
+    return pa.table({
+        "canon_url": canonicalize_urls(t["url"]),
+        "k": sortkey,
+    })
+
+
+def url_dedup(pages: "ray.data.Dataset",
+              num_partitions: int = 4) -> "ray.data.Dataset":
+    """Per canonical URL: page count and the kept (earliest) crawl.
+    ``pages`` needs only ``url`` + ``warc_ts`` columns."""
+    base = pages.map_batches(_canon_batch, batch_format="pyarrow")
+    agg = hash_aggregate(base, "canon_url", [
+        (None, "count", "n_pages"),
+        ("k", "min", "k"),
+    ], num_partitions=num_partitions)
+
+    def split(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "canon_url": t["canon_url"],
+            "n_pages": t["n_pages"],
+            "kept_url": pc.utf8_slice_codeunits(t["k"], 20),
+            "first_ts": pc.utf8_slice_codeunits(t["k"], 0, 19),
+        })
+
+    return agg.map_batches(split, batch_format="pyarrow")
+
+
+def url_dedup_sql(pages_glob: str) -> str:
+    """DuckDB mirror — identical regex chain and sort key."""
+    return f"""
+    WITH c AS (
+        SELECT url,
+               lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)([^?#]*)', 1))
+                   AS host0,
+               regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)([^?#]*)', 2)
+                   AS path0,
+               strftime(warc_ts, '{_TS_FMT}') || '|' || url AS k
+        FROM read_parquet('{pages_glob}')
+    ), n AS (
+        SELECT CASE WHEN host0 = '' THEN lower(url)
+                    ELSE regexp_replace(regexp_replace(host0,
+                             '^www\\.', ''), ':(80|443)$', '')
+                         || regexp_replace(path0, '/+$', '')
+               END AS canon_url,
+               k
+        FROM c
+    )
+    SELECT canon_url,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           substr(min(k), 21) AS kept_url,
+           substr(min(k), 1, 19) AS first_ts
+    FROM n GROUP BY canon_url
+    """

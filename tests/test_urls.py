@@ -1,0 +1,84 @@
+"""Canonical-URL recrawl dedup (extras/urls.py): canonicalization
+rules on messy URLs, earliest-crawl keep semantics, and DuckDB-mirror
+parity on a written fixture."""
+
+import datetime
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+# four spellings of one resource (differing scheme, case, www, default
+# port, trailing slash, query, fragment), one near-miss (real port),
+# one path-case variant (distinct), one scheme-less url
+FIXTURE = pd.DataFrame({
+    "url": [
+        "https://www.Example.com:443/a/b/?utm_source=x#frag",
+        "http://example.COM/a/b",
+        "HTTPS://EXAMPLE.com:443/a/b/",
+        "http://www.example.com:80/a/b?session=9",
+        "https://example.com:8080/a/b",     # non-default port: distinct
+        "https://example.com/A/B",          # path case-sensitive
+        "Example.com/plain",                # no scheme
+    ],
+    "warc_ts": [
+        _ts("2024-01-03 10:00:00"),
+        _ts("2024-01-01 09:30:00"),   # earliest of the 4-way group
+        _ts("2024-01-02 08:00:00"),
+        _ts("2024-01-04 07:00:00"),
+        _ts("2024-01-05 06:00:00"),
+        _ts("2024-01-06 05:00:00"),
+        _ts("2024-01-07 04:00:00"),
+    ],
+})
+
+
+class TestUrlDedup:
+    def test_canonicalization_and_keep(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import url_dedup
+
+        got = {r["canon_url"]: r for r in url_dedup(
+            ray.data.from_pandas(FIXTURE).repartition(3)).take_all()}
+        assert set(got) == {
+            "example.com/a/b", "example.com:8080/a/b",
+            "example.com/A/B", "example.com/plain",
+        }
+        g = got["example.com/a/b"]
+        assert g["n_pages"] == 4
+        assert g["kept_url"] == "http://example.COM/a/b"
+        assert g["first_ts"] == "2024-01-01 09:30:00"
+        assert got["example.com:8080/a/b"]["n_pages"] == 1
+
+    def test_duckdb_mirror_parity(self, ray_session, tmp_path):
+        from neo4j_document_pipeline_ray.extras.urls import (
+            url_dedup,
+            url_dedup_sql,
+        )
+
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(pa.Table.from_pandas(FIXTURE), p)
+        got = (url_dedup(ray.data.read_parquet(p)).to_pandas()
+               .sort_values("canon_url").reset_index(drop=True))
+        want = duckdb.sql(
+            url_dedup_sql(p) + " ORDER BY canon_url").df()
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
+
+    def test_tie_breaks_by_url_bytes(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import url_dedup
+
+        same_ts = pd.DataFrame({
+            "url": ["https://t.io/x/", "http://t.io/x"],
+            "warc_ts": [_ts("2024-02-02 00:00:00")] * 2,
+        })
+        (row,) = url_dedup(ray.data.from_pandas(same_ts)).take_all()
+        assert row["kept_url"] == "http://t.io/x"  # 'h'<'h'.. http<https
