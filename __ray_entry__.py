@@ -1046,6 +1046,20 @@ def _q_pages_url_dedup(sf_dir: str):
     return url_dedup(pages)
 
 
+def _q_pages_links(sf_dir: str):
+    """Hyperlink edge list of the crawl: per-page href extraction +
+    absolute-URL resolution — the web-graph construction primitive
+    (host rank / crawl frontier / anchor mining start here;
+    extras/urls.py:page_links)."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.urls import page_links
+
+    paths = _corpus(sf_dir)
+    return page_links(rd.read_parquet(paths["pages"],
+                                      columns=["url", "html"]))
+
+
 def _q_pages_section_stats(sf_dir: str):
     """Per-site-section crawl profile over the raw pages table:
     section = first URL path segment (RE2 extract, '' when absent —
@@ -1223,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_lang_stats": _q_pages_lang_stats,
         "pages_section_stats": _q_pages_section_stats,
         "pages_url_dedup": _q_pages_url_dedup,
+        "pages_links": _q_pages_links,
         "kg_label_counts": _q_kg_label_counts,
         "kg_rel_counts": _q_kg_rel_counts,
         "kg_pagerank": _q_kg_pagerank,
@@ -1759,7 +1774,10 @@ def oracle_sql() -> dict[str, str]:
         docs_decontaminate_sql,
     )
     from neo4j_document_pipeline_ray.extras.dupgrams import DUP_NGRAM_SQL
-    from neo4j_document_pipeline_ray.extras.urls import url_dedup_sql
+    from neo4j_document_pipeline_ray.extras.urls import (
+        links_sql,
+        url_dedup_sql,
+    )
     from neo4j_document_pipeline_ray.extras.sampling import (
         docs_domain_budget_sql,
         docs_weighted_sample_sql,
@@ -2133,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "pages_url_dedup": url_dedup_sql(_PAGES_001),
+        "pages_links": links_sql(_PAGES_001),
         "pages_section_stats": f"""
             WITH b AS (
                 SELECT regexp_extract(url,

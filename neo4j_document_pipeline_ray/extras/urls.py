@@ -86,6 +86,96 @@ def url_dedup(pages: "ray.data.Dataset",
     return agg.map_batches(split, batch_format="pyarrow")
 
 
+_HREF_RE = None  # compiled lazily (workers import this module cold)
+_ABS_RE = None
+
+
+def extract_links_batch(t: pa.Table) -> pa.Table:
+    """One row per ``<a href>`` of each page: ``(src_url, href,
+    dst_url)`` with ``dst_url`` resolved to absolute form.
+
+    The hyperlink-graph construction primitive (host rank, anchor
+    mining, crawl frontier all start here).  Multi-match extraction
+    has no Arrow kernel, so the findall runs per row with a compiled
+    module-level regex — same cost class as the HTML text parser
+    stage, embarrassingly parallel.  Resolution rules (mirrored
+    verbatim in :func:`links_sql`):
+
+      * ``scheme://...``                    kept as-is;
+      * ``//host/...``   protocol-relative: ``https:`` prepended;
+      * ``/path``        root-relative: page origin prepended;
+      * ``#...`` / ``javascript:`` / ``mailto:``  dropped;
+      * anything else    relative: resolved against the page's
+        directory (``regexp_replace(url, '[^/]*$', '')``).
+    """
+    import re
+
+    global _HREF_RE, _ABS_RE
+    if _HREF_RE is None:
+        _HREF_RE = re.compile(r"<a\s[^>]*href=['\"]?([^'\">\s]+)")
+        _ABS_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    src, href, dst = [], [], []
+    urls = t["url"].to_pylist()
+    for url, html in zip(urls, t["html"].to_pylist()):
+        base = re.sub(r"[^/]*$", "", url)
+        origin_m = _ABS_RE.match(url)
+        origin = ""
+        if origin_m:
+            end = url.find("/", origin_m.end())
+            origin = url if end < 0 else url[:end]
+        for h in _HREF_RE.findall(html.decode("utf-8")):
+            hl = h.lower()
+            if h.startswith("#") or hl.startswith(("javascript:",
+                                                   "mailto:")):
+                continue
+            if _ABS_RE.match(h):
+                d = h
+            elif h.startswith("//"):
+                d = "https:" + h
+            elif h.startswith("/"):
+                d = origin + h
+            else:
+                d = base + h
+            src.append(url)
+            href.append(h)
+            dst.append(d)
+    return pa.table({
+        "src_url": pa.array(src, pa.string()),
+        "href": pa.array(href, pa.string()),
+        "dst_url": pa.array(dst, pa.string()),
+    })
+
+
+def page_links(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Hyperlink edge list of a pages Dataset (``url`` + ``html``)."""
+    return pages.map_batches(extract_links_batch, batch_format="pyarrow")
+
+
+def links_sql(pages_glob: str) -> str:
+    """DuckDB mirror of :func:`extract_links_batch` — identical href
+    regex (group 1 of ``regexp_extract_all``) and resolution CASE."""
+    return f"""
+    WITH l AS (
+        SELECT url AS src_url,
+               unnest(regexp_extract_all(decode(html),
+                   '<a\\s[^>]*href=[''"]?([^''">\\s]+)', 1)) AS href
+        FROM read_parquet('{pages_glob}')
+    )
+    SELECT src_url, href,
+           CASE
+             WHEN regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                  THEN href
+             WHEN href LIKE '//%' THEN 'https:' || href
+             WHEN href LIKE '/%' THEN regexp_extract(src_url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) || href
+             ELSE regexp_replace(src_url, '[^/]*$', '') || href
+           END AS dst_url
+    FROM l
+    WHERE NOT (href LIKE '#%' OR lower(href) LIKE 'javascript:%'
+               OR lower(href) LIKE 'mailto:%')
+    """
+
+
 def url_dedup_sql(pages_glob: str) -> str:
     """DuckDB mirror — identical regex chain and sort key."""
     return f"""

@@ -73,6 +73,54 @@ class TestUrlDedup:
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want, check_dtype=False)
 
+    def test_link_extraction_and_resolution(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import page_links
+
+        html = (b"<p><a href='https://other.net/abs'>a</a>"
+                b"<a href=\"//cdn.example.com/x\">b</a>"
+                b"<a href='/root-rel'>c</a>"
+                b"<a href='sibling.html'>d</a>"
+                b"<a href='#frag'>e</a>"
+                b"<a href='mailto:x@y.z'>f</a>"
+                b"<a href='JavaScript:void(0)'>g</a>"
+                b"<a href=bare/path>h</a></p>")
+        pages = ray.data.from_pandas(pd.DataFrame({
+            "url": ["https://www.site.io/dir/page.html"],
+            "html": [html],
+        }))
+        got = page_links(pages).take_all()
+        dsts = [r["dst_url"] for r in got]
+        assert dsts == [
+            "https://other.net/abs",
+            "https://cdn.example.com/x",
+            "https://www.site.io/root-rel",
+            "https://www.site.io/dir/sibling.html",
+            "https://www.site.io/dir/bare/path",
+        ]
+
+    def test_links_duckdb_mirror_parity(self, ray_session, tmp_path):
+        from neo4j_document_pipeline_ray.extras.urls import (
+            links_sql,
+            page_links,
+        )
+
+        df = pd.DataFrame({
+            "url": ["https://a.io/d/p.html", "https://b.io/q"],
+            "html": [
+                b"<a href='/x'>1</a><a href=\"r.html\">2</a>",
+                b"<nav><a href='https://a.io/d/p.html'>back</a></nav>"
+                b"<a href='#top'>t</a>",
+            ],
+        })
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(pa.Table.from_pandas(df), p)
+        got = (page_links(ray.data.read_parquet(p)).to_pandas()
+               .sort_values(["src_url", "href"]).reset_index(drop=True))
+        want = duckdb.sql(
+            links_sql(p) + " ORDER BY src_url, href").df()
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
+
     def test_tie_breaks_by_url_bytes(self, ray_session):
         from neo4j_document_pipeline_ray.extras.urls import url_dedup
 
