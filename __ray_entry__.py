@@ -485,6 +485,15 @@ def _q_docs_dup_ngrams(sf_dir: str):
     return docs_dup_ngrams(sf_dir)
 
 
+def _q_docs_bpe_pairs(sf_dir: str):
+    """Top adjacent byte pairs over within-word positions — BPE
+    tokenizer-training iteration 0 (extras/bpe.py; per-batch bincount
+    partials cap the exchange at 64Ki keys per batch)."""
+    from neo4j_document_pipeline_ray.extras.bpe import docs_bpe_pairs
+
+    return docs_bpe_pairs(sf_dir)
+
+
 def _q_docs_curation_filter(sf_dir: str):
     """Composed C4/Gopher-style keep/drop gate with first-failing-rule
     reasons - the curation decision a pre-training pipeline applies
@@ -1300,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_fingerprints,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_ngrams": _q_docs_dup_ngrams,
+        "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_salient_terms": _q_docs_salient_terms,
         "docs_curation_filter": _q_docs_curation_filter,
         "docs_scrub": _q_docs_scrub,
@@ -1773,6 +1783,7 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.decontam import (
         docs_decontaminate_sql,
     )
+    from neo4j_document_pipeline_ray.extras.bpe import BPE_PAIRS_SQL
     from neo4j_document_pipeline_ray.extras.dupgrams import DUP_NGRAM_SQL
     from neo4j_document_pipeline_ray.extras.urls import (
         links_sql,
@@ -2228,6 +2239,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_repetition": REPETITION_SQL,
         "docs_dup_ngrams": DUP_NGRAM_SQL,
+        "docs_bpe_pairs": BPE_PAIRS_SQL,
         "docs_salient_terms": salient_terms_sql(3),
         "docs_curation_filter": CURATION_FILTER_SQL,
         "docs_scrub": scrub_blocklist_sql(),

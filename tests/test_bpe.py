@@ -1,0 +1,49 @@
+"""BPE pair counting (extras/bpe.py) vs a Counter replay and the
+DuckDB mirror."""
+
+import collections
+
+import duckdb
+import pandas as pd
+import pytest
+
+import ray.data
+
+
+FIXTURE = ["the theme thesis", "aa aa aaa", "x", ""]
+
+
+def _replay(texts, k):
+    c = collections.Counter()
+    for s in texts:
+        for w in s.lower().split():
+            for i in range(len(w) - 1):
+                c[w[i:i + 2]] += 1
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+class TestBpePairs:
+    def test_matches_counter(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.bpe import bpe_top_pairs
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"text": FIXTURE})).repartition(3)
+        got = [(r["pair"], r["n"])
+               for r in bpe_top_pairs(ds, k=10).take_all()]
+        assert got == _replay(FIXTURE, 10)
+        # 'aa' counted per overlapping position: 'aa'->1, 'aaa'->2
+        assert dict(got)["aa"] == 2 * 1 + 2  # two 'aa' words + 'aaa'
+
+    def test_duckdb_mirror_parity(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.bpe import (
+            bpe_pairs_sql,
+            bpe_top_pairs,
+        )
+
+        ds = ray.data.from_pandas(pd.DataFrame({"text": FIXTURE}))
+        got = bpe_top_pairs(ds, k=10).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({"text": FIXTURE}))
+        want = con.execute(bpe_pairs_sql(10)).df()
+        con.close()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
