@@ -1069,6 +1069,20 @@ def _q_pages_links(sf_dir: str):
                                       columns=["url", "html"]))
 
 
+def _q_pages_anchor_terms(sf_dir: str):
+    """Top (dst_url, anchor-text) citation pairs — anchor mining, the
+    external naming signal web KGs weight above on-page text
+    (extras/urls.py:anchor_terms; per-batch dict collapse keeps the
+    exchange at (pair, count) partials)."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.urls import anchor_terms
+
+    paths = _corpus(sf_dir)
+    return anchor_terms(rd.read_parquet(paths["pages"],
+                                        columns=["url", "html"]))
+
+
 def _q_pages_section_stats(sf_dir: str):
     """Per-site-section crawl profile over the raw pages table:
     section = first URL path segment (RE2 extract, '' when absent —
@@ -1247,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_section_stats": _q_pages_section_stats,
         "pages_url_dedup": _q_pages_url_dedup,
         "pages_links": _q_pages_links,
+        "pages_anchor_terms": _q_pages_anchor_terms,
         "kg_label_counts": _q_kg_label_counts,
         "kg_rel_counts": _q_kg_rel_counts,
         "kg_pagerank": _q_kg_pagerank,
@@ -1786,6 +1801,7 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.bpe import BPE_PAIRS_SQL
     from neo4j_document_pipeline_ray.extras.dupgrams import DUP_NGRAM_SQL
     from neo4j_document_pipeline_ray.extras.urls import (
+        anchor_terms_sql,
         links_sql,
         url_dedup_sql,
     )
@@ -2163,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pages_url_dedup": url_dedup_sql(_PAGES_001),
         "pages_links": links_sql(_PAGES_001),
+        "pages_anchor_terms": anchor_terms_sql(_PAGES_001),
         "pages_section_stats": f"""
             WITH b AS (
                 SELECT regexp_extract(url,

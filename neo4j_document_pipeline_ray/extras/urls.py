@@ -176,6 +176,104 @@ def links_sql(pages_glob: str) -> str:
     """
 
 
+_ANCHOR_RE = None
+
+
+def extract_anchors_batch(t: pa.Table) -> pa.Table:
+    """Per ``<a href>...text...</a>``: ``(dst_url, anchor)`` partial
+    counts — anchor-text mining, the classic external naming signal
+    for a page (search engines and web KGs weight anchor terms above
+    on-page text).  Anchor normalization: whitespace-collapsed,
+    trimmed, lowercased; empty anchors and fragment/mailto/javascript
+    hrefs dropped.  Resolution shares :func:`extract_links_batch`'s
+    rules."""
+    import re
+
+    global _ANCHOR_RE, _ABS_RE
+    if _ANCHOR_RE is None:
+        _ANCHOR_RE = re.compile(
+            r"<a\s[^>]*href=['\"]?([^'\">\s]+)[^>]*>([^<]*)</a>")
+        if _ABS_RE is None:
+            _ABS_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    counts: dict = {}
+    for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        base = re.sub(r"[^/]*$", "", url)
+        origin_m = _ABS_RE.match(url)
+        origin = ""
+        if origin_m:
+            end = url.find("/", origin_m.end())
+            origin = url if end < 0 else url[:end]
+        for h, anchor in _ANCHOR_RE.findall(html.decode("utf-8")):
+            hl = h.lower()
+            if h.startswith("#") or hl.startswith(("javascript:",
+                                                   "mailto:")):
+                continue
+            a = " ".join(anchor.split()).lower()
+            if not a:
+                continue
+            if _ABS_RE.match(h):
+                d = h
+            elif h.startswith("//"):
+                d = "https:" + h
+            elif h.startswith("/"):
+                d = origin + h
+            else:
+                d = base + h
+            counts[(d, a)] = counts.get((d, a), 0) + 1
+    keys = sorted(counts)
+    return pa.table({
+        "dst_url": pa.array([k[0] for k in keys], pa.string()),
+        "anchor": pa.array([k[1] for k in keys], pa.string()),
+        "n": pa.array([counts[k] for k in keys], pa.int64()),
+    })
+
+
+def anchor_terms(pages: "ray.data.Dataset", k: int = 100,
+                 num_partitions: int = 4) -> "ray.data.Dataset":
+    """Global top-k (dst_url, anchor) pairs by citation count.  The
+    per-batch dict collapse makes the exchange carry (pair, count)
+    partials, not individual links."""
+    partials = pages.map_batches(extract_anchors_batch,
+                                 batch_format="pyarrow")
+    agg = hash_aggregate(partials, ["dst_url", "anchor"],
+                         [("n", "sum", "n")],
+                         num_partitions=num_partitions)
+    return agg.sort(["n", "dst_url", "anchor"],
+                    descending=[True, False, False]).limit(k)
+
+
+def anchor_terms_sql(pages_glob: str, k: int = 100) -> str:
+    """DuckDB mirror — two aligned ``regexp_extract_all`` group pulls
+    zip (href, anchor); the resolution CASE matches links_sql."""
+    pat = "'<a\\s[^>]*href=[''\"]?([^''\">\\s]+)[^>]*>([^<]*)</a>'"
+    return f"""
+    WITH l AS (
+        SELECT url AS src_url,
+               unnest(regexp_extract_all(decode(html), {pat}, 1)) AS href,
+               unnest(regexp_extract_all(decode(html), {pat}, 2)) AS a0
+        FROM read_parquet('{pages_glob}')
+    ), n AS (
+        SELECT CASE
+                 WHEN regexp_matches(href,
+                      '^[a-zA-Z][a-zA-Z0-9+.-]*://') THEN href
+                 WHEN href LIKE '//%' THEN 'https:' || href
+                 WHEN href LIKE '/%' THEN regexp_extract(src_url,
+                      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) || href
+                 ELSE regexp_replace(src_url, '[^/]*$', '') || href
+               END AS dst_url,
+               lower(trim(regexp_replace(a0, '\\s+', ' ', 'g'))) AS anchor
+        FROM l
+        WHERE NOT (href LIKE '#%' OR lower(href) LIKE 'javascript:%'
+                   OR lower(href) LIKE 'mailto:%')
+    )
+    SELECT dst_url, anchor, CAST(count(*) AS BIGINT) AS n
+    FROM n WHERE anchor <> ''
+    GROUP BY dst_url, anchor
+    ORDER BY n DESC, dst_url, anchor
+    LIMIT {k}
+    """
+
+
 def url_dedup_sql(pages_glob: str) -> str:
     """DuckDB mirror — identical regex chain and sort key."""
     return f"""

@@ -121,6 +121,46 @@ class TestUrlDedup:
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want, check_dtype=False)
 
+    def test_anchor_terms(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import anchor_terms
+
+        pages = ray.data.from_pandas(pd.DataFrame({
+            "url": ["https://a.io/p1", "https://a.io/p2"],
+            "html": [
+                b"<a href='/x'>  Widget   Docs </a>"
+                b"<a href='/x'>widget docs</a>"
+                b"<a href='/y'></a>"           # empty anchor dropped
+                b"<a href='#f'>skip</a>",
+                b"<a href='https://a.io/x'>WIDGET DOCS</a>"
+                b"<a href='/x'>other name</a>",
+            ],
+        }))
+        got = [(r["dst_url"], r["anchor"], r["n"])
+               for r in anchor_terms(pages, k=10).take_all()]
+        assert got[0] == ("https://a.io/x", "widget docs", 3)
+        assert ("https://a.io/x", "other name", 1) in got
+        assert all(a != "" for _, a, _ in got)
+
+    def test_anchor_terms_duckdb_parity(self, ray_session, tmp_path):
+        from neo4j_document_pipeline_ray.extras.urls import (
+            anchor_terms,
+            anchor_terms_sql,
+        )
+
+        df = pd.DataFrame({
+            "url": ["https://a.io/d/p.html", "https://b.io/q"],
+            "html": [
+                b"<a href='/x'>One Two</a><a href=\"r.html\">n</a>",
+                b"<a href='https://a.io/x'>one  two</a>"
+                b"<a href='mailto:z@q.c'>m</a>",
+            ],
+        })
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(pa.Table.from_pandas(df), p)
+        got = anchor_terms(ray.data.read_parquet(p), k=10).to_pandas()
+        want = duckdb.sql(anchor_terms_sql(p, 10)).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
     def test_tie_breaks_by_url_bytes(self, ray_session):
         from neo4j_document_pipeline_ray.extras.urls import url_dedup
 
