@@ -485,6 +485,22 @@ def _q_docs_dup_ngrams(sf_dir: str):
     return docs_dup_ngrams(sf_dir)
 
 
+def _q_docs_prefix_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (SSJoin /
+    PPJoin) — candidates only from df-ordered rare-gram prefixes, so
+    no lossy caps at scale; output provably equals the naive operator
+    (extras/dedup.py:prefix_jaccard_pairs; pinned in pytest)."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return prefix_jaccard_pairs(docs)
+
+
 def _q_docs_bpe_pairs(sf_dir: str):
     """Top adjacent byte pairs over within-word positions — BPE
     tokenizer-training iteration 0 (extras/bpe.py; per-batch bincount
@@ -1325,6 +1341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "docs_dup_ngrams": _q_docs_dup_ngrams,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
+        "docs_prefix_jaccard": _q_docs_prefix_jaccard,
         "docs_salient_terms": _q_docs_salient_terms,
         "docs_curation_filter": _q_docs_curation_filter,
         "docs_scrub": _q_docs_scrub,
@@ -1793,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         MINHASH_PAIRS_SQL,
         NEAR_DEDUP_KEEP_SQL,
         NGRAM_JACCARD_SQL,
+        PREFIX_JACCARD_SQL,
         SIMHASH_PAIRS_SQL,
     )
     from neo4j_document_pipeline_ray.extras.decontam import (
@@ -2257,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": REPETITION_SQL,
         "docs_dup_ngrams": DUP_NGRAM_SQL,
         "docs_bpe_pairs": BPE_PAIRS_SQL,
+        "docs_prefix_jaccard": PREFIX_JACCARD_SQL,
         "docs_salient_terms": salient_terms_sql(3),
         "docs_curation_filter": CURATION_FILTER_SQL,
         "docs_scrub": scrub_blocklist_sql(),

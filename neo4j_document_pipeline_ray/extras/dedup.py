@@ -954,6 +954,200 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
 """
 
 
+# --- prefix-filtered exact Jaccard (SSJoin / PPJoin) ------------------------
+
+PREFIX_JACCARD_SCALE = 1_000_000
+
+
+def _prefix_per_doc(t_num: int, t_den: int):
+    def per_doc(df):
+        import pandas as pd
+
+        df = df.sort_values(["doc_id", "dfreq", "gram"], kind="mergesort")
+        L = df.groupby("doc_id")["gram"].transform("size")
+        rnk = df.groupby("doc_id").cumcount()  # 0-based
+        # prefix length p = L - ceil(t*L) + 1 (Chaudhuri et al. 2006)
+        p = L - (t_num * L + t_den - 1) // t_den + 1
+        keep = (rnk < p).to_numpy()
+        return pd.DataFrame({
+            "gram": df["gram"][keep].to_numpy(),
+            "doc_id": df["doc_id"][keep].to_numpy(),
+            "L": L[keep].to_numpy(),
+        })
+
+    return per_doc
+
+
+def _prefix_cand_partition(t_num: int, t_den: int):
+    def cand_partition(df):
+        import pandas as pd
+
+        out_a, out_b = [], []
+        for _, g in df.groupby("gram", sort=False):
+            rows = sorted(set(zip(g["doc_id"], g["L"])))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    (a, la), (b, lb) = rows[i], rows[j]
+                    # length filter: J >= t implies t*|A| <= |B|
+                    if t_den * min(la, lb) >= t_num * max(la, lb):
+                        out_a.append(a)
+                        out_b.append(b)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    return cand_partition
+
+
+def prefix_jaccard_pairs(
+    docs: "ray.data.Dataset",
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """EXACT word-n-gram Jaccard pairs (a < b, J >= t_num/t_den) via
+    PREFIX FILTERING (SSJoin, Chaudhuri et al. 2006; PPJoin, Xiao et
+    al. 2008) — the uncapped scale path :func:`ngram_jaccard_pairs`
+    documents as missing.
+
+    That operator generates candidate pairs from EVERY shared gram —
+    one boilerplate gram shared by d docs emits O(d^2) rows, so it
+    needs a lossy ``max_gram_docs`` cap at web scale.  Prefix
+    filtering instead orders each doc's gram set by ascending
+    document frequency (rarest first) and generates candidates ONLY
+    from the first ``L - ceil(t*L) + 1`` grams: any pair with
+    J >= t provably shares a prefix gram (prefix-filter principle),
+    and prefix grams are by construction the RAREST, so per-gram
+    fan-out stays small without dropping anything.  A quadratic
+    blow-up would now need many docs to share the same globally-rare
+    gram — self-limiting, where the naive generator blows up on the
+    most COMMON gram.
+
+    Exactness: candidates are a superset of the true pairs and every
+    candidate is verified against its full gram sets, so the output
+    is identical to the naive operator's (pinned in pytest) and the
+    DuckDB oracle needs no prefix replay.  All stages are
+    hash-partitioned exchanges; no caps, no broadcasts of corpus-
+    sized state, no driver-side data path.  Integer thresholds
+    (``t_num/t_den``) keep the jaccard filter and the scaled output
+    column bit-exact for the hash gate.
+    """
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        hash_aggregate,
+        partitioned_group_map,
+        safe_join,
+    )
+
+    # The gram table is consumed by 4 passes below and is corpus-token
+    # sized — CHECKPOINT it to parquet (the stage-B / minhash pattern)
+    # instead of pinning it in the object store; each consumer does its
+    # own re-read.
+    import atexit
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    gram_dir = tempfile.mkdtemp(prefix="graft_prefix_grams_")
+    atexit.register(shutil.rmtree, gram_dir, ignore_errors=True)
+    docs.map_batches(
+        lambda t: _gram_hashes_batch(t, n), batch_format="pyarrow"
+    ).write_parquet(gram_dir)
+    if not any(f.endswith(".parquet") for f in os.listdir(gram_dir)):
+        pq.write_table(
+            pa.schema([("doc_id", pa.int64()),
+                       ("gram", pa.int64())]).empty_table(),
+            os.path.join(gram_dir, "empty.parquet"))
+    grams = ray.data.read_parquet(gram_dir)
+    dfreq = hash_aggregate(grams, "gram", [(None, "count", "dfreq")],
+                           num_partitions=num_partitions)
+    gdf = safe_join(grams, dfreq, join_type="inner", on=("gram",),
+                    num_partitions=num_partitions)
+    prefix = partitioned_group_map(
+        gdf, "doc_id", _prefix_per_doc(t_num, t_den), num_partitions)
+    cand = partitioned_group_map(
+        prefix, "gram", _prefix_cand_partition(t_num, t_den),
+        num_partitions)
+    cand = hash_aggregate(cand, ["a", "b"], [(None, "count", "_m")],
+                          num_partitions=num_partitions
+                          ).drop_columns(["_m"])
+
+    # verify candidates exactly: intersection = shared-gram count,
+    # computed over the grams of CANDIDATE DOCS only (semi-join)
+    def ends(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([t["a"].combine_chunks(),
+                                t["b"].combine_chunks()])
+        return pa.table({"doc_id": ids})
+
+    cand_ids = hash_aggregate(
+        cand.map_batches(ends, batch_format="pyarrow"),
+        "doc_id", [(None, "count", "_m")],
+        num_partitions=num_partitions).drop_columns(["_m"])
+    semi = safe_join(grams, cand_ids, join_type="inner", on=("doc_id",),
+                     num_partitions=num_partitions)
+    ja = safe_join(cand, semi, join_type="inner", on=("a",), right_on=("doc_id",),
+                   num_partitions=num_partitions)
+    jab = safe_join(ja, semi, join_type="inner", on=("b", "gram"),
+                    right_on=("doc_id", "gram"),
+                    num_partitions=num_partitions)
+    inter = hash_aggregate(jab, ["a", "b"], [(None, "count", "i")],
+                           num_partitions=num_partitions)
+    sizes = hash_aggregate(grams, "doc_id", [(None, "count", "L")],
+                           num_partitions=num_partitions)
+    j = safe_join(inter, sizes, join_type="inner", on=("a",), right_on=("doc_id",),
+                  num_partitions=num_partitions)
+    j = j.rename_columns({"L": "la"})
+    j = safe_join(j, sizes, join_type="inner", on=("b",), right_on=("doc_id",),
+                  num_partitions=num_partitions)
+    j = j.rename_columns({"L": "lb"})
+
+    def finish(t: pa.Table) -> pa.Table:
+        i = t["i"].to_numpy(zero_copy_only=False)
+        union = (t["la"].to_numpy(zero_copy_only=False)
+                 + t["lb"].to_numpy(zero_copy_only=False) - i)
+        keep = np.flatnonzero(t_den * i >= t_num * union)
+        sub = t.take(pa.array(keep))
+        u = union[keep]
+        return pa.table({
+            "doc_a": sub["a"],
+            "doc_b": sub["b"],
+            "n_shared": sub["i"],
+            "jaccard_scaled": pa.array(
+                i[keep] * PREFIX_JACCARD_SCALE // u, pa.int64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+PREFIX_JACCARD_SQL = """
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(
+               lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' +'),
+               x -> x <> '') AS ws
+    FROM documents
+), g AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram
+    FROM w WHERE len(ws) >= 3
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+), inter AS (
+    SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+    FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+    GROUP BY 1, 2
+)
+SELECT inter.a AS doc_a, inter.b AS doc_b,
+       CAST(i AS BIGINT) AS n_shared,
+       CAST(i * 1000000 // (sa.n + sb.n - i) AS BIGINT) AS jaccard_scaled
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.a
+JOIN sizes sb ON sb.doc_id = inter.b
+WHERE 5 * i >= 4 * (sa.n + sb.n - i)
+"""
+
+
 # --- segment-level (line) dedup -------------------------------------------
 
 _SEG_WINDOW = 3      # tokens per segment
