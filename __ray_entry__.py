@@ -501,6 +501,18 @@ def _q_docs_prefix_jaccard(sf_dir: str):
     return prefix_jaccard_pairs(docs)
 
 
+def _q_docs_kmv_by_lang(sf_dir: str):
+    """Per-language KMV distinct-token sketch — mergeable sketch as a
+    GROUPED aggregate with distributed finalize (no driver data path;
+    safe at millions of groups), vs the global docs_distinct_kmv
+    (extras/textstats.py:grouped_distinct_tokens_kmv)."""
+    from neo4j_document_pipeline_ray.extras.textstats import (
+        grouped_distinct_tokens_kmv,
+    )
+
+    return grouped_distinct_tokens_kmv(sf_dir)
+
+
 def _q_docs_bpe_pairs(sf_dir: str):
     """Top adjacent byte pairs over within-word positions — BPE
     tokenizer-training iteration 0 (extras/bpe.py; per-batch bincount
@@ -1342,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_ngrams": _q_docs_dup_ngrams,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_prefix_jaccard": _q_docs_prefix_jaccard,
+        "docs_kmv_by_lang": _q_docs_kmv_by_lang,
         "docs_salient_terms": _q_docs_salient_terms,
         "docs_curation_filter": _q_docs_curation_filter,
         "docs_scrub": _q_docs_scrub,
@@ -1837,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         PPL_BUCKET_SQL,
         UNIGRAM_LOGPROB_SQL,
         distinct_tokens_kmv_sql,
+        grouped_distinct_tokens_kmv_sql,
         salient_terms_sql,
         LANG_ID_SQL,
         QUALITY_SQL,
@@ -2270,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_weighted_sample": docs_weighted_sample_sql(),
         "docs_decontaminate": docs_decontaminate_sql(),
         "docs_distinct_kmv": distinct_tokens_kmv_sql(),
+        "docs_kmv_by_lang": grouped_distinct_tokens_kmv_sql(),
         "docs_lang_id": LANG_ID_SQL,
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_repetition": REPETITION_SQL,

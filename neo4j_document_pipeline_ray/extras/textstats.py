@@ -1109,6 +1109,110 @@ def distinct_tokens_kmv_sql(k: int = 8) -> str:
     """
 
 
+def grouped_distinct_tokens_kmv(
+    sf_dir: str, group_col: str = "lang", k: int = 8,
+    num_partitions: int = 4,
+) -> "ray.data.Dataset":
+    """Per-GROUP KMV distinct-token sketch — the mergeable-sketch-as-
+    grouped-aggregate shape (one sketch per language / domain is how a
+    curation dashboard tracks vocabulary growth per slice).
+
+    Unlike :func:`distinct_tokens_kmv` (one global sketch, finalized
+    driver-side), the finalize here is DISTRIBUTED: per-batch k-minima
+    partials keyed by group -> group-hash partitions take the k
+    smallest of the union and emit the estimator row — no driver data
+    path, safe at millions of groups.  Same integer estimator and FNV
+    hash kernel, so the DuckDB replay hash-matches exactly.
+    """
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        partitioned_group_map,
+    )
+
+    if k < 2:
+        raise ValueError("KMV needs k >= 2")
+    ds = _read_documents(sf_dir, ["text", group_col])
+
+    def partial_kmin(t: pa.Table) -> pa.Table:
+        hs, offs = _word_hashes_texts(t["text"].to_pylist())
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        gv = t[group_col].to_pandas().iloc[doc_of].to_numpy()
+        df = pd.DataFrame({
+            group_col: gv,
+            "h": (hs & _FP_MOD_MASK).astype(np.int64),
+        }).drop_duplicates().sort_values([group_col, "h"])
+        head = df.groupby(group_col, sort=False).head(k)
+        if head.empty:  # typed empty block (from_pandas would emit null)
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64())})
+        return pa.Table.from_pandas(head, preserve_index=False)
+
+    def finalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.drop_duplicates().sort_values([group_col, "h"])
+        top = pdf.groupby(group_col, sort=False).head(k)
+        agg = top.groupby(group_col, sort=False)["h"].agg(["count", "max"])
+        cnt = agg["count"].to_numpy()
+        kth = agg["max"].to_numpy()
+        est = np.where(cnt < k, cnt,
+                       (k - 1) * _KMV_SPACE // np.maximum(kth, 1))
+        return pd.DataFrame({
+            group_col: agg.index.to_numpy(),
+            "kmv_k": np.full(len(agg), k, dtype=np.int64),
+            "kth_hash": kth.astype(np.int64),
+            "est_distinct": est.astype(np.int64),
+        })
+
+    partials = ds.map_batches(partial_kmin, batch_format="pyarrow")
+    return partitioned_group_map(partials, group_col, finalize,
+                                 num_partitions)
+
+
+def grouped_distinct_tokens_kmv_sql(group_col: str = "lang",
+                                    k: int = 8) -> str:
+    """DuckDB mirror of :func:`grouped_distinct_tokens_kmv`."""
+    m64 = 1 << 64
+    return f"""
+    WITH d AS (
+        SELECT {group_col},
+               CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+               END AS words
+        FROM documents
+    ), h AS (
+        SELECT {group_col},
+               list_transform(words, w ->
+                   list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                               i -> CAST(ascii(substr(w, i, 1)) AS HUGEINT))),
+                       (acc, b) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                             CAST(b AS UBIGINT)) AS HUGEINT)
+                                    * 1099511628211) % {m64}
+                   )
+               ) AS hs
+        FROM d
+    ), tok AS (
+        SELECT DISTINCT {group_col}, unnest(hs) % {_KMV_SPACE} AS h61
+        FROM h
+    ), ranked AS (
+        SELECT {group_col}, h61,
+               row_number() OVER (PARTITION BY {group_col}
+                                  ORDER BY h61) AS rn
+        FROM tok
+    )
+    SELECT {group_col},
+           CAST({k} AS BIGINT) AS kmv_k,
+           CAST(max(h61) AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN count(*) < {k} THEN count(*)
+                     ELSE (CAST({k - 1} AS HUGEINT) * {_KMV_SPACE})
+                          // max(h61)
+                END AS BIGINT) AS est_distinct
+    FROM ranked WHERE rn <= {k}
+    GROUP BY {group_col}
+    """
+
+
 # --- corpus-LM document scoring (unigram log-probability) -------------------
 
 def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":

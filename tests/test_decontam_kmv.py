@@ -246,3 +246,29 @@ class TestVectorizedFNVKernel:
                 fp, ng = 0, 0
             assert got["fingerprint"][i] == fp, text
             assert got["n_grams"][i] == ng, text
+
+
+class TestGroupedKMV:
+    def test_matches_per_group_python_truth(self, ray_session, docs_df):
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            _FP_MOD_MASK,
+            _KMV_SPACE,
+            _word_hashes,
+            grouped_distinct_tokens_kmv,
+        )
+
+        k = 8
+        got = {r["lang"]: r for r in
+               grouped_distinct_tokens_kmv(SF, k=k).take_all()}
+        assert set(got) == set(docs_df["lang"])
+        for lang, g in docs_df.groupby("lang"):
+            all_h = np.unique(np.concatenate([
+                _word_hashes(t) & _FP_MOD_MASK for t in g.text
+            ]))
+            r = got[lang]
+            if len(all_h) < k:
+                assert r["est_distinct"] == len(all_h)
+            else:
+                kth = int(np.sort(all_h)[k - 1])
+                assert r["kth_hash"] == kth
+                assert r["est_distinct"] == ((k - 1) * _KMV_SPACE) // kth
