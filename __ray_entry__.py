@@ -501,6 +501,18 @@ def _q_docs_prefix_jaccard(sf_dir: str):
     return prefix_jaccard_pairs(docs)
 
 
+def _q_docs_domain_reputation(sf_dir: str):
+    """Per-source reputation rollup: doc count, exact-dup count, and
+    integer-scaled quality means — the per-domain table RefinedWeb/C4
+    -style curation keys its domain decisions on
+    (extras/textstats.py:domain_reputation)."""
+    from neo4j_document_pipeline_ray.extras.textstats import (
+        domain_reputation,
+    )
+
+    return domain_reputation(sf_dir)
+
+
 def _q_docs_kmv_by_lang(sf_dir: str):
     """Per-language KMV distinct-token sketch — mergeable sketch as a
     GROUPED aggregate with distributed finalize (no driver data path;
@@ -1355,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_prefix_jaccard": _q_docs_prefix_jaccard,
         "docs_kmv_by_lang": _q_docs_kmv_by_lang,
+        "docs_domain_reputation": _q_docs_domain_reputation,
         "docs_salient_terms": _q_docs_salient_terms,
         "docs_curation_filter": _q_docs_curation_filter,
         "docs_scrub": _q_docs_scrub,
@@ -1844,6 +1857,7 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.redact import scrub_blocklist_sql
     from neo4j_document_pipeline_ray.extras.similarity import DOC_HYBRID_SQL
     from neo4j_document_pipeline_ray.extras.textstats import (
+        DOMAIN_REP_SQL,
         FINGERPRINT_SQL,
         CURATION_FILTER_SQL,
         REPETITION_SQL,
@@ -2285,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": docs_decontaminate_sql(),
         "docs_distinct_kmv": distinct_tokens_kmv_sql(),
         "docs_kmv_by_lang": grouped_distinct_tokens_kmv_sql(),
+        "docs_domain_reputation": DOMAIN_REP_SQL,
         "docs_lang_id": LANG_ID_SQL,
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_repetition": REPETITION_SQL,

@@ -1213,6 +1213,122 @@ def grouped_distinct_tokens_kmv_sql(group_col: str = "lang",
     """
 
 
+DOMAIN_REP_SCALE = 1_000_000
+
+
+def domain_reputation(sf_dir: str,
+                      num_partitions: int = 4) -> "ray.data.Dataset":
+    """Per-source reputation table — the per-domain quality/dup rollup
+    a web-curation pipeline maintains (RefinedWeb blocklists, C4's
+    domain filters, CCNet's per-domain stats are all consumers of this
+    shape): document count, exact-duplicate count (texts occurring >=2
+    times corpus-wide — recrawl/mirror signal), and integer-scaled
+    mean quality signals.
+
+    Shape: one streaming pass computes per-doc signals + text md5;
+    one md5-keyed aggregate finds duplicated texts; one partition-wise
+    join flags rows; one source-keyed aggregate folds everything.  All
+    ratios are integer floor divisions so the DuckDB mirror
+    hash-matches.
+    """
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        hash_aggregate,
+        safe_join,
+    )
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "source"])
+
+    def signals(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        q = quality_batch(t)
+        hs = [hashlib.md5(x.encode("utf-8")).hexdigest()
+              for x in t["text"].to_pylist()]
+        return pa.table({
+            "source": t["source"],
+            "text_hash": pa.array(hs, pa.string()),
+            "n_chars": q["n_chars"],
+            "n_words": q["n_words"],
+            "n_punct": q["n_punct"],
+            "n_digit": q["n_digit"],
+        })
+
+    base = ds.map_batches(signals, batch_format="pyarrow")
+    hcnt = hash_aggregate(base.select_columns(["text_hash"]),
+                          "text_hash", [(None, "count", "n_copies")],
+                          num_partitions=num_partitions)
+    flagged = safe_join(base, hcnt, join_type="inner", on=("text_hash",),
+                        num_partitions=num_partitions)
+
+    def mark(t: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater_equal(t["n_copies"], 2), pa.int64())
+        return pa.table({
+            "source": t["source"], "n_chars": t["n_chars"],
+            "n_words": t["n_words"], "n_punct": t["n_punct"],
+            "n_digit": t["n_digit"], "dup": dup,
+        })
+
+    agg = hash_aggregate(
+        flagged.map_batches(mark, batch_format="pyarrow"), "source", [
+            (None, "count", "n_docs"),
+            ("dup", "sum", "n_dup_docs"),
+            ("n_chars", "sum", "sc"),
+            ("n_words", "sum", "sw"),
+            ("n_punct", "sum", "sp"),
+            ("n_digit", "sum", "sd"),
+        ], num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False)
+        sc = np.maximum(t["sc"].to_numpy(zero_copy_only=False), 1)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["n_docs"],
+            "n_dup_docs": t["n_dup_docs"],
+            "mean_words_scaled": pa.array(
+                t["sw"].to_numpy(zero_copy_only=False)
+                * DOMAIN_REP_SCALE // n, pa.int64()),
+            "punct_per_char_scaled": pa.array(
+                t["sp"].to_numpy(zero_copy_only=False)
+                * DOMAIN_REP_SCALE // sc, pa.int64()),
+            "digit_per_char_scaled": pa.array(
+                t["sd"].to_numpy(zero_copy_only=False)
+                * DOMAIN_REP_SCALE // sc, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOMAIN_REP_SQL = f"""
+WITH q AS (
+    SELECT source,
+           count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+           length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n_words,
+           length(text) - length(regexp_replace(text,
+               '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+           length(text) - length(regexp_replace(text,
+               '[0-9]', '', 'g')) AS n_digit
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       CAST(sum(n_words) * {DOMAIN_REP_SCALE} // count(*) AS BIGINT)
+           AS mean_words_scaled,
+       CAST(sum(n_punct) * {DOMAIN_REP_SCALE}
+            // greatest(sum(n_chars), 1) AS BIGINT)
+           AS punct_per_char_scaled,
+       CAST(sum(n_digit) * {DOMAIN_REP_SCALE}
+            // greatest(sum(n_chars), 1) AS BIGINT)
+           AS digit_per_char_scaled
+FROM q GROUP BY source
+"""
+
+
 # --- corpus-LM document scoring (unigram log-probability) -------------------
 
 def unigram_logprob(sf_dir: str) -> "ray.data.Dataset":

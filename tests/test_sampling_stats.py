@@ -239,3 +239,33 @@ class TestCurationFilter:
         assert out[6]["reason"] == "no_stopwords"
         assert out[7]["reason"] == "punctuation"
         assert all(not out[i]["keep"] for i in range(2, 8))
+
+
+class TestDomainReputation:
+    def test_dup_and_means(self, ray_session, tmp_path, monkeypatch):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            domain_reputation,
+        )
+
+        d = tmp_path / "sf"
+        os.makedirs(d)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["same text here", "same text here",
+                     "unique one!", "other, 42"],
+            "source": ["a", "b", "b", "b"],
+        }), str(d / "documents.parquet"))
+        got = {r["source"]: r
+               for r in domain_reputation(str(d)).take_all()}
+        # dup flag is CORPUS-wide: the copy in 'a' and the copy in 'b'
+        # both count as duplicated
+        assert got["a"]["n_dup_docs"] == 1 and got["a"]["n_docs"] == 1
+        assert got["b"]["n_dup_docs"] == 1 and got["b"]["n_docs"] == 3
+        assert got["a"]["mean_words_scaled"] == 3 * 1_000_000
+        # 'b': words 3 + 2 + 2 = 7 over 3 docs
+        assert got["b"]["mean_words_scaled"] == 7 * 1_000_000 // 3
