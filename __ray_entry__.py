@@ -142,6 +142,84 @@ def _q_kg_triples(sf_dir: str):
     return distinct_by(out, "subject", subset=cols, num_partitions=8)
 
 
+def _q_kg_triple_pr(sf_dir: str):
+    """MEASURED triple precision/recall of the built snapshot against
+    the corpus truth table — the north rule's acceptance metric
+    (P/R >= 0.95) computed per round as a one-row artifact.  The Ray
+    side independently derives the extracted distinct-triple set from
+    the real pipeline and set-compares it to truth; the oracle encodes
+    the invariant (exact extraction: P = R = 1.0 at truth's counts),
+    so any extraction drift fails the hash gate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    cols = ["subject", "predicate", "rel_type", "object", "subject_type",
+            "object_type", "object_kind", "start", "end", "term", "count"]
+    NULL = "\x1e"  # sentinel so NULL keys compare equal on both sides
+    SEP = "\x1f"
+
+    def keyed(flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            parts = [
+                pc.fill_null(pc.cast(t[c], pa.string()), NULL) for c in cols
+            ]
+            key = pc.binary_join_element_wise(*parts, SEP)
+            return pa.table({
+                "key": key,
+                "flag": pa.array([flag] * t.num_rows, pa.int64()),
+            })
+
+        return fn
+
+    ext = _kg(sf_dir)["triples"].select_columns(cols).map_batches(
+        keyed(1), batch_format="pyarrow")
+    truth = rd.read_parquet(_corpus(sf_dir)["truth"],
+                            columns=cols).map_batches(
+        keyed(2), batch_format="pyarrow")
+    # distinct per side, then per-key flag sum: 1=extracted only,
+    # 2=truth only, 3=matched
+    both = hash_aggregate(ext.union(truth), ["key", "flag"],
+                          [(None, "count", "_m")],
+                          num_partitions=8).drop_columns(["_m"])
+    tagged = hash_aggregate(both, "key", [("flag", "sum", "s")],
+                            num_partitions=8)
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "_k": pa.array([1], pa.int64()),
+            "n_extracted": pa.array(
+                [int(((s == 1) | (s == 3)).sum())], pa.int64()),
+            "n_truth": pa.array(
+                [int(((s == 2) | (s == 3)).sum())], pa.int64()),
+            "n_matched": pa.array([int((s == 3).sum())], pa.int64()),
+        })
+
+    tot = hash_aggregate(
+        tagged.map_batches(partial, batch_format="pyarrow"), "_k", [
+            ("n_extracted", "sum", "n_extracted"),
+            ("n_truth", "sum", "n_truth"),
+            ("n_matched", "sum", "n_matched"),
+        ], num_partitions=1)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ne = max(int(t["n_extracted"][0].as_py()), 1)
+        nt = max(int(t["n_truth"][0].as_py()), 1)
+        nm = int(t["n_matched"][0].as_py())
+        return pa.table({
+            "n_truth": t["n_truth"],
+            "n_extracted": t["n_extracted"],
+            "n_matched": t["n_matched"],
+            "precision_scaled": pa.array([nm * 1_000_000 // ne], pa.int64()),
+            "recall_scaled": pa.array([nm * 1_000_000 // nt], pa.int64()),
+        })
+
+    return tot.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_kg_nodes(sf_dir: str):
     return _kg(sf_dir)["nodes"].select_columns(
         ["entity_id", "label", "name", "norm_key"]
@@ -1285,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_extract_text": _q_kg_extract_text,
         "kg_docs": _q_kg_docs,
         "kg_triples": _q_kg_triples,
+        "kg_triple_pr": _q_kg_triple_pr,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_mentions": _q_kg_mentions,
@@ -1904,6 +1983,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT subject, predicate, rel_type, object, subject_type,
                             object_type, object_kind, "start", "end", term, "count"
             FROM read_parquet('{_TRUTH_001}')
+        """,
+        # the north rule's P/R >= 0.95 acceptance metric: the oracle
+        # encodes the exact-extraction invariant (P = R = 1.0 at the
+        # truth set's cardinality); the Ray side measures the REAL
+        # pipeline, so extraction drift fails this hash gate
+        "kg_triple_pr": f"""
+            WITH t AS (
+                SELECT DISTINCT subject, predicate, rel_type, object,
+                       subject_type, object_type, object_kind,
+                       "start", "end", term, "count"
+                FROM read_parquet('{_TRUTH_001}')
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_truth,
+                   CAST(count(*) AS BIGINT) AS n_extracted,
+                   CAST(count(*) AS BIGINT) AS n_matched,
+                   CAST(1000000 AS BIGINT) AS precision_scaled,
+                   CAST(1000000 AS BIGINT) AS recall_scaled
+            FROM t
         """,
         "kg_nodes": f"""
             WITH m AS (
