@@ -52,6 +52,8 @@ ALLOWED = {
     "extras/similarity.py::build_ann_index": "k-sized",  # bucket manifest
     "extras/similarity.py::doc_hybrid_topk": "group-sized",  # scalar stats
     "extras/textstats.py::distinct_tokens_kmv": "k-sized",
+    "extras/textstats.py::grouped_distinct_tokens_kmv.partial_kmin":
+        "batch-local",  # ONE key column of one batch, for the group map
     "extras/textstats.py::familiarity_bucket": "k-sized",  # 2 cut points
     "extras/textstats.py::familiarity_bucket.fam": "batch-local",
     "extras/textstats.py::length_quantiles": "k-sized",
