@@ -591,6 +591,20 @@ def _q_docs_domain_reputation(sf_dir: str):
     return domain_reputation(sf_dir)
 
 
+def _q_emb_bitext(sf_dir: str):
+    """Cross-label translation-pair mining with a ratio-test margin
+    (LASER/CCMatrix shape): best label-1 match per label-0 vector,
+    margin = best/second cosine — hubness-robust, unlike raw cosine
+    (extras/similarity.py:bitext_mine; src matrix broadcast once,
+    dst side streams)."""
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        _read_embeddings,
+        bitext_mine,
+    )
+
+    return bitext_mine(_read_embeddings(sf_dir))
+
+
 def _q_docs_kmv_by_lang(sf_dir: str):
     """Per-language KMV distinct-token sketch — mergeable sketch as a
     GROUPED aggregate with distributed finalize (no driver data path;
@@ -1447,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_prefix_jaccard": _q_docs_prefix_jaccard,
         "docs_kmv_by_lang": _q_docs_kmv_by_lang,
         "docs_domain_reputation": _q_docs_domain_reputation,
+        "emb_bitext": _q_emb_bitext,
         "docs_salient_terms": _q_docs_salient_terms,
         "docs_curation_filter": _q_docs_curation_filter,
         "docs_scrub": _q_docs_scrub,
@@ -1934,7 +1949,10 @@ def oracle_sql() -> dict[str, str]:
         docs_stratified_sample_sql,
     )
     from neo4j_document_pipeline_ray.extras.redact import scrub_blocklist_sql
-    from neo4j_document_pipeline_ray.extras.similarity import DOC_HYBRID_SQL
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        BITEXT_SQL,
+        DOC_HYBRID_SQL,
+    )
     from neo4j_document_pipeline_ray.extras.textstats import (
         DOMAIN_REP_SQL,
         FINGERPRINT_SQL,
@@ -2397,6 +2415,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_distinct_kmv": distinct_tokens_kmv_sql(),
         "docs_kmv_by_lang": grouped_distinct_tokens_kmv_sql(),
         "docs_domain_reputation": DOMAIN_REP_SQL,
+        "emb_bitext": BITEXT_SQL,
         "docs_lang_id": LANG_ID_SQL,
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_repetition": REPETITION_SQL,

@@ -22,6 +22,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -920,3 +921,154 @@ def doc_hybrid_sql(k: int = 10, alpha: float = 0.6, beta: float = 0.4,
 
 
 DOC_HYBRID_SQL = doc_hybrid_sql()
+
+
+# --- bitext-style cross-label mining (ratio-test margin) --------------------
+
+BITEXT_MAX_SRC_BYTES = 256 << 20  # same rationale as BROADCAST_MAX_BYTES
+
+
+def bitext_mine(
+    embeddings: "ray.data.Dataset",
+    src_label: int = 0,
+    dst_label: int = 1,
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Cross-label translation-pair mining (the LASER/CCMatrix shape,
+    Artetxe & Schwenk 2019): for every vector of ``src_label``, the
+    best match among ``dst_label`` vectors with a RATIO-TEST margin
+    ``sim_best / sim_second`` — the score that separates true
+    translations from hubness artifacts, which raw cosine can't.
+
+    Scale shape: the source side is packed into one normalized query
+    matrix IN A WORKER (``to_arrow_refs`` -> remote concat, no driver
+    data path) and broadcast once; the destination side STREAMS through
+    one matmul per batch with per-(batch, query) top-2 partials, then a
+    per-query head in hash partitions — one pass over the big side per
+    source shard, exactly :func:`multi_query_topk`'s query-log shape.
+    A source shard above ``BITEXT_MAX_SRC_BYTES`` is rejected with
+    guidance (mine per source shard; the index path is IVF/LSH).
+
+    Margin convention (mirrored in the oracle): second candidate
+    missing or with sim <= 0 -> margin 0.0; all floats rounded to 6
+    before comparison like every ANN kernel here.
+    """
+    import ray
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        drop_empty_blocks,
+        partitioned_group_map,
+    )
+
+    def has_label(lbl):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["label"], lbl))
+
+        return fn
+
+    src = drop_empty_blocks(
+        embeddings.select_columns(["vec_id", "embedding", "label"])
+        .map_batches(has_label(src_label), batch_format="pyarrow")
+        .drop_columns(["label"])).materialize()
+    size = src.size_bytes() or 0
+    if size > BITEXT_MAX_SRC_BYTES:
+        raise ValueError(
+            f"bitext source side is {size} bytes "
+            f"(> {BITEXT_MAX_SRC_BYTES}); mine per source shard — this "
+            "operator broadcasts the source matrix once per shard")
+
+    @ray.remote(num_cpus=0)
+    def _pack(*tables):
+        ts = [t for t in tables if t.num_rows]
+        if not ts:
+            return np.zeros(0, dtype=np.int64), np.zeros((0, 0))
+        t = pa.concat_tables(ts)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        m = _batch_matrix(t)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return ids, (m / n).T.copy()
+
+    q_ref = _pack.remote(*src.to_arrow_refs())
+
+    def score(t: pa.Table) -> pa.Table:
+        qids, qt = ray.get(q_ref)
+        t = t.filter(pc.equal(t["label"], dst_label))
+        if t.num_rows == 0 or len(qids) == 0:
+            return pa.table({
+                "src_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            })
+        m = _batch_matrix(t)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((m @ qt) / norms[:, None], 6)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            part = (np.lexsort((ids, -col))[:2] if len(col) > 2
+                    else np.arange(len(col)))
+            out_q.append(np.full(len(part), qids[j], dtype=np.int64))
+            out_v.append(ids[part])
+            out_s.append(col[part])
+        return pa.table({
+            "src_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = embeddings.select_columns(
+        ["vec_id", "embedding", "label"]).map_batches(
+        score, batch_format="pyarrow")
+
+    def finish(df):
+        import pandas as pd
+
+        df = df.sort_values(["src_id", "sim", "vec_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        top = df.groupby("src_id", sort=True).head(2)
+        rows = []
+        for src_id, g in top.groupby("src_id", sort=True):
+            best = g.iloc[0]
+            margin = 0.0
+            if len(g) > 1 and g.iloc[1]["sim"] > 0:
+                margin = round(float(best["sim"]) / float(g.iloc[1]["sim"]),
+                               6)
+            rows.append((src_id, int(best["vec_id"]),
+                         float(best["sim"]), margin))
+        return pd.DataFrame(rows, columns=["src_id", "dst_id", "sim",
+                                           "margin"])
+
+    return partitioned_group_map(partials, "src_id", finish,
+                                 num_partitions=num_partitions)
+
+
+def bitext_sql(src_label: int = 0, dst_label: int = 1) -> str:
+    return f"""
+    WITH s AS (
+        SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS se
+        FROM embeddings WHERE label = {src_label}
+    ), d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de
+        FROM embeddings WHERE label = {dst_label}
+    ), x AS (
+        SELECT s.src_id, d.vec_id,
+               round(list_cosine_similarity(d.de, s.se), 6) AS sim
+        FROM s CROSS JOIN d
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY src_id ORDER BY sim DESC, vec_id) AS rn
+        FROM x
+    )
+    SELECT a.src_id, a.vec_id AS dst_id, a.sim,
+           CASE WHEN b.sim IS NULL OR b.sim <= 0 THEN 0.0
+                ELSE round(a.sim / b.sim, 6) END AS margin
+    FROM r a LEFT JOIN r b ON b.src_id = a.src_id AND b.rn = 2
+    WHERE a.rn = 1
+    """
+
+
+BITEXT_SQL = bitext_sql()

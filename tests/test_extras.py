@@ -1036,3 +1036,53 @@ class TestFamiliarityBucket:
         assert rows[1]["bucket"] == rows[2]["bucket"] == "head"
         assert rows[3]["bucket"] == rows[4]["bucket"] == "middle"
         assert rows[5]["bucket"] == rows[6]["bucket"] == "tail"
+
+
+class TestBitextMining:
+    def test_matches_numpy_replay(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            _read_embeddings,
+            bitext_mine,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {r["src_id"]: (r["dst_id"], r["sim"], r["margin"])
+               for r in bitext_mine(_read_embeddings(sf)).take_all()}
+
+        t = pq.read_table(f"{sf}/embeddings.parquet")
+        ids = np.asarray(t["vec_id"].to_pylist())
+        lab = np.asarray(t["label"].to_pylist())
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        u = m / n
+        src, dst = np.flatnonzero(lab == 0), np.flatnonzero(lab == 1)
+        assert set(got) == set(ids[src])
+        for i in src:
+            sims = np.round(u[dst] @ u[i], 6)
+            order = np.lexsort((ids[dst], -sims))
+            best, second = order[0], order[1]
+            margin = (round(float(sims[best]) / float(sims[second]), 6)
+                      if sims[second] > 0 else 0.0)
+            assert got[ids[i]] == (ids[dst][best], sims[best], margin)
+
+    def test_single_candidate_margin_zero(self, ray_session):
+        import pandas as pd
+
+        import ray.data
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            bitext_mine,
+        )
+
+        df = pd.DataFrame({
+            "vec_id": [1, 2],
+            "embedding": [[1.0, 0.0], [0.6, 0.8]],
+            "label": [0, 1],
+        })
+        (row,) = bitext_mine(ray.data.from_pandas(df)).take_all()
+        assert (row["src_id"], row["dst_id"]) == (1, 2)
+        assert row["margin"] == 0.0

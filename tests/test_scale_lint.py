@@ -49,6 +49,7 @@ ALLOWED = {
     "extras/importance.py::dsir_importance.score": "batch-local",
     "extras/similarity.py::_hash_sample": "sample-sized",
     "extras/similarity.py::_hash_sample.keep": "batch-local",
+    "extras/similarity.py::bitext_mine": "node-sided",  # size-gated src matrix
     "extras/similarity.py::build_ann_index": "k-sized",  # bucket manifest
     "extras/similarity.py::doc_hybrid_topk": "group-sized",  # scalar stats
     "extras/textstats.py::distinct_tokens_kmv": "k-sized",
