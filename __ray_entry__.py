@@ -1086,6 +1086,19 @@ def _q_kg_hits(sf_dir: str):
     return hits(_kg(sf_dir)["edges"], iters=3)
 
 
+def _q_kg_walks(sf_dir: str):
+    """Deterministic random-walk corpus over the KG (DeepWalk data
+    generation): 2 walks x 3 steps from every non-sink node; each step
+    picks the out-neighbor minimizing an integer hash, so the corpus
+    is bit-identical under any partitioning
+    (pipelines/graph_algo.py:random_walks)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        random_walks,
+    )
+
+    return random_walks(_kg(sf_dir)["edges"], walks_per_node=2, steps=3)
+
+
 def _q_kg_related_docs(sf_dir: str):
     """Top related-document pairs by shared entities (integer Jaccard
     over the doc x entity bipartite mentions graph, ubiquitous
@@ -1402,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_cooccur_topk": _q_kg_cooccur_topk,
         "kg_related_docs": _q_kg_related_docs,
+        "kg_walks": _q_kg_walks,
         "kg_hits": _q_kg_hits,
         "kg_link_pred_topk": _q_kg_link_pred_topk,
         "kg_link_pred_ra_topk": _q_kg_link_pred_ra_topk,
@@ -1824,6 +1838,55 @@ def _hits_sql(nsub: str, nobj: str, iters: int = 3) -> str:
         FROM h{iters} h JOIN a{iters} a ON a.id = h.id""")
 
 
+def _walks_sql(nsub: str, nobj: str, walks_per_node: int = 2,
+               steps: int = 3) -> str:
+    """Unrolled mirror of pipelines/graph_algo.py:random_walks — the
+    hash is uint64-wrap-then-mod emulated in HUGEINT (products stay
+    below 2^101, within HUGEINT range)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        _WALK_A,
+        _WALK_B,
+        _WALK_C,
+        _WALK_D,
+        WALK_M61,
+    )
+
+    m64 = 1 << 64
+    ctes = [f"""
+        e AS MATERIALIZED (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), f0 AS MATERIALIZED (
+            SELECT seeds.s AS seed, CAST(w.w AS BIGINT) AS walk,
+                   seeds.s AS cur
+            FROM (SELECT DISTINCT s FROM e) seeds
+            CROSS JOIN (SELECT unnest(range({walks_per_node})) AS w) w
+        )"""]
+    for k in range(1, steps + 1):
+        ctes.append(f"""
+        c{k} AS MATERIALIZED (
+            SELECT f.seed, f.walk, e.d,
+                   ((CAST(f.seed AS HUGEINT) * {_WALK_A}
+                     + CAST(f.walk AS HUGEINT) * {_WALK_B}
+                     + CAST({k} AS HUGEINT) * {_WALK_C}
+                     + CAST(e.d AS HUGEINT) * {_WALK_D}) % {m64})
+                   % {WALK_M61} AS h
+            FROM f{k-1} f JOIN e ON e.s = f.cur
+        ), f{k} AS MATERIALIZED (
+            SELECT seed, walk, d AS cur FROM (
+                SELECT seed, walk, d,
+                       row_number() OVER (PARTITION BY seed, walk
+                                          ORDER BY h, d) AS rn
+                FROM c{k}) WHERE rn = 1
+        )""")
+    selects = ["SELECT seed, walk, CAST(0 AS BIGINT) AS step, "
+               "cur AS node FROM f0"]
+    for k in range(1, steps + 1):
+        selects.append(f"SELECT seed, walk, CAST({k} AS BIGINT), cur "
+                       f"FROM f{k}")
+    return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
 def _sssp_weighted_sql(nsub: str, nobj: str, rounds: int = 24) -> str:
     """Unrolled-round Bellman-Ford mirror of pipelines/graph_algo.py:
     sssp_weighted — both sides compute the identical synchronous
@@ -2082,6 +2145,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sssp": _sssp_sql(nsub, nobj),
         "kg_sssp_weighted": _sssp_weighted_sql(nsub, nobj),
         "kg_hits": _hits_sql(nsub, nobj, iters=3),
+        "kg_walks": _walks_sql(nsub, nobj, walks_per_node=2, steps=3),
         "kg_link_pred_ra_topk": _link_pred_ra_sql(nsub, nobj, k=20),
         "kg_node_similarity": _node_similarity_sql(nsub, nobj, k=20),
         "kg_degree_topk": f"""

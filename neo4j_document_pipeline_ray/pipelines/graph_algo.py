@@ -1928,3 +1928,143 @@ def link_prediction_topk(
         ["common_neighbors", "entity_a", "entity_b"],
         descending=[True, False, False],
     ).limit(k)
+
+
+# --- deterministic random-walk corpus (DeepWalk / node2vec data gen) ----------
+
+WALK_M61 = (1 << 61) - 1
+_WALK_M64 = 1 << 64
+_WALK_A = 1_000_003
+_WALK_B = 999_983
+_WALK_C = 998_244_353
+_WALK_D = 1_099_511_628_211
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    walks_per_node: int = 2,
+    steps: int = 3,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Deterministic random-walk corpus over the directed KG — the
+    DeepWalk / node2vec DATA-GENERATION stage (Perozzi et al. 2014):
+    graph-embedding training consumes walks as sentences, so the walk
+    generator is a corpus operator, not an analytics one.
+
+    Determinism contract (module docstring): instead of sampling, each
+    step picks the out-neighbor minimizing the 61-bit integer hash
+    ``h(seed, walk, step, dst)`` (uint64 wrap-then-mod, the minhash /
+    FNV emulation pattern) with ``(h, dst)`` tie-break — a fixed
+    pseudorandom choice that is bit-identical under any partitioning,
+    which is what lets the unrolled DuckDB mirror hash-match a
+    distributed run.  Walks START at every node with out-degree >= 1
+    (``walks_per_node`` walks each) and END EARLY at sinks — the same
+    absent-row semantics on both sides.
+
+    Per step: one streaming E-sized probe of the walk frontier
+    (node-sided, rides the broadcast gate) + one (seed, walk)-keyed
+    head-of-group pick.  Rows: ``(seed, walk, step, node)`` with step
+    0 = the seed itself.
+    """
+    import numpy as np
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col]),
+        [src_col, dst_col], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"]).materialize()
+
+    seeds = hash_aggregate(
+        e.select_columns([src_col]), src_col, [(None, "count", "_m")],
+        num_partitions=num_partitions).drop_columns(["_m"])
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        ids = t[src_col].to_numpy(zero_copy_only=False)
+        rep = np.repeat(ids, walks_per_node)
+        w = np.tile(np.arange(walks_per_node, dtype=np.int64), len(ids))
+        return pa.table({
+            "seed": pa.array(rep, pa.int64()),
+            "walk": pa.array(w, pa.int64()),
+            "cur": pa.array(rep, pa.int64()),
+        })
+
+    frontier = seeds.map_batches(fan_out, batch_format="pyarrow")
+    out_steps = [frontier.map_batches(
+        lambda t: pa.table({
+            "seed": t["seed"], "walk": t["walk"],
+            "step": pa.array([0] * t.num_rows, pa.int64()),
+            "node": t["cur"],
+        }), batch_format="pyarrow")]
+
+    def scored(step_no: int):
+        def fn(t: pa.Table) -> pa.Table:
+            seed = t["seed"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            walk = t["walk"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            dst = t[dst_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (seed * np.uint64(_WALK_A)
+                 + walk * np.uint64(_WALK_B)
+                 + np.uint64(step_no) * np.uint64(_WALK_C)
+                 + dst * np.uint64(_WALK_D)) % np.uint64(WALK_M61)
+            return pa.table({
+                "seed": t["seed"], "walk": t["walk"],
+                "dst": t[dst_col],
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+            })
+
+        return fn
+
+    def pick(df):
+        df = df.sort_values(["seed", "walk", "h", "dst"],
+                            kind="mergesort")
+        head = df.groupby(["seed", "walk"], sort=False).head(1)
+        return head[["seed", "walk", "dst"]].rename(
+            columns={"dst": "cur"})
+
+    for s in range(1, steps + 1):
+        cand = broadcast_join(e, frontier, on=(src_col,),
+                              right_on=("cur",),
+                              num_partitions=num_partitions)
+        nxt = partitioned_group_map(
+            cand.map_batches(scored(s), batch_format="pyarrow"),
+            ["seed", "walk"], pick, num_partitions)
+        frontier = nxt.materialize()  # iterative: walk-frontier-sided
+        out_steps.append(frontier.map_batches(
+            lambda t, _s=s: pa.table({
+                "seed": t["seed"], "walk": t["walk"],
+                "step": pa.array([_s] * t.num_rows, pa.int64()),
+                "node": t["cur"],
+            }), batch_format="pyarrow"))
+
+    out = out_steps[0]
+    for ds in out_steps[1:]:
+        out = out.union(ds)
+    return out
+
+
+def random_walks_reference(edge_pairs, walks_per_node: int = 2,
+                           steps: int = 3) -> set:
+    """Pure-Python replay (test oracle): set of (seed, walk, step, node)."""
+    e = sorted(set(edge_pairs))
+    adj: dict = {}
+    for s, d in e:
+        adj.setdefault(s, []).append(d)
+    rows = set()
+    for seed in sorted(adj):
+        for w in range(walks_per_node):
+            cur = seed
+            rows.add((seed, w, 0, cur))
+            for st in range(1, steps + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                best = min(
+                    nbrs,
+                    key=lambda d: (
+                        (seed * _WALK_A + w * _WALK_B
+                         + st * _WALK_C + d * _WALK_D)
+                        % _WALK_M64 % WALK_M61, d))
+                cur = best
+                rows.add((seed, w, st, cur))
+    return rows

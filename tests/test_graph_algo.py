@@ -581,3 +581,44 @@ class TestNodeSimilarity:
         assert out[0]["jaccard_scaled"] == JACCARD_SCALE
         scored = {(r["entity_a"], r["entity_b"]) for r in out}
         assert (10, 11) in scored
+
+
+class TestRandomWalks:
+    PAIRS = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 6), (6, 5),
+             (1, 2), (7, 3), (8, 8), (3, 9)]
+
+    def test_matches_integer_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            random_walks,
+            random_walks_reference,
+        )
+
+        got = {(r["seed"], r["walk"], r["step"], r["node"])
+               for r in random_walks(_edges_ds(self.PAIRS)).take_all()}
+        assert got == random_walks_reference(self.PAIRS)
+
+    def test_walk_structure(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            random_walks,
+        )
+
+        rows = random_walks(_edges_ds(self.PAIRS), walks_per_node=2,
+                            steps=3).take_all()
+        by_walk = {}
+        for r in rows:
+            by_walk.setdefault((r["seed"], r["walk"]), {})[r["step"]] = \
+                r["node"]
+        # every non-sink node starts 2 walks; step 0 is the seed
+        seeds = {s for s, _ in self.PAIRS}
+        assert {k[0] for k in by_walk} == seeds
+        for (seed, _w), path in by_walk.items():
+            assert path[0] == seed
+            # steps are contiguous from 0 (early stop only at a sink)
+            assert sorted(path) == list(range(len(path)))
+        # node 9 is a sink: any walk reaching it stops there
+        adj = {}
+        for s, d in self.PAIRS:
+            adj.setdefault(s, set()).add(d)
+        for (_seed, _w), path in by_walk.items():
+            for st in sorted(path)[:-1]:
+                assert path[st + 1] in adj[path[st]]
