@@ -1086,6 +1086,17 @@ def _q_kg_hits(sf_dir: str):
     return hits(_kg(sf_dir)["edges"], iters=3)
 
 
+def _q_kg_clustering(sf_dir: str):
+    """Per-node local clustering coefficient (Watts-Strogatz):
+    2*tri/(deg*(deg-1)) integer-scaled — separates hub spokes from
+    clique members (pipelines/graph_algo.py:clustering_coefficient)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        clustering_coefficient,
+    )
+
+    return clustering_coefficient(_kg(sf_dir)["edges"])
+
+
 def _q_kg_walks(sf_dir: str):
     """Deterministic random-walk corpus over the KG (DeepWalk data
     generation): 2 walks x 3 steps from every non-sink node; each step
@@ -1416,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccur_topk": _q_kg_cooccur_topk,
         "kg_related_docs": _q_kg_related_docs,
         "kg_walks": _q_kg_walks,
+        "kg_clustering": _q_kg_clustering,
         "kg_hits": _q_kg_hits,
         "kg_link_pred_topk": _q_kg_link_pred_topk,
         "kg_link_pred_ra_topk": _q_kg_link_pred_ra_topk,
@@ -2184,6 +2196,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT entity_id, count(*) AS n_triangles
             FROM ends GROUP BY entity_id
+        """,
+        "kg_clustering": f"""
+            WITH e0 AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+                FROM read_parquet('{_TRUTH_001}')
+            ), e AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e0 WHERE s <> d
+            ), deg AS (
+                SELECT entity_id, count(*) AS degree FROM (
+                    SELECT a AS entity_id FROM e
+                    UNION ALL SELECT b FROM e)
+                GROUP BY entity_id
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ), tc AS (
+                SELECT entity_id, count(*) AS n_triangles FROM (
+                    SELECT x AS entity_id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri)
+                GROUP BY entity_id
+            )
+            SELECT d.entity_id, d.degree,
+                   CAST(COALESCE(tc.n_triangles, 0) AS BIGINT)
+                       AS n_triangles,
+                   CAST(CASE WHEN d.degree >= 2 THEN
+                            2 * COALESCE(tc.n_triangles, 0) * 1000000
+                            // (d.degree * (d.degree - 1))
+                        ELSE 0 END AS BIGINT) AS cc_scaled
+            FROM deg d LEFT JOIN tc USING (entity_id)
         """,
         "kg_components": f"""
             WITH RECURSIVE e0 AS (

@@ -622,3 +622,23 @@ class TestRandomWalks:
         for (_seed, _w), path in by_walk.items():
             for st in sorted(path)[:-1]:
                 assert path[st + 1] in adj[path[st]]
+
+
+class TestClusteringCoefficient:
+    def test_triangle_and_star(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            clustering_coefficient,
+        )
+
+        # K3 on {1,2,3}; node 4 is a star center to 1 and 5; node 5 leaf
+        pairs = [(1, 2), (2, 3), (3, 1), (4, 1), (4, 5)]
+        got = {r["entity_id"]: r
+               for r in clustering_coefficient(
+                   _edges_ds(pairs)).take_all()}
+        assert got[2]["cc_scaled"] == 1_000_000          # pure clique
+        assert got[3]["cc_scaled"] == 1_000_000
+        # node 1: deg 3, 1 triangle -> 2*1/(3*2) = 1/3
+        assert got[1]["cc_scaled"] == 2 * 1_000_000 // 6
+        assert got[4]["cc_scaled"] == 0                  # open wedge
+        assert got[5]["cc_scaled"] == 0 and got[5]["degree"] == 1
+        assert got[1]["n_triangles"] == 1
