@@ -1110,6 +1110,19 @@ def _q_kg_walks(sf_dir: str):
     return random_walks(_kg(sf_dir)["edges"], walks_per_node=2, steps=3)
 
 
+def _q_kg_skipgrams(sf_dir: str):
+    """(center, context, n) skip-gram pairs from the deterministic
+    walk corpus (window 2) — the word2vec-style co-occurrence matrix a
+    graph-embedding trainer consumes
+    (pipelines/graph_algo.py:walk_skipgram_pairs)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        walk_skipgram_pairs,
+    )
+
+    return walk_skipgram_pairs(_kg(sf_dir)["edges"], walks_per_node=2,
+                               steps=3, window=2)
+
+
 def _q_kg_related_docs(sf_dir: str):
     """Top related-document pairs by shared entities (integer Jaccard
     over the doc x entity bipartite mentions graph, ubiquitous
@@ -1428,6 +1441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_related_docs": _q_kg_related_docs,
         "kg_walks": _q_kg_walks,
         "kg_clustering": _q_kg_clustering,
+        "kg_skipgrams": _q_kg_skipgrams,
         "kg_hits": _q_kg_hits,
         "kg_link_pred_topk": _q_kg_link_pred_topk,
         "kg_link_pred_ra_topk": _q_kg_link_pred_ra_topk,
@@ -2158,6 +2172,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_sssp_weighted": _sssp_weighted_sql(nsub, nobj),
         "kg_hits": _hits_sql(nsub, nobj, iters=3),
         "kg_walks": _walks_sql(nsub, nobj, walks_per_node=2, steps=3),
+        "kg_skipgrams": f"""
+            WITH w AS ({_walks_sql(nsub, nobj, walks_per_node=2,
+                                   steps=3)})
+            SELECT a.node AS center, b.node AS context,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w a JOIN w b
+              ON a.seed = b.seed AND a.walk = b.walk
+             AND a.step <> b.step AND abs(a.step - b.step) <= 2
+            GROUP BY a.node, b.node
+        """,
         "kg_link_pred_ra_topk": _link_pred_ra_sql(nsub, nobj, k=20),
         "kg_node_similarity": _node_similarity_sql(nsub, nobj, k=20),
         "kg_degree_topk": f"""

@@ -2141,3 +2141,49 @@ def clustering_coefficient(
         })
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def walk_skipgram_pairs(
+    edges: "ray.data.Dataset",
+    walks_per_node: int = 2,
+    steps: int = 3,
+    window: int = 2,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """(center, context) skip-gram pairs from the deterministic walk
+    corpus — the word2vec-style training-pair extraction DeepWalk
+    feeds its embedding model (walks are sentences, nodes are words).
+
+    One (seed, walk)-keyed partition pass generates pairs within
+    ``window`` steps (walks are ``steps+1`` nodes long, so per-walk
+    work is constant); one hash aggregate folds them into
+    ``(center, context, n)`` counts — the co-occurrence matrix an
+    embedding trainer consumes.
+    """
+    import pandas as pd
+
+    rw = random_walks(edges, walks_per_node=walks_per_node,
+                      steps=steps, num_partitions=num_partitions)
+
+    def gen(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["seed", "walk", "step"], kind="mergesort")
+        out_c, out_x = [], []
+        for _, g in df.groupby(["seed", "walk"], sort=False):
+            nodes = g["node"].to_numpy()
+            n = len(nodes)
+            for i in range(n):
+                for j in range(max(0, i - window),
+                               min(n, i + window + 1)):
+                    if i != j:
+                        out_c.append(nodes[i])
+                        out_x.append(nodes[j])
+        return pd.DataFrame({
+            "center": pd.Series(out_c, dtype="int64"),
+            "context": pd.Series(out_x, dtype="int64"),
+        })
+
+    pairs = partitioned_group_map(rw, ["seed", "walk"], gen,
+                                  num_partitions)
+    return hash_aggregate(pairs, ["center", "context"],
+                          [(None, "count", "n")],
+                          num_partitions=num_partitions)

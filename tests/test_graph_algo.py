@@ -642,3 +642,29 @@ class TestClusteringCoefficient:
         assert got[4]["cc_scaled"] == 0                  # open wedge
         assert got[5]["cc_scaled"] == 0 and got[5]["degree"] == 1
         assert got[1]["n_triangles"] == 1
+
+
+class TestWalkSkipgrams:
+    def test_matches_window_replay(self, ray_session):
+        import collections
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            random_walks_reference,
+            walk_skipgram_pairs,
+        )
+
+        pairs = TestRandomWalks.PAIRS
+        got = {(r["center"], r["context"]): r["n"]
+               for r in walk_skipgram_pairs(
+                   _edges_ds(pairs), window=2).take_all()}
+        walks = collections.defaultdict(dict)
+        for seed, w, step, node in random_walks_reference(pairs):
+            walks[(seed, w)][step] = node
+        want = collections.Counter()
+        for path in walks.values():
+            nodes = [path[s] for s in sorted(path)]
+            for i in range(len(nodes)):
+                for j in range(max(0, i - 2), min(len(nodes), i + 3)):
+                    if i != j:
+                        want[(nodes[i], nodes[j])] += 1
+        assert got == dict(want)
