@@ -828,6 +828,20 @@ def _q_kg_components(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_kg_neighborhood(sf_dir: str):
+    """Approximate neighborhood function N(h) over the KG entity graph
+    (ANF / HyperBall with KMV sketches): one row per hop with the
+    estimated number of (node, node-within-h-hops) pairs — the
+    effective-diameter / connectivity profile of the extracted graph.
+    Integer sketch semantics make the distributed run hash-match the
+    unrolled DuckDB replay bit for bit."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        neighborhood_function,
+    )
+
+    return neighborhood_function(_kg(sf_dir)["edges"], hops=3)
+
+
 def _q_kg_export_neo4j(sf_dir: str):
     """Neo4j bulk-import export (the scale path to the reference's
     target database): write the snapshot as neo4j-admin CSV parts
@@ -1447,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_pred_ra_topk": _q_kg_link_pred_ra_topk,
         "kg_node_similarity": _q_kg_node_similarity,
         "kg_components": _q_kg_components,
+        "kg_neighborhood": _q_kg_neighborhood,
         "kg_kcore": _q_kg_kcore,
         "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
@@ -1704,6 +1719,70 @@ def _pagerank_sql(nsub: str, nobj: str, iters: int = 3) -> str:
         )""")
     return ("WITH " + ",".join(ctes)
             + f" SELECT id AS entity_id, r AS rank_scaled FROM i{iters}")
+
+
+def _neighborhood_sql(nsub: str, nobj: str, hops: int = 3) -> str:
+    """Unrolled KMV-sketch replay of graph_algo.neighborhood_function:
+    same splitmix-style 61-bit hash (HUGEINT emulation of mod-2^64
+    arithmetic — multipliers are < 2^62 so products fit INT128), same
+    per-round k-smallest-distinct merge, same integer estimator."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        NF_K, NF_SPACE, _NF_A, _NF_B, _NF_C1,
+    )
+
+    k = NF_K
+    m64 = 1 << 64
+    ctes = [f"""
+        e0 AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), ee AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM e0 WHERE s <> d
+        ), n AS (
+            SELECT a AS node FROM ee UNION SELECT b FROM ee
+        ), bo AS (
+            SELECT a AS node, b AS peer FROM ee
+            UNION ALL SELECT b, a FROM ee
+            UNION ALL SELECT node, node FROM n
+        ), s0 AS (
+            SELECT node, CAST(CAST(xor(z5, z5 >> 31) AS HUGEINT)
+                              % {NF_SPACE} AS BIGINT) AS h
+            FROM (
+              SELECT node, CAST((CAST(xor(z3, z3 >> 27) AS HUGEINT)
+                                 * {_NF_B}) % {m64} AS UBIGINT) AS z5
+              FROM (
+                SELECT node, CAST((CAST(xor(z1, z1 >> 30) AS HUGEINT)
+                                   * {_NF_A}) % {m64} AS UBIGINT) AS z3
+                FROM (
+                  SELECT node, CAST((CAST(node AS HUGEINT) + {_NF_C1})
+                                    % {m64} AS UBIGINT) AS z1
+                  FROM n))))"""]
+    for r in range(1, hops + 1):
+        ctes.append(f"""
+        s{r} AS (
+            SELECT node, h FROM (
+                SELECT node, h,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY h) AS rn
+                FROM (SELECT DISTINCT bo.node AS node, s.h
+                      FROM bo JOIN s{r-1} s ON s.node = bo.peer)
+            ) WHERE rn <= {k}
+        )""")
+    nf = [f"""
+        nf{r} AS (
+            SELECT CAST({r} AS BIGINT) AS hop,
+                   CAST(COALESCE(sum(est), 0) AS BIGINT) AS nf_est
+            FROM (
+                SELECT node,
+                       CASE WHEN count(*) < {k} THEN count(*)
+                            ELSE (CAST({k - 1} AS HUGEINT) * {NF_SPACE})
+                                 // max(h) END AS est
+                FROM s{r} GROUP BY node)
+        )""" for r in range(0, hops + 1)]
+    union = " UNION ALL ".join(
+        f"SELECT hop, nf_est FROM nf{r}" for r in range(0, hops + 1))
+    return ("WITH " + ",".join(ctes + nf) + " " + union)
 
 
 def _ppr_sql(nsub: str, nobj: str, iters: int = 3) -> str:
@@ -2254,6 +2333,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS BIGINT) AS cc_scaled
             FROM deg d LEFT JOIN tc USING (entity_id)
         """,
+        "kg_neighborhood": _neighborhood_sql(nsub, nobj),
         "kg_components": f"""
             WITH RECURSIVE e0 AS (
                 SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d

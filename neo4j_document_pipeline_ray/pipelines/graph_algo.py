@@ -2187,3 +2187,197 @@ def walk_skipgram_pairs(
     return hash_aggregate(pairs, ["center", "context"],
                           [(None, "count", "n")],
                           num_partitions=num_partitions)
+
+
+# --- approximate neighborhood function (ANF / HyperBall with KMV) --------------
+
+NF_K = 8                   # sketch size; (k-1)*2^61 must fit uint64
+NF_SPACE = 1 << 61         # hash space after the 61-bit mask
+_NF_C1 = 0x9E3779B97F4A7C15   # splitmix64 increment (public constant)
+_NF_A = 0x3C79AC492BA7B653    # odd multipliers < 2^62 so the DuckDB
+_NF_B = 0x1C69B3F74AC4AE35    # HUGEINT emulation of *mod 2^64* fits INT128
+
+
+def _nf_hash(ids) -> "object":
+    """61-bit splitmix-style mix of entity ids — vectorized and
+    bit-identical to the HUGEINT emulation in the SQL oracle."""
+    import numpy as np
+
+    z = np.asarray(ids, dtype=np.int64).astype(np.uint64) + np.uint64(_NF_C1)
+    z ^= z >> np.uint64(30)
+    z = z * np.uint64(_NF_A)
+    z ^= z >> np.uint64(27)
+    z = z * np.uint64(_NF_B)
+    z ^= z >> np.uint64(31)
+    return (z & np.uint64(NF_SPACE - 1)).astype(np.int64)
+
+
+def neighborhood_function(
+    edges: "ray.data.Dataset",
+    hops: int = 3,
+    k: int = NF_K,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """Approximate neighborhood function N(h) = Σ_v |ball(v, h)| over
+    the undirected distinct graph — the ANF of Palmer/Gibbons/Faloutsos
+    (KDD'02) in the HyperBall formulation of Boldi/Vigna (2013), with
+    K-Minimum-Values sketches instead of HyperLogLog registers: KMV's
+    "k smallest distinct hashes" is a pure integer function of the data
+    (see extras/textstats.py:distinct_tokens_kmv), so a DuckDB replay
+    hash-matches the distributed run bit for bit, where HLL's register
+    layout would not.
+
+    Per round each node's sketch absorbs its neighbors' sketches and is
+    re-truncated to the k smallest distinct hashes; |ball(v,h)| is the
+    KMV estimate (exact below k).  N(h)/N(∞) is the standard effective-
+    diameter / connectivity profile a graph-scale corpus audit needs.
+
+    100-TB shape: sketches are O(V·k) rows and ride broadcast_join's
+    size gate (hash-join fallback above it); the only E-sized work per
+    round is one streaming probe whose output is cut to ≤k rows per
+    (node, batch) IN-BATCH before the exchange, so the shuffle moves
+    O(min(E, V·k·n_batches)) rows.  Rounds are bounded (`hops`), driver
+    state is one int per hop.  Returns ``(hop, nf_est)`` int64 rows.
+    """
+    import numpy as np
+
+    if k < 2:
+        raise ValueError("KMV needs k >= 2")
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "peer": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    bo = e.map_batches(both_dirs, batch_format="pyarrow")
+    nodes = hash_aggregate(
+        bo.select_columns(["node"]), "node", [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def self_loop(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "peer": t["node"]})
+
+    # self-edges keep each node's own sketch through the round merge
+    adj = bo.union(nodes.map_batches(self_loop, batch_format="pyarrow"))
+    adj = adj.materialize()  # probed every round
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "h": pa.array(_nf_hash(t["node"].to_numpy()), pa.int64()),
+        })
+
+    sketch = nodes.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        h = t["h"].to_numpy()
+        order = np.lexsort((h, node))
+        node, h = node[order], h[order]
+        keep = np.ones(len(node), dtype=bool)
+        keep[1:] = (node[1:] != node[:-1]) | (h[1:] != h[:-1])
+        node, h = node[keep], h[keep]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]]) \
+            if len(node) else np.array([], dtype=np.int64)
+        runs = np.diff(np.r_[starts, len(node)])
+        rank = np.arange(len(node)) - np.repeat(starts, runs)
+        m = rank < k
+        return pa.table({"node": pa.array(node[m], pa.int64()),
+                         "h": pa.array(h[m], pa.int64())})
+
+    def merge_part(df):
+        import pandas as pd  # noqa: F401  (partition body runs remote)
+
+        df = df.sort_values(["node", "h"]).drop_duplicates(["node", "h"])
+        return df.groupby("node", sort=False).head(k)
+
+    def nf_estimate(sk: "ray.data.Dataset") -> int:
+        per_node = hash_aggregate(
+            sk, "node", [(None, "count", "cnt"), ("h", "max", "kth")],
+            num_partitions=num_partitions,
+        )
+
+        def partial_sum(t: pa.Table) -> pa.Table:
+            cnt = t["cnt"].to_numpy().astype(np.uint64)
+            kth = np.maximum(t["kth"].to_numpy(), 1).astype(np.uint64)
+            est = np.where(
+                cnt < k, cnt,
+                (np.uint64(k - 1) * np.uint64(NF_SPACE)) // kth)
+            return pa.table({"s": pa.array([int(est.sum())], pa.int64())})
+
+        parts = per_node.map_batches(
+            partial_sum, batch_format="pyarrow").take_all()
+        return sum(r["s"] for r in parts)
+
+    out_hops, out_nf = [0], [nf_estimate(sketch)]
+    for hop in range(1, hops + 1):
+        flows = broadcast_join(adj, sketch, on=("peer",),
+                               right_on=("node",),
+                               num_partitions=num_partitions)
+        partial = flows.select_columns(["node", "h"]).map_batches(
+            topk_partial, batch_format="pyarrow")
+        sketch = partitioned_group_map(
+            partial, "node", merge_part,
+            num_partitions=num_partitions).materialize()
+        out_hops.append(hop)
+        out_nf.append(nf_estimate(sketch))
+
+    return pa.table({
+        "hop": pa.array(out_hops, pa.int64()),
+        "nf_est": pa.array(out_nf, pa.int64()),
+    })
+
+
+def neighborhood_function_reference(edge_pairs, hops: int = 3,
+                                    k: int = NF_K) -> list:
+    """Pure-Python replay of the exact sketch semantics (test oracle)."""
+    import numpy as np
+
+    adj: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    sk = {v: {int(_nf_hash(np.array([v]))[0])} for v in nodes}
+
+    def est(s: set) -> int:
+        if len(s) < k:
+            return len(s)
+        kth = sorted(s)[k - 1]
+        return ((k - 1) * NF_SPACE) // kth
+
+    out = [(0, sum(est(sk[v]) for v in nodes))]
+    for hop in range(1, hops + 1):
+        nxt = {}
+        for v in nodes:
+            u = set(sk[v])
+            for w in adj[v]:
+                u |= sk[w]
+            nxt[v] = set(sorted(u)[:k])
+        sk = nxt
+        out.append((hop, sum(est(sk[v]) for v in nodes)))
+    return out

@@ -668,3 +668,66 @@ class TestWalkSkipgrams:
                     if i != j:
                         want[(nodes[i], nodes[j])] += 1
         assert got == dict(want)
+
+
+class TestNeighborhoodFunction:
+    def test_matches_python_reference(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            neighborhood_function,
+            neighborhood_function_reference,
+        )
+
+        rng = random.Random(7)
+        pairs = [(rng.randrange(40) + 1, rng.randrange(40) + 1)
+                 for _ in range(120)]
+        pairs += [(1, 2), (2, 3), (3, 4)]
+        got = neighborhood_function(_edges_ds(pairs), hops=3)
+        rows = list(zip(got["hop"].to_pylist(), got["nf_est"].to_pylist()))
+        assert rows == neighborhood_function_reference(pairs, hops=3)
+
+    def test_path_graph_exact_below_k(self, ray_session):
+        # a 5-node path has balls smaller than k=8 at every hop, so the
+        # KMV estimate is EXACT: N(h) = sum over v of |ball(v, h)|
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            neighborhood_function,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        got = neighborhood_function(_edges_ds(pairs), hops=3)
+        rows = dict(zip(got["hop"].to_pylist(), got["nf_est"].to_pylist()))
+        # hop0: 5; hop1: 5 + 2*4 = 13; hop2: 3+4+5+4+3 = 19;
+        # hop3: 4+5+5+5+4 = 23
+        assert rows == {0: 5, 1: 13, 2: 19, 3: 23}
+
+    def test_hash_matches_sql_mirror(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            NF_SPACE, _NF_A, _NF_B, _NF_C1, _nf_hash,
+        )
+
+        ids = np.array([0, 1, 12345678901234567, (1 << 60) - 1],
+                       dtype=np.int64)
+        m64 = 1 << 64
+        sql = f"""
+        SELECT CAST(CAST(xor(z5, z5 >> 31) AS HUGEINT)
+                    % {NF_SPACE} AS BIGINT) AS h
+        FROM (
+          SELECT CAST((CAST(xor(z3, z3 >> 27) AS HUGEINT) * {_NF_B})
+                      % {m64} AS UBIGINT) AS z5
+          FROM (
+            SELECT CAST((CAST(xor(z1, z1 >> 30) AS HUGEINT) * {_NF_A})
+                        % {m64} AS UBIGINT) AS z3
+            FROM (
+              SELECT CAST((CAST(id AS HUGEINT) + {_NF_C1})
+                          % {m64} AS UBIGINT) AS z1
+              FROM t)))
+        """
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest($1::BIGINT[]) AS id",
+                    [ids.tolist()])
+        assert [r[0] for r in con.execute(sql).fetchall()] \
+            == _nf_hash(ids).tolist()
