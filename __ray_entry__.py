@@ -842,6 +842,17 @@ def _q_kg_neighborhood(sf_dir: str):
     return neighborhood_function(_kg(sf_dir)["edges"], hops=3)
 
 
+def _q_kg_alias_candidates(sf_dir: str):
+    """Near-miss alias candidates the exact norm-key merge cannot
+    catch: token-set Jaccard >= 1/2 over normalized entity names via
+    the uncapped prefix-filtered SSJoin kernel."""
+    from neo4j_document_pipeline_ray.stages.entity_link import (
+        alias_candidates,
+    )
+
+    return alias_candidates(_kg(sf_dir)["nodes"])
+
+
 def _q_kg_export_neo4j(sf_dir: str):
     """Neo4j bulk-import export (the scale path to the reference's
     target database): write the snapshot as neo4j-admin CSV parts
@@ -1462,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_similarity": _q_kg_node_similarity,
         "kg_components": _q_kg_components,
         "kg_neighborhood": _q_kg_neighborhood,
+        "kg_alias_candidates": _q_kg_alias_candidates,
         "kg_kcore": _q_kg_kcore,
         "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
@@ -2334,6 +2346,43 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tc USING (entity_id)
         """,
         "kg_neighborhood": _neighborhood_sql(nsub, nobj),
+        # token-set Jaccard over normalized names: same tokenization as
+        # extras/dedup._gram_words ([a-z0-9]+ on the lowercased key);
+        # the FNV word hash needs no replay because candidates are
+        # verified on full token sets (collision-free on this corpus,
+        # same convention as PREFIX_JACCARD_SQL)
+        "kg_alias_candidates": f"""
+            WITH m AS (
+                SELECT subject AS name FROM read_parquet('{_TRUTH_001}')
+                UNION ALL
+                SELECT object FROM read_parquet('{_TRUTH_001}')
+            ), g AS (
+                SELECT DISTINCT {nname} AS norm_key FROM m
+            ), nodes AS (
+                SELECT {_eid_sql('norm_key')} AS entity_id, norm_key FROM g
+            ), tok AS (
+                SELECT DISTINCT entity_id, unnest(list_filter(
+                    string_split_regex(lower(norm_key), '[^a-z0-9]+'),
+                    x -> x <> '')) AS w
+                FROM nodes
+            ), sizes AS (
+                SELECT entity_id, count(*) AS n FROM tok GROUP BY entity_id
+            ), inter AS (
+                SELECT ta.entity_id AS a, tb.entity_id AS b,
+                       count(*) AS i
+                FROM tok ta JOIN tok tb
+                  ON ta.w = tb.w AND ta.entity_id < tb.entity_id
+                GROUP BY 1, 2
+            )
+            SELECT a AS entity_a, b AS entity_b,
+                   CAST(i AS BIGINT) AS n_shared,
+                   CAST(i * 1000000 // (sa.n + sb.n - i) AS BIGINT)
+                       AS jaccard_scaled
+            FROM inter
+            JOIN sizes sa ON sa.entity_id = a
+            JOIN sizes sb ON sb.entity_id = b
+            WHERE 2 * i >= 1 * (sa.n + sb.n - i)
+        """,
         "kg_components": f"""
             WITH RECURSIVE e0 AS (
                 SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d

@@ -160,3 +160,47 @@ def build_mentions(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = 
     (reference ``ingestMD.py:538-541``), idempotent per pair like MERGE."""
     cfg = cfg or PipelineConfig()
     return finalize_mentions(shard_mention_pairs(triples, cfg), cfg)
+
+
+def alias_candidates(
+    nodes: "ray.data.Dataset",
+    t_num: int = 1,
+    t_den: int = 2,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """NEAR-miss alias candidates over canonicalized entity names.
+
+    Construction-time canonicalization merges only EXACT norm_key
+    matches (the reference's MERGE-by-name identity, ingestMD.py:
+    488-541); names that differ by a token ("acme corp" vs "acme
+    corporation inc") stay distinct entities.  This surfaces those
+    residual pairs for curation: token-set Jaccard >= t_num/t_den over
+    the normalized name, computed with the prefix-filtered SSJoin
+    kernel (extras/dedup.py:prefix_jaccard_pairs) — uncapped, exact,
+    hash-partitioned, no all-pairs stage, so it holds at a 10^9-entity
+    node table.  Returns ``(entity_a, entity_b, n_shared,
+    jaccard_scaled)`` with entity_a < entity_b.
+    """
+    import pyarrow as pa
+
+    from neo4j_document_pipeline_ray.extras.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    def as_docs(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["entity_id"], "text": t["norm_key"]})
+
+    pairs = prefix_jaccard_pairs(
+        nodes.select_columns(["entity_id", "norm_key"])
+             .map_batches(as_docs, batch_format="pyarrow"),
+        n=1, t_num=t_num, t_den=t_den, num_partitions=num_partitions)
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity_a": t["doc_a"],
+            "entity_b": t["doc_b"],
+            "n_shared": t["n_shared"],
+            "jaccard_scaled": t["jaccard_scaled"],
+        })
+
+    return pairs.map_batches(out, batch_format="pyarrow")

@@ -69,3 +69,41 @@ class TestPrefixJaccard:
         assert len(out) == 3
         assert list(out["gram"]) == [0, 1, 2]  # df ties break by gram
         assert set(out["L"]) == {10}
+
+
+class TestAliasCandidates:
+    def test_near_miss_names_surface(self, ray_session):
+        from neo4j_document_pipeline_ray.stages.entity_link import (
+            alias_candidates,
+        )
+
+        nodes = ray.data.from_pandas(pd.DataFrame({
+            "entity_id": pd.Series([1, 2, 3, 4, 5], dtype="int64"),
+            "norm_key": [
+                "acme corp",            # J(1,2) = 2/3 >= 1/2 -> pair
+                "acme corp inc",
+                "acme",                 # J(3,1) = 1/2 -> pair; J(3,2)=1/3
+                "zeta systems",         # no token overlap
+                "",                     # empty key never pairs
+            ],
+        }))
+        out = {(r["entity_a"], r["entity_b"]):
+               (r["n_shared"], r["jaccard_scaled"])
+               for r in alias_candidates(nodes, num_partitions=4).take_all()}
+        assert out == {
+            (1, 2): (2, 2 * 1_000_000 // 3),
+            (1, 3): (1, 1_000_000 // 2),
+        }
+
+    def test_exact_duplicate_key_is_full_score(self, ray_session):
+        from neo4j_document_pipeline_ray.stages.entity_link import (
+            alias_candidates,
+        )
+
+        nodes = ray.data.from_pandas(pd.DataFrame({
+            "entity_id": pd.Series([10, 20], dtype="int64"),
+            "norm_key": ["united states", "united states"],
+        }))
+        out = alias_candidates(nodes, num_partitions=4).take_all()
+        assert [(r["entity_a"], r["entity_b"], r["jaccard_scaled"])
+                for r in out] == [(10, 20, 1_000_000)]
