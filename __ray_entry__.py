@@ -853,6 +853,50 @@ def _q_kg_alias_candidates(sf_dir: str):
     return alias_candidates(_kg(sf_dir)["nodes"])
 
 
+def _q_kg_entity_timeline(sf_dir: str):
+    """Per-entity temporal profile — first/last crawl timestamp and
+    document frequency — from the mentions table joined to page
+    ``warc_ts``: the temporal-KG dimension (entity timelines) over
+    crawl metadata, node-sided after one doc-keyed aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.functions.textnorm import sha256_hex
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        hash_aggregate,
+    )
+
+    mentions = _kg(sf_dir)["mentions"]
+    pages = rd.read_parquet(_corpus(sf_dir)["pages"],
+                            columns=["text", "warc_ts"])
+
+    def doc_ts(t: pa.Table) -> pa.Table:
+        ids = [sha256_hex(x or "") for x in t["text"].to_pylist()]
+        ts = pc.cast(pc.cast(t["warc_ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"doc_id": pa.array(ids, pa.string()), "ts": ts})
+
+    spans = hash_aggregate(
+        pages.map_batches(doc_ts, batch_format="pyarrow"),
+        "doc_id", [("ts", "min", "f"), ("ts", "max", "l")])
+    j = broadcast_join(mentions, spans, on=("doc_id",))
+    return hash_aggregate(
+        j.select_columns(["entity_id", "f", "l"]), "entity_id",
+        [("f", "min", "first_seen_us"), ("l", "max", "last_seen_us"),
+         (None, "count", "n_docs")])
+
+
+def _q_kg_degree_hist(sf_dir: str):
+    """Log2-bucket degree histogram — the power-law-tail audit of the
+    extracted entity graph (same degree definition as kg_degree_topk)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        degree_histogram,
+    )
+
+    return degree_histogram(_kg(sf_dir)["edges"])
+
+
 def _q_kg_export_neo4j(sf_dir: str):
     """Neo4j bulk-import export (the scale path to the reference's
     target database): write the snapshot as neo4j-admin CSV parts
@@ -1474,6 +1518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_neighborhood": _q_kg_neighborhood,
         "kg_alias_candidates": _q_kg_alias_candidates,
+        "kg_entity_timeline": _q_kg_entity_timeline,
+        "kg_degree_hist": _q_kg_degree_hist,
         "kg_kcore": _q_kg_kcore,
         "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
@@ -2346,6 +2392,49 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tc USING (entity_id)
         """,
         "kg_neighborhood": _neighborhood_sql(nsub, nobj),
+        "kg_entity_timeline": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            ), m AS (
+                SELECT doc_id, subject AS name FROM t
+                UNION ALL SELECT doc_id, object FROM t
+            ), men AS (
+                SELECT DISTINCT doc_id, {_eid_sql(nname)} AS entity_id
+                FROM m
+            ), spans AS (
+                SELECT sha256(text) AS doc_id,
+                       min(epoch_us(warc_ts)) AS f,
+                       max(epoch_us(warc_ts)) AS l
+                FROM read_parquet('{_PAGES_001}') GROUP BY 1
+            )
+            SELECT entity_id,
+                   min(f) AS first_seen_us,
+                   max(l) AS last_seen_us,
+                   count(*) AS n_docs
+            FROM men JOIN spans USING (doc_id)
+            GROUP BY entity_id
+        """,
+        "kg_degree_hist": f"""
+            WITH e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+                FROM read_parquet('{_TRUTH_001}')
+            ), ends AS (
+                SELECT s AS entity_id FROM e
+                UNION ALL SELECT d FROM e
+            ), deg AS (
+                SELECT entity_id, count(*) AS degree
+                FROM ends GROUP BY entity_id
+            ), b AS (
+                SELECT CAST(floor(log2(degree)) AS BIGINT) AS bucket
+                FROM deg
+            )
+            SELECT bucket,
+                   CAST(power(2, bucket) AS BIGINT) AS min_degree,
+                   count(*) AS n_nodes
+            FROM b GROUP BY bucket
+        """,
         # token-set Jaccard over normalized names: same tokenization as
         # extras/dedup._gram_words ([a-z0-9]+ on the lowercased key);
         # the FNV word hash needs no replay because candidates are

@@ -2381,3 +2381,60 @@ def neighborhood_function_reference(edge_pairs, hops: int = 3,
         sk = nxt
         out.append((hop, sum(est(sk[v]) for v in nodes)))
     return out
+
+
+# --- degree histogram -----------------------------------------------------------
+
+def degree_histogram(
+    edges: "ray.data.Dataset",
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Log2-bucket histogram of total degree over DISTINCT ``(src,
+    dst)`` pairs — the power-law-tail audit of the extracted graph
+    (degree definition identical to :func:`degree_topk`, so hub report
+    and histogram agree).  Bucket = floor(log2(degree)); exact for
+    int64 degrees because log2 of an exactly-representable double is
+    >1e-9 away from the next integer except AT powers of two, where it
+    is exact.  Two node-sided exchanges, nothing E-sized leaves the
+    partial aggregation.  Returns ``(bucket, min_degree, n_nodes)``.
+    """
+    import numpy as np
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col]),
+        [src_col, dst_col], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"entity_id": pa.concat_arrays([
+            t[src_col].combine_chunks(), t[dst_col].combine_chunks()])})
+
+    deg = hash_aggregate(
+        e.map_batches(ends, batch_format="pyarrow"),
+        "entity_id", [(None, "count", "degree")],
+        num_partitions=num_partitions,
+    )
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy()
+        b = np.floor(np.log2(d.astype(np.float64))).astype(np.int64)
+        return pa.table({"bucket": pa.array(b, pa.int64())})
+
+    hist = hash_aggregate(
+        deg.map_batches(to_bucket, batch_format="pyarrow"),
+        "bucket", [(None, "count", "n_nodes")],
+        num_partitions=num_partitions,
+    )
+
+    def add_lo(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy()
+        return pa.table({
+            "bucket": t["bucket"],
+            "min_degree": pa.array(np.int64(1) << b, pa.int64()),
+            "n_nodes": t["n_nodes"],
+        })
+
+    return hist.map_batches(add_lo, batch_format="pyarrow")

@@ -731,3 +731,17 @@ class TestNeighborhoodFunction:
                     [ids.tolist()])
         assert [r[0] for r in con.execute(sql).fetchall()] \
             == _nf_hash(ids).tolist()
+
+
+class TestDegreeHistogram:
+    def test_star_plus_clique(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            degree_histogram,
+        )
+
+        # hub 1 -> 2..9 (degree 8, bucket 3); leaves degree 1 (bucket 0)
+        # plus duplicate edges that must collapse before counting
+        pairs = [(1, i) for i in range(2, 10)] + [(1, 5), (1, 9)]
+        got = {r["bucket"]: (r["min_degree"], r["n_nodes"])
+               for r in degree_histogram(_edges_ds(pairs)).take_all()}
+        assert got == {0: (1, 8), 3: (8, 1)}
