@@ -897,6 +897,46 @@ def _q_kg_degree_hist(sf_dir: str):
     return degree_histogram(_kg(sf_dir)["edges"])
 
 
+def _q_kg_diff(sf_dir: str):
+    """Snapshot-diff audit for the incremental path: when the corpus
+    half whose doc_id starts 8-f is retracted, which edges survive on
+    remaining provenance and which lose ALL support — the retraction
+    twin of pipelines/incremental.py's additive fold.  Pure
+    provenance-side aggregation (one distinct + one group exchange);
+    nothing rebuilds."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    t = _kg(sf_dir)["triples"].select_columns(
+        ["src_id", "rel_type", "dst_id", "doc_id"])
+    prov = hash_aggregate(
+        t, ["src_id", "rel_type", "dst_id", "doc_id"],
+        [(None, "count", "_m")]).drop_columns(["_m"])
+
+    def tag(tb: pa.Table) -> pa.Table:
+        keep = pc.less(pc.utf8_slice_codeunits(tb["doc_id"], 0, 1), "8")
+        return pa.table({
+            "src_id": tb["src_id"], "rel_type": tb["rel_type"],
+            "dst_id": tb["dst_id"],
+            "kept": pc.cast(keep, pa.int64()),
+        })
+
+    agg = hash_aggregate(
+        prov.map_batches(tag, batch_format="pyarrow"),
+        ["src_id", "rel_type", "dst_id"],
+        [(None, "count", "n_docs"), ("kept", "sum", "n_docs_kept")])
+
+    def status(tb: pa.Table) -> pa.Table:
+        dropped = pc.equal(tb["n_docs_kept"], 0)
+        return tb.append_column(
+            "status",
+            pc.if_else(dropped, pa.scalar("dropped"), pa.scalar("kept")))
+
+    return agg.map_batches(status, batch_format="pyarrow")
+
+
 def _q_kg_export_neo4j(sf_dir: str):
     """Neo4j bulk-import export (the scale path to the reference's
     target database): write the snapshot as neo4j-admin CSV parts
@@ -1520,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_candidates": _q_kg_alias_candidates,
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_degree_hist": _q_kg_degree_hist,
+        "kg_diff": _q_kg_diff,
         "kg_kcore": _q_kg_kcore,
         "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
@@ -2415,6 +2456,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM men JOIN spans USING (doc_id)
             GROUP BY entity_id
+        """,
+        "kg_diff": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            ), prov AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS src_id, rel_type,
+                                {_eid_sql(nobj)} AS dst_id, doc_id
+                FROM t
+            ), agg AS (
+                SELECT src_id, rel_type, dst_id,
+                       count(*) AS n_docs,
+                       sum(CASE WHEN substr(doc_id, 1, 1) < '8'
+                                THEN 1 ELSE 0 END) AS n_kept
+                FROM prov GROUP BY 1, 2, 3
+            )
+            SELECT src_id, rel_type, dst_id,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_kept AS BIGINT) AS n_docs_kept,
+                   CASE WHEN n_kept = 0 THEN 'dropped'
+                        ELSE 'kept' END AS status
+            FROM agg
         """,
         "kg_degree_hist": f"""
             WITH e AS (
