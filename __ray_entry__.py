@@ -937,6 +937,17 @@ def _q_kg_diff(sf_dir: str):
     return agg.map_batches(status, batch_format="pyarrow")
 
 
+def _q_kg_msf(sf_dir: str):
+    """Minimum spanning forest over the KG entity graph (distributed
+    Boruvka; deterministic distinct edge order makes the forest unique
+    and hash-checkable against an unrolled-SQL Boruvka replay)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        minimum_spanning_forest,
+    )
+
+    return minimum_spanning_forest(_kg(sf_dir)["edges"])
+
+
 def _q_kg_export_neo4j(sf_dir: str):
     """Neo4j bulk-import export (the scale path to the reference's
     target database): write the snapshot as neo4j-admin CSV parts
@@ -1561,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_diff": _q_kg_diff,
+        "kg_msf": _q_kg_msf,
         "kg_kcore": _q_kg_kcore,
         "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
@@ -1882,6 +1894,95 @@ def _neighborhood_sql(nsub: str, nobj: str, hops: int = 3) -> str:
     union = " UNION ALL ".join(
         f"SELECT hop, nf_est FROM nf{r}" for r in range(0, hops + 1))
     return ("WITH " + ",".join(ctes + nf) + " " + union)
+
+
+def _msf_sql(nsub: str, nobj: str, rounds: int = 9) -> str:
+    """Unrolled Boruvka replay of graph_algo.minimum_spanning_forest.
+    The (w, lo, hi) total order is all-distinct, so the forest is
+    unique and round-for-round replay must agree bit-for-bit.  Each
+    round: a recursive-CTE closure labels components of the
+    forest-so-far, every component picks its min crossing edge, picked
+    edges join the forest.  ``rounds=9`` covers 2^9 nodes (sf0.01 has
+    a few hundred); components at least halve per round."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        SSSP_WEIGHT_MOD,
+    )
+
+    # NO recursive CTEs: inside WITH RECURSIVE DuckDB inlines every
+    # CTE reference (measured: e0 went 0.1 s -> 33 s) and UNION loses
+    # its dedup semantics.  Component labels come from an UNROLLED
+    # DOUBLING closure of the forest-so-far instead: after k doubling
+    # steps the adjacency covers 2^k-hop paths, so ``doublings`` steps
+    # close any forest path over <= 2^doublings nodes.
+    doublings = max(1, (rounds + 1))
+    ctes = [f"""
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), e AS MATERIALIZED (
+            SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi,
+                   1 + (least(s, d) + greatest(s, d))
+                       % {SSSP_WEIGHT_MOD} AS w
+            FROM e0 WHERE s <> d
+        ), n AS MATERIALIZED (
+            SELECT DISTINCT lo AS node FROM e
+            UNION SELECT DISTINCT hi FROM e
+        ), comp0 AS MATERIALIZED (
+            SELECT node, node AS comp FROM n
+        )"""]
+    # each round closes only the MERGE graph (one node per component,
+    # shrinks geometrically) and remaps the cumulative node->comp map
+    # through it — never re-closes the whole forest
+    for r in range(rounds):
+        ctes.append(f"""
+        crossing{r} AS MATERIALIZED (
+            SELECT e.lo, e.hi, e.w, ca.comp AS ca, cb.comp AS cb
+            FROM e JOIN comp{r} ca ON ca.node = e.lo
+                   JOIN comp{r} cb ON cb.node = e.hi
+            WHERE ca.comp <> cb.comp
+        ), picked{r} AS MATERIALIZED (
+            SELECT DISTINCT lo, hi, w FROM (
+                SELECT comp, w, lo, hi,
+                       row_number() OVER (PARTITION BY comp
+                                          ORDER BY w, lo, hi) AS rn
+                FROM (SELECT ca AS comp, w, lo, hi FROM crossing{r}
+                      UNION ALL
+                      SELECT cb, w, lo, hi FROM crossing{r})
+            ) WHERE rn = 1
+        ), b{r}_0 AS MATERIALIZED (
+            SELECT ca AS x, cb AS y FROM (
+                SELECT DISTINCT c.ca, c.cb
+                FROM crossing{r} c JOIN picked{r} p
+                  ON p.lo = c.lo AND p.hi = c.hi)
+            UNION ALL
+            SELECT cb, ca FROM (
+                SELECT DISTINCT c.ca, c.cb
+                FROM crossing{r} c JOIN picked{r} p
+                  ON p.lo = c.lo AND p.hi = c.hi)
+            UNION ALL
+            SELECT DISTINCT ca, ca FROM crossing{r}
+            UNION ALL
+            SELECT DISTINCT cb, cb FROM crossing{r}
+        )""")
+        for k in range(doublings):
+            ctes.append(f"""
+        b{r}_{k + 1} AS MATERIALIZED (
+            SELECT DISTINCT p.x, q.y
+            FROM b{r}_{k} p JOIN b{r}_{k} q ON p.y = q.x
+        )""")
+        ctes.append(f"""
+        cc{r} AS MATERIALIZED (
+            SELECT x AS id, min(y) AS newc
+            FROM b{r}_{doublings} GROUP BY x
+        ), comp{r + 1} AS MATERIALIZED (
+            SELECT c.node, COALESCE(cc.newc, c.comp) AS comp
+            FROM comp{r} c LEFT JOIN cc{r} cc ON cc.id = c.comp
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT lo, hi, w FROM picked{r}" for r in range(rounds))
+    return ("WITH " + ",".join(ctes)
+            + f""" SELECT lo AS entity_a, hi AS entity_b, w AS weight
+                   FROM ({union})""")
 
 
 def _ppr_sql(nsub: str, nobj: str, iters: int = 3) -> str:
@@ -2433,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tc USING (entity_id)
         """,
         "kg_neighborhood": _neighborhood_sql(nsub, nobj),
+        "kg_msf": _msf_sql(nsub, nobj),
         "kg_entity_timeline": f"""
             WITH t AS (
                 SELECT tr.*, sha256(p.text) AS doc_id

@@ -2438,3 +2438,185 @@ def degree_histogram(
         })
 
     return hist.map_batches(add_lo, batch_format="pyarrow")
+
+
+# --- minimum spanning forest (Boruvka) ------------------------------------------
+
+def minimum_spanning_forest(
+    edges: "ray.data.Dataset",
+    weight_mod: int = SSSP_WEIGHT_MOD,
+    max_rounds: int = 32,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Minimum spanning forest over the undirected distinct graph —
+    distributed Boruvka, the bulk-graph MST pass (Neo4j GDS
+    spanningTree analog; the backbone extraction a KG curation layer
+    uses to thin hairball neighborhoods).
+
+    Weights follow :func:`sssp_weighted`'s deterministic integer model
+    ``w(a, b) = 1 + (a + b) % weight_mod`` and edges are totally
+    ordered by ``(w, lo, hi)`` — all-distinct, so the forest is UNIQUE
+    and every correct MST algorithm (the pytest oracle replays
+    Kruskal) returns bit-identical rows regardless of partitioning.
+
+    Per round: each component picks its minimum incident crossing edge
+    (two tagged copies of the crossing-edge table, one argmin per
+    component via a partitioned group head), picked edges join the
+    forest, and touched components contract via
+    ``connected_components`` on the component-pair graph.  Components
+    at least halve per round, so ``max_rounds=32`` covers 2^32 nodes
+    (set 40+ for 10^12).  All stages are node- or component-sided
+    exchanges; the only E-sized work per round is the streaming
+    label probe of the crossing-edge table, which SHRINKS as
+    components merge.  Returns ``(entity_a, entity_b, weight)``.
+    """
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.extras.dedup import (
+        connected_components,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        s = pc.add(t["lo"], t["hi"])
+        m = pc.subtract(s, pc.multiply(pc.divide(s, weight_mod),
+                                       weight_mod))
+        return t.append_column("w", pc.add(m, 1))
+
+    e = e.map_batches(weigh, batch_format="pyarrow").materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            t["lo"].combine_chunks(), t["hi"].combine_chunks()])})
+
+    comp = hash_aggregate(
+        e.map_batches(ends, batch_format="pyarrow"),
+        "node", [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"]).map_batches(
+        lambda t: t.append_column("comp", t["node"]),
+        batch_format="pyarrow").materialize()
+
+    def head_one(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["comp", "w", "lo", "hi"], kind="mergesort")
+        return df.groupby("comp", sort=False).head(1)
+
+    forest = None
+    for _ in range(max_rounds):
+        def _rename(col_from, col_to):
+            def fn(t: pa.Table) -> pa.Table:
+                names = [col_to if n == col_from else n
+                         for n in t.schema.names]
+                return t.rename_columns(names)
+            return fn
+
+        el = broadcast_join(e, comp, on=("lo",), right_on=("node",),
+                            num_partitions=num_partitions)
+        el = el.map_batches(_rename("comp", "ca"), batch_format="pyarrow")
+        el = broadcast_join(el, comp, on=("hi",), right_on=("node",),
+                            num_partitions=num_partitions)
+        el = el.map_batches(_rename("comp", "cb"), batch_format="pyarrow")
+
+        def crossing(t: pa.Table) -> pa.Table:
+            return t.filter(pc.not_equal(t["ca"], t["cb"]))
+
+        inter = el.map_batches(crossing, batch_format="pyarrow")
+
+        def tag_both(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "comp": pa.concat_arrays([
+                    t["ca"].combine_chunks(), t["cb"].combine_chunks()]),
+                "w": pa.concat_arrays([
+                    t["w"].combine_chunks(), t["w"].combine_chunks()]),
+                "lo": pa.concat_arrays([
+                    t["lo"].combine_chunks(), t["lo"].combine_chunks()]),
+                "hi": pa.concat_arrays([
+                    t["hi"].combine_chunks(), t["hi"].combine_chunks()]),
+                "ca": pa.concat_arrays([
+                    t["ca"].combine_chunks(), t["ca"].combine_chunks()]),
+                "cb": pa.concat_arrays([
+                    t["cb"].combine_chunks(), t["cb"].combine_chunks()]),
+            })
+
+        cand = inter.map_batches(tag_both, batch_format="pyarrow")
+        picked = partitioned_group_map(
+            cand, "comp", head_one, num_partitions).materialize()
+        if picked.count() == 0:
+            break
+
+        new_edges = hash_aggregate(
+            picked.select_columns(["lo", "hi", "w"]),
+            ["lo", "hi", "w"], [(None, "count", "_m")],
+            num_partitions=num_partitions,
+        ).drop_columns(["_m"])
+        forest = (new_edges if forest is None
+                  else forest.union(new_edges)).materialize()
+
+        merge_pairs = picked.select_columns(["ca", "cb"]).map_batches(
+            lambda t: pa.table({"a": t["ca"], "b": t["cb"]}),
+            batch_format="pyarrow")
+        cc = connected_components(merge_pairs, max_rounds=16)
+        comp = broadcast_join(
+            comp, cc, on=("comp",), right_on=("node",),
+            join_type="left_outer", num_partitions=num_partitions)
+        comp = comp.map_batches(
+            lambda t: pa.table({
+                "node": t["node"],
+                "comp": pc.coalesce(t["component"], t["comp"]),
+            }),
+            batch_format="pyarrow").materialize()
+
+    if forest is None:
+        return ray.data.from_arrow(pa.table({
+            "entity_a": pa.array([], pa.int64()),
+            "entity_b": pa.array([], pa.int64()),
+            "weight": pa.array([], pa.int64()),
+        }))
+    return forest.map_batches(
+        lambda t: pa.table({"entity_a": t["lo"], "entity_b": t["hi"],
+                            "weight": t["w"]}),
+        batch_format="pyarrow")
+
+
+def minimum_spanning_forest_reference(
+        edge_pairs, weight_mod: int = SSSP_WEIGHT_MOD) -> set:
+    """Kruskal replay with union-find (test oracle): the unique MSF
+    under the all-distinct (w, lo, hi) total order."""
+    es = set()
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        es.add((1 + (lo + hi) % weight_mod, lo, hi))
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for w, lo, hi in sorted(es):
+        ra, rb = find(lo), find(hi)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((lo, hi, w))
+    return out

@@ -745,3 +745,38 @@ class TestDegreeHistogram:
         got = {r["bucket"]: (r["min_degree"], r["n_nodes"])
                for r in degree_histogram(_edges_ds(pairs)).take_all()}
         assert got == {0: (1, 8), 3: (8, 1)}
+
+
+class TestMinimumSpanningForest:
+    def test_matches_kruskal_reference(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            minimum_spanning_forest,
+            minimum_spanning_forest_reference,
+        )
+
+        rng = random.Random(11)
+        pairs = [(rng.randrange(60) + 1, rng.randrange(60) + 1)
+                 for _ in range(200)]
+        pairs += [(100, 101), (102, 103)]  # extra small components
+        got = {(r["entity_a"], r["entity_b"], r["weight"])
+               for r in minimum_spanning_forest(_edges_ds(pairs)).take_all()}
+        assert got == minimum_spanning_forest_reference(pairs)
+
+    def test_forest_size_and_acyclicity(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            minimum_spanning_forest,
+        )
+
+        # triangle + tail: MSF must drop exactly the heaviest triangle
+        # edge and keep |V| - #components = 4 edges
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)]
+        out = minimum_spanning_forest(_edges_ds(pairs)).take_all()
+        edges = {(r["entity_a"], r["entity_b"]) for r in out}
+        assert len(edges) == 4
+        ws = {(lo, hi): 1 + (lo + hi) % 9 for lo, hi in
+              [(1, 2), (2, 3), (1, 3)]}
+        heaviest = max(ws, key=lambda p: (ws[p], p))
+        assert heaviest not in edges
+        assert (3, 4) in edges and (10, 11) in edges
