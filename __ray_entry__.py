@@ -617,6 +617,16 @@ def _q_docs_kmv_by_lang(sf_dir: str):
     return grouped_distinct_tokens_kmv(sf_dir)
 
 
+def _q_docs_bpe_train(sf_dir: str):
+    """Full BPE vocabulary-induction loop: 3 rounds of
+    count-argmax-merge over the distributed word-frequency table (one
+    corpus pass; every round after is vocab-sided with a vectorized
+    contains-prefilter on the rewrite)."""
+    from neo4j_document_pipeline_ray.extras.bpe import docs_bpe_train
+
+    return docs_bpe_train(sf_dir, iters=3)
+
+
 def _q_docs_bpe_pairs(sf_dir: str):
     """Top adjacent byte pairs over within-word positions — BPE
     tokenizer-training iteration 0 (extras/bpe.py; per-batch bincount
@@ -1624,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "docs_dup_ngrams": _q_docs_dup_ngrams,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
+        "docs_bpe_train": _q_docs_bpe_train,
         "docs_prefix_jaccard": _q_docs_prefix_jaccard,
         "docs_kmv_by_lang": _q_docs_kmv_by_lang,
         "docs_domain_reputation": _q_docs_domain_reputation,
@@ -2305,6 +2316,7 @@ def oracle_sql() -> dict[str, str]:
         docs_decontaminate_sql,
     )
     from neo4j_document_pipeline_ray.extras.bpe import BPE_PAIRS_SQL
+    from neo4j_document_pipeline_ray.extras.bpe import bpe_train_sql as _bpe_train_sql
     from neo4j_document_pipeline_ray.extras.dupgrams import DUP_NGRAM_SQL
     from neo4j_document_pipeline_ray.extras.urls import (
         anchor_terms_sql,
@@ -2938,6 +2950,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": REPETITION_SQL,
         "docs_dup_ngrams": DUP_NGRAM_SQL,
         "docs_bpe_pairs": BPE_PAIRS_SQL,
+        "docs_bpe_train": _bpe_train_sql(3),
         "docs_prefix_jaccard": PREFIX_JACCARD_SQL,
         "docs_salient_terms": salient_terms_sql(3),
         "docs_curation_filter": CURATION_FILTER_SQL,

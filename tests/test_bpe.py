@@ -47,3 +47,34 @@ class TestBpePairs:
         want = con.execute(bpe_pairs_sql(10)).df()
         con.close()
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestBpeTrain:
+    def test_matches_python_reference(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from neo4j_document_pipeline_ray.extras.bpe import (
+            bpe_train,
+            bpe_train_reference,
+        )
+
+        texts = ["the theater is there", "the thin theme",
+                 "aaaa aa a banana bandana", "", "THE The the"] * 3
+        docs = ray.data.from_arrow(
+            pa.table({"text": pa.array(texts, pa.string())}))
+        got = [(r["iter"], r["left"], r["right"], r["pair_n"])
+               for r in bpe_train(docs, iters=4).to_pylist()]
+        assert got == bpe_train_reference(texts, iters=4)
+        # round 1 must be (t, h): "th" appears in the/theater/there/
+        # thin/theme; round 2 merges the new 'th' symbol with 'e'
+        assert got[0][1:3] == ("t", "h")
+        assert got[1][1:3] == ("th", "e")
+
+    def test_merge_word_non_overlapping(self):
+        from neo4j_document_pipeline_ray.extras.bpe import _merge_word
+
+        assert _merge_word("a\ta\ta", "a", "a") == "aa\ta"
+        assert _merge_word("a\ta\ta\ta", "a", "a") == "aa\taa"
+        assert _merge_word("b\ta\ta", "b", "a") == "ba\ta"
+        assert _merge_word("x\ty", "a", "b") == "x\ty"
