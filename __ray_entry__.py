@@ -852,6 +852,17 @@ def _q_kg_neighborhood(sf_dir: str):
     return neighborhood_function(_kg(sf_dir)["edges"], hops=3)
 
 
+def _q_kg_harmonic(sf_dir: str):
+    """Approximate harmonic centrality from the HyperBall/KMV sketch
+    rounds (Boldi/Vigna 2013) — integer telescoped weighting, one
+    node-keyed sum."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        harmonic_centrality_approx,
+    )
+
+    return harmonic_centrality_approx(_kg(sf_dir)["edges"], hops=3)
+
+
 def _q_kg_alias_candidates(sf_dir: str):
     """Near-miss alias candidates the exact norm-key merge cannot
     catch: token-set Jaccard >= 1/2 over normalized entity names via
@@ -1578,6 +1589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_similarity": _q_kg_node_similarity,
         "kg_components": _q_kg_components,
         "kg_neighborhood": _q_kg_neighborhood,
+        "kg_harmonic": _q_kg_harmonic,
         "kg_alias_candidates": _q_kg_alias_candidates,
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_degree_hist": _q_kg_degree_hist,
@@ -1843,11 +1855,12 @@ def _pagerank_sql(nsub: str, nobj: str, iters: int = 3) -> str:
             + f" SELECT id AS entity_id, r AS rank_scaled FROM i{iters}")
 
 
-def _neighborhood_sql(nsub: str, nobj: str, hops: int = 3) -> str:
-    """Unrolled KMV-sketch replay of graph_algo.neighborhood_function:
-    same splitmix-style 61-bit hash (HUGEINT emulation of mod-2^64
-    arithmetic — multipliers are < 2^62 so products fit INT128), same
-    per-round k-smallest-distinct merge, same integer estimator."""
+def _kmv_sketch_ctes(nsub: str, nobj: str, hops: int) -> list:
+    """Shared CTE prefix for the KMV-sketch oracles (neighborhood
+    function + harmonic centrality): distinct undirected truth edges,
+    the splitmix-style 61-bit hash (HUGEINT emulation of mod-2^64
+    arithmetic — multipliers are < 2^62 so products fit INT128), and
+    ``hops`` unrolled k-smallest-distinct merge rounds s0..s{hops}."""
     from neo4j_document_pipeline_ray.pipelines.graph_algo import (
         NF_K, NF_SPACE, _NF_A, _NF_B, _NF_C1,
     )
@@ -1891,6 +1904,18 @@ def _neighborhood_sql(nsub: str, nobj: str, hops: int = 3) -> str:
                       FROM bo JOIN s{r-1} s ON s.node = bo.peer)
             ) WHERE rn <= {k}
         )""")
+    return ctes
+
+
+def _neighborhood_sql(nsub: str, nobj: str, hops: int = 3) -> str:
+    """Unrolled KMV-sketch replay of graph_algo.neighborhood_function
+    over the shared sketch CTEs; same integer estimator."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        NF_K, NF_SPACE,
+    )
+
+    k = NF_K
+    ctes = _kmv_sketch_ctes(nsub, nobj, hops)
     nf = [f"""
         nf{r} AS (
             SELECT CAST({r} AS BIGINT) AS hop,
@@ -1905,6 +1930,43 @@ def _neighborhood_sql(nsub: str, nobj: str, hops: int = 3) -> str:
     union = " UNION ALL ".join(
         f"SELECT hop, nf_est FROM nf{r}" for r in range(0, hops + 1))
     return ("WITH " + ",".join(ctes + nf) + " " + union)
+
+
+def _harmonic_sql(nsub: str, nobj: str, hops: int = 3) -> str:
+    """Unrolled replay of graph_algo.harmonic_centrality_approx: the
+    shared sketch CTEs + per-round per-node estimates combined with
+    the telescoped integer weights (weight(0) = −S, weight(h) =
+    S//h − S//(h+1), weight(H) = S//H)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        HARMONIC_SCALE, NF_K, NF_SPACE,
+    )
+
+    k = NF_K
+    s = HARMONIC_SCALE
+
+    def weight(h: int) -> int:
+        if h == 0:
+            return -s
+        if h == hops:
+            return s // h
+        return s // h - s // (h + 1)
+
+    ctes = _kmv_sketch_ctes(nsub, nobj, hops)
+    per = [f"""
+        hc{r} AS (
+            SELECT node,
+                   CAST({weight(r)} AS BIGINT)
+                   * CAST(CASE WHEN count(*) < {k} THEN count(*)
+                          ELSE (CAST({k - 1} AS HUGEINT) * {NF_SPACE})
+                               // max(h) END AS BIGINT) AS c
+            FROM s{r} GROUP BY node
+        )""" for r in range(0, hops + 1)]
+    union = " UNION ALL ".join(
+        f"SELECT node, c FROM hc{r}" for r in range(0, hops + 1))
+    return ("WITH " + ",".join(ctes + per)
+            + f""" SELECT node AS entity_id,
+                          CAST(sum(c) AS BIGINT) AS harmonic_scaled
+                   FROM ({union}) GROUP BY node""")
 
 
 def _msf_sql(nsub: str, nobj: str, rounds: int = 9) -> str:
@@ -2546,6 +2608,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tc USING (entity_id)
         """,
         "kg_neighborhood": _neighborhood_sql(nsub, nobj),
+        "kg_harmonic": _harmonic_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),
         "kg_entity_timeline": f"""
             WITH t AS (

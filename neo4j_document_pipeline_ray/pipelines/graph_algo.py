@@ -2620,3 +2620,188 @@ def minimum_spanning_forest_reference(
             parent[ra] = rb
             out.add((lo, hi, w))
     return out
+
+
+HARMONIC_SCALE = 10**6
+
+
+def harmonic_centrality_approx(
+    edges: "ray.data.Dataset",
+    hops: int = 3,
+    k: int = NF_K,
+    scale: int = HARMONIC_SCALE,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Approximate harmonic centrality H(v) = Σ_h (1/h)·|sphere(v, h)|
+    truncated at ``hops`` — the per-node application HyperBall was
+    built for (Boldi/Vigna 2013), over the same KMV sketch rounds as
+    :func:`neighborhood_function` (same integer estimator, same
+    bit-exact SQL replayability).
+
+    Telescoping makes it ONE aggregate: Σ_h (S//h)(b_h − b_{h−1})
+    = Σ_h weight(h)·b_h with weight(0) = −S, weight(h) =
+    S//h − S//(h+1) for 0 < h < H, weight(H) = S//H — so each round
+    just emits (node, weight·est) rows and a single node-keyed sum
+    finishes.  Returns ``(entity_id, harmonic_scaled)``; divide by
+    ``scale`` for the usual value.
+    """
+    import numpy as np
+
+    if k < 2:
+        raise ValueError("KMV needs k >= 2")
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "peer": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    bo = e.map_batches(both_dirs, batch_format="pyarrow")
+    nodes = hash_aggregate(
+        bo.select_columns(["node"]), "node", [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def self_loop(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "peer": t["node"]})
+
+    adj = bo.union(nodes.map_batches(self_loop, batch_format="pyarrow"))
+    adj = adj.materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "h": pa.array(_nf_hash(t["node"].to_numpy()), pa.int64()),
+        })
+
+    sketch = nodes.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        h = t["h"].to_numpy()
+        order = np.lexsort((h, node))
+        node, h = node[order], h[order]
+        keep = np.ones(len(node), dtype=bool)
+        keep[1:] = (node[1:] != node[:-1]) | (h[1:] != h[:-1])
+        node, h = node[keep], h[keep]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]]) \
+            if len(node) else np.array([], dtype=np.int64)
+        runs = np.diff(np.r_[starts, len(node)])
+        rank = np.arange(len(node)) - np.repeat(starts, runs)
+        m = rank < k
+        return pa.table({"node": pa.array(node[m], pa.int64()),
+                         "h": pa.array(h[m], pa.int64())})
+
+    def merge_part(df):
+        df = df.sort_values(["node", "h"]).drop_duplicates(["node", "h"])
+        return df.groupby("node", sort=False).head(k)
+
+    def weight(h: int) -> int:
+        if h == 0:
+            return -scale
+        if h == hops:
+            return scale // h
+        return scale // h - scale // (h + 1)
+
+    def contrib_fn(hop: int):
+        wt = weight(hop)
+
+        def fn(t: pa.Table) -> pa.Table:
+            cnt = t["cnt"].to_numpy().astype(np.uint64)
+            kth = np.maximum(t["kth"].to_numpy(), 1).astype(np.uint64)
+            est = np.where(
+                cnt < k, cnt,
+                (np.uint64(k - 1) * np.uint64(NF_SPACE)) // kth)
+            return pa.table({
+                "node": t["node"],
+                "c": pa.array(wt * est.astype(np.int64), pa.int64()),
+            })
+        return fn
+
+    def per_node(sk, hop: int):
+        agg = hash_aggregate(
+            sk, "node", [(None, "count", "cnt"), ("h", "max", "kth")],
+            num_partitions=num_partitions,
+        )
+        return agg.map_batches(contrib_fn(hop), batch_format="pyarrow")
+
+    contribs = per_node(sketch, 0)
+    for hop in range(1, hops + 1):
+        flows = broadcast_join(adj, sketch, on=("peer",),
+                               right_on=("node",),
+                               num_partitions=num_partitions)
+        partial = flows.select_columns(["node", "h"]).map_batches(
+            topk_partial, batch_format="pyarrow")
+        sketch = partitioned_group_map(
+            partial, "node", merge_part,
+            num_partitions=num_partitions).materialize()
+        contribs = contribs.union(per_node(sketch, hop))
+
+    out = hash_aggregate(contribs, "node",
+                         [("c", "sum", "harmonic_scaled")],
+                         num_partitions=num_partitions)
+    return out.map_batches(
+        lambda t: pa.table({"entity_id": t["node"],
+                            "harmonic_scaled": t["harmonic_scaled"]}),
+        batch_format="pyarrow")
+
+
+def harmonic_centrality_reference(edge_pairs, hops: int = 3,
+                                  k: int = NF_K,
+                                  scale: int = HARMONIC_SCALE) -> dict:
+    """Pure-Python replay of the exact sketch + telescoped weighting."""
+    import numpy as np
+
+    adj: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    sk = {v: {int(_nf_hash(np.array([v]))[0])} for v in nodes}
+
+    def est(s: set) -> int:
+        if len(s) < k:
+            return len(s)
+        return ((k - 1) * NF_SPACE) // sorted(s)[k - 1]
+
+    def weight(h: int) -> int:
+        if h == 0:
+            return -scale
+        if h == hops:
+            return scale // h
+        return scale // h - scale // (h + 1)
+
+    out = {v: weight(0) * est(sk[v]) for v in nodes}
+    for hop in range(1, hops + 1):
+        nxt = {}
+        for v in nodes:
+            u = set(sk[v])
+            for w in adj[v]:
+                u |= sk[w]
+            nxt[v] = set(sorted(u)[:k])
+        sk = nxt
+        for v in nodes:
+            out[v] += weight(hop) * est(sk[v])
+    return out

@@ -780,3 +780,38 @@ class TestMinimumSpanningForest:
         heaviest = max(ws, key=lambda p: (ws[p], p))
         assert heaviest not in edges
         assert (3, 4) in edges and (10, 11) in edges
+
+
+class TestHarmonicCentrality:
+    def test_matches_python_reference(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            harmonic_centrality_approx,
+            harmonic_centrality_reference,
+        )
+
+        rng = random.Random(5)
+        pairs = [(rng.randrange(40) + 1, rng.randrange(40) + 1)
+                 for _ in range(100)]
+        got = {r["entity_id"]: r["harmonic_scaled"]
+               for r in harmonic_centrality_approx(
+                   _edges_ds(pairs), hops=3).take_all()}
+        assert got == harmonic_centrality_reference(pairs, hops=3)
+
+    def test_star_center_dominates(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            HARMONIC_SCALE,
+            harmonic_centrality_approx,
+        )
+
+        # star: hub sees 6 nodes at distance 1 (exact, below k=8);
+        # leaves see hub at 1 + five peers at 2
+        pairs = [(1, i) for i in range(2, 8)]
+        got = {r["entity_id"]: r["harmonic_scaled"]
+               for r in harmonic_centrality_approx(
+                   _edges_ds(pairs), hops=3).take_all()}
+        assert got[1] == 6 * HARMONIC_SCALE
+        leaf = HARMONIC_SCALE + 5 * (HARMONIC_SCALE // 2)
+        assert all(got[i] == leaf for i in range(2, 8))
+        assert got[1] > max(got[i] for i in range(2, 8))
