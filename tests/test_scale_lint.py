@@ -63,7 +63,13 @@ ALLOWED = {
     "extras/textstats.py::salient_terms.topk": "batch-local",
     "extras/textstats.py::unigram_logprob": "k-sized",  # vocab table
     "extras/textstats.py::unigram_logprob.score": "batch-local",
+    "extras/bpe.py::bpe_train": "iterative",  # vocab table per round; top-1 take
     "pipelines/graph_algo.py::bfs_distances": "iterative",
+    "pipelines/graph_algo.py::harmonic_centrality_approx": "iterative",
+    "pipelines/graph_algo.py::minimum_spanning_forest": "iterative",
+    "pipelines/graph_algo.py::neighborhood_function": "iterative",
+    "pipelines/graph_algo.py::neighborhood_function.nf_estimate":
+        "group-sized",  # one partial-sum row per block
     "pipelines/graph_algo.py::cooccurrence_topk": "node-sided",
     "pipelines/graph_algo.py::hits": "iterative",
     "pipelines/graph_algo.py::hits._max_of": "group-sized",  # 1 row
