@@ -863,6 +863,17 @@ def _q_kg_harmonic(sf_dir: str):
     return harmonic_centrality_approx(_kg(sf_dir)["edges"], hops=3)
 
 
+def _q_kg_betweenness(sf_dir: str):
+    """Pivot-sampled truncated-Brandes betweenness over the KG entity
+    graph — integer-scaled dependency accumulation from the top-degree
+    pivots."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        betweenness_approx,
+    )
+
+    return betweenness_approx(_kg(sf_dir)["edges"])
+
+
 def _q_kg_alias_candidates(sf_dir: str):
     """Near-miss alias candidates the exact norm-key merge cannot
     catch: token-set Jaccard >= 1/2 over normalized entity names via
@@ -1590,6 +1601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_neighborhood": _q_kg_neighborhood,
         "kg_harmonic": _q_kg_harmonic,
+        "kg_betweenness": _q_kg_betweenness,
         "kg_alias_candidates": _q_kg_alias_candidates,
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_degree_hist": _q_kg_degree_hist,
@@ -1930,6 +1942,78 @@ def _neighborhood_sql(nsub: str, nobj: str, hops: int = 3) -> str:
     union = " UNION ALL ".join(
         f"SELECT hop, nf_est FROM nf{r}" for r in range(0, hops + 1))
     return ("WITH " + ",".join(ctes + nf) + " " + union)
+
+
+def _betweenness_sql(nsub: str, nobj: str) -> str:
+    """Unrolled replay of graph_algo.betweenness_approx: multi-source
+    level-synchronous BFS keyed on (pvt, node) — the pivot loop
+    becomes a key column, not query duplication — then the backward
+    dependency levels with the same per-successor integer floor."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        BC_LEVELS, BC_PIVOTS, BC_SCALE,
+    )
+
+    L, P, S = BC_LEVELS, BC_PIVOTS, BC_SCALE
+    ctes = [f"""
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), ee AS MATERIALIZED (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM e0 WHERE s <> d
+        ), bo AS MATERIALIZED (
+            SELECT a AS node, b AS peer FROM ee
+            UNION ALL SELECT b, a FROM ee
+        ), pv AS MATERIALIZED (
+            SELECT node FROM (
+                SELECT node, count(*) AS deg FROM bo GROUP BY node)
+            ORDER BY deg DESC, node LIMIT {P}
+        ), f0 AS MATERIALIZED (
+            SELECT node AS pvt, node, CAST(1 AS BIGINT) AS sigma
+            FROM pv
+        ), d0 AS MATERIALIZED (
+            SELECT pvt, node, sigma FROM f0
+        )"""]
+    for l in range(1, L + 1):
+        ctes.append(f"""
+        f{l} AS MATERIALIZED (
+            SELECT f.pvt, bo.peer AS node,
+                   CAST(sum(f.sigma) AS BIGINT) AS sigma
+            FROM f{l - 1} f JOIN bo ON bo.node = f.node
+            LEFT JOIN d{l - 1} seen
+              ON seen.pvt = f.pvt AND seen.node = bo.peer
+            WHERE seen.node IS NULL
+            GROUP BY 1, 2
+        ), d{l} AS MATERIALIZED (
+            SELECT pvt, node, sigma FROM d{l - 1}
+            UNION ALL SELECT pvt, node, sigma FROM f{l}
+        )""")
+    ctes.append(f"""
+        b{L} AS (
+            SELECT pvt, node, CAST(0 AS BIGINT) AS dep
+            FROM f{L} WHERE FALSE
+        )""")
+    for l in range(L - 1, -1, -1):
+        ctes.append(f"""
+        b{l} AS MATERIALIZED (
+            SELECT v.pvt, v.node,
+                   CAST(sum((v.sigma * ({S} + COALESCE(bb.dep, 0)))
+                            // w.sigma) AS BIGINT) AS dep
+            FROM f{l} v
+            JOIN bo ON bo.node = v.node
+            JOIN f{l + 1} w
+              ON w.pvt = v.pvt AND w.node = bo.peer
+            LEFT JOIN b{l + 1} bb
+              ON bb.pvt = v.pvt AND bb.node = w.node
+            GROUP BY 1, 2
+        )""")
+    union = " UNION ALL ".join(
+        f"SELECT pvt, node, dep FROM b{l}" for l in range(0, L))
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT node AS entity_id,
+               CAST(sum(dep) AS BIGINT) AS betweenness_scaled
+        FROM ({union}) WHERE node <> pvt
+        GROUP BY node HAVING sum(dep) <> 0""")
 
 
 def _harmonic_sql(nsub: str, nobj: str, hops: int = 3) -> str:
@@ -2609,6 +2693,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_neighborhood": _neighborhood_sql(nsub, nobj),
         "kg_harmonic": _harmonic_sql(nsub, nobj),
+        "kg_betweenness": _betweenness_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),
         "kg_entity_timeline": f"""
             WITH t AS (

@@ -2805,3 +2805,229 @@ def harmonic_centrality_reference(edge_pairs, hops: int = 3,
         for v in nodes:
             out[v] += weight(hop) * est(sk[v])
     return out
+
+
+# --- betweenness centrality (pivot-sampled Brandes) -----------------------------
+
+BC_SCALE = 10**6
+BC_PIVOTS = 2
+BC_LEVELS = 6
+
+
+def betweenness_approx(
+    edges: "ray.data.Dataset",
+    pivots: int = BC_PIVOTS,
+    levels: int = BC_LEVELS,
+    scale: int = BC_SCALE,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Pivot-sampled betweenness centrality (Brandes 2001 dependency
+    accumulation; Brandes/Pich 2007 pivot sampling) over the undirected
+    distinct graph — the load-bearing-node audit PageRank misses (a
+    bridge between communities has low rank but high betweenness).
+
+    Deterministic semantics so a DuckDB unroll hash-matches: pivots =
+    top-``pivots`` nodes by total degree (ties: min id); forward BFS
+    truncated at ``levels`` hops counts shortest paths ``sigma`` in
+    exact integers; the backward pass computes the integer-scaled
+    dependency ``D(v) = Σ_{w∈succ(v)} (sigma_v·(scale + D_w)) //
+    sigma_w`` — each term an independent floor, integer sums
+    associative.  Returned ``betweenness_scaled = Σ_pivots D`` for
+    non-pivot rows ≥ the pivot count (truncation documented; sigma ≤
+    V^(levels−1) must fit int64 — fine for KG-sized level counts).
+
+    Shape: per pivot ``levels`` forward rounds (frontier probe +
+    sigma-sum aggregate, all node-sided against the streaming edge
+    table) and ``levels`` backward rounds (successor join + term
+    aggregate).  Pivot loops multiply rounds by a CONSTANT, not by V —
+    the standard scalable approximation.  Returns ``(entity_id,
+    betweenness_scaled)`` for nodes with nonzero dependency.
+    """
+    import numpy as np
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "peer": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    bo = e.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    deg = hash_aggregate(
+        bo.select_columns(["node"]), "node", [(None, "count", "deg")],
+        num_partitions=num_partitions,
+    )
+    seeds = [int(r["node"]) for r in
+             deg.sort(["deg", "node"], descending=[True, False])
+                .take(pivots)]
+
+    totals = None
+    for s in seeds:
+        # forward: levels of (node, dist, sigma)
+        frontier = ray.data.from_arrow(pa.table({
+            "node": pa.array([s], pa.int64()),
+            "sigma": pa.array([1], pa.int64()),
+        })).materialize()
+        level_tables = [frontier]  # index = dist
+        seen = frontier.select_columns(["node"]).materialize()
+        for _ in range(levels):
+            hop = broadcast_join(bo, frontier, on=("node",),
+                                 num_partitions=num_partitions)
+            cand = hash_aggregate(
+                hop.select_columns(["peer", "sigma"]),
+                "peer", [("sigma", "sum", "sigma")],
+                num_partitions=num_partitions)
+            mark = seen.map_batches(
+                lambda t: t.append_column(
+                    "_seen", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+                batch_format="pyarrow")
+            nxt = broadcast_join(cand, mark, on=("peer",),
+                                 right_on=("node",),
+                                 join_type="left_outer",
+                                 num_partitions=num_partitions)
+            frontier = nxt.map_batches(
+                lambda t: pa.table({
+                    "node": t.filter(pc.is_null(t["_seen"]))["peer"],
+                    "sigma": t.filter(pc.is_null(t["_seen"]))["sigma"],
+                }),
+                batch_format="pyarrow").materialize()
+            if frontier.count() == 0:
+                break
+            level_tables.append(frontier)
+            seen = seen.union(
+                frontier.select_columns(["node"])).materialize()
+
+        # backward: D at the deepest level is 0; walk up
+        d_next = None  # (node, dep) at level l+1
+        acc = None     # union of per-level (node, dep) for this pivot
+        for lvl in range(len(level_tables) - 2, -1, -1):
+            cur, nxt_t = level_tables[lvl], level_tables[lvl + 1]
+            # successor rows: (v at lvl) -[edge]-> (w at lvl+1)
+            succ = broadcast_join(bo, nxt_t, on=("node",),
+                                  num_partitions=num_partitions)
+            # succ: (node=w, peer=v, sigma=sigma_w); attach D(w)
+            if d_next is not None:
+                succ = broadcast_join(succ, d_next, on=("node",),
+                                      join_type="left_outer",
+                                      num_partitions=num_partitions)
+            else:
+                succ = succ.map_batches(
+                    lambda t: t.append_column(
+                        "dep", pa.nulls(t.num_rows, pa.int64())),
+                    batch_format="pyarrow")
+            # keep rows whose peer is at level lvl, with peer's sigma
+            vjoin = broadcast_join(
+                succ, cur.map_batches(
+                    lambda t: pa.table({"peer": t["node"],
+                                        "sigma_v": t["sigma"]}),
+                    batch_format="pyarrow"),
+                on=("peer",), num_partitions=num_partitions)
+
+            def term(t: pa.Table, _sc=scale) -> pa.Table:
+                dep_w = pc.fill_null(t["dep"], 0).to_numpy()
+                sig_w = t["sigma"].to_numpy()
+                sig_v = t["sigma_v"].to_numpy()
+                val = (sig_v * (_sc + dep_w)) // sig_w
+                return pa.table({
+                    "node": t["peer"],
+                    "dep": pa.array(val, pa.int64()),
+                })
+
+            d_cur = hash_aggregate(
+                vjoin.map_batches(term, batch_format="pyarrow"),
+                "node", [("dep", "sum", "dep")],
+                num_partitions=num_partitions).materialize()
+            d_next = d_cur
+            acc = d_cur if acc is None else acc.union(d_cur)
+
+        if acc is None:
+            continue
+        # drop the pivot's own row; dependencies define betweenness
+        # only for v != s
+        acc = acc.map_batches(
+            lambda t, _s=s: t.filter(pc.not_equal(t["node"], _s)),
+            batch_format="pyarrow")
+        totals = acc if totals is None else totals.union(acc)
+
+    if totals is None:
+        return ray.data.from_arrow(pa.table({
+            "entity_id": pa.array([], pa.int64()),
+            "betweenness_scaled": pa.array([], pa.int64()),
+        }))
+    out = hash_aggregate(totals, "node",
+                         [("dep", "sum", "betweenness_scaled")],
+                         num_partitions=num_partitions)
+    # zero rows can appear when every term floors to 0 (sigma_w >
+    # sigma_v * scale); drop them so the "has nonzero dependency"
+    # convention matches the replay and the SQL mirror exactly
+    return out.map_batches(
+        lambda t: pa.table({
+            "entity_id": t["node"],
+            "betweenness_scaled": t["betweenness_scaled"],
+        }).filter(pc.not_equal(t["betweenness_scaled"], 0)),
+        batch_format="pyarrow")
+
+
+def betweenness_reference(edge_pairs, pivots: int = BC_PIVOTS,
+                          levels: int = BC_LEVELS,
+                          scale: int = BC_SCALE) -> dict:
+    """Pure-Python replay of the exact truncated-Brandes semantics."""
+    adj: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if not adj:
+        return {}
+    seeds = sorted(adj, key=lambda n: (-len(adj[n]), n))[:pivots]
+    out: dict = {}
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1}
+        lvls = [[s]]
+        for l in range(1, levels + 1):
+            nxt: dict = {}
+            for u in lvls[-1]:
+                for v in adj[u]:
+                    if v not in dist:
+                        nxt[v] = nxt.get(v, 0) + sigma[u]
+            if not nxt:
+                break
+            for v, sg in nxt.items():
+                dist[v] = l
+                sigma[v] = sg
+            lvls.append(sorted(nxt))
+        dep: dict = {}
+        for l in range(len(lvls) - 2, -1, -1):
+            for v in lvls[l]:
+                tot = 0
+                for w in adj[v]:
+                    if dist.get(w) == l + 1:
+                        tot += (sigma[v] * (scale + dep.get(w, 0))
+                                ) // sigma[w]
+                if tot:
+                    dep[v] = tot
+        for v, d in dep.items():
+            if v != s:
+                out[v] = out.get(v, 0) + d
+    return out

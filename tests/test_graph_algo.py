@@ -815,3 +815,40 @@ class TestHarmonicCentrality:
         leaf = HARMONIC_SCALE + 5 * (HARMONIC_SCALE // 2)
         assert all(got[i] == leaf for i in range(2, 8))
         assert got[1] > max(got[i] for i in range(2, 8))
+
+
+class TestBetweenness:
+    def test_matches_python_reference(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            betweenness_approx,
+            betweenness_reference,
+        )
+
+        rng = random.Random(3)
+        pairs = [(rng.randrange(30) + 1, rng.randrange(30) + 1)
+                 for _ in range(70)]
+        pairs += [(50, 51), (51, 52), (52, 53)]
+        got = {r["entity_id"]: r["betweenness_scaled"]
+               for r in betweenness_approx(_edges_ds(pairs)).take_all()}
+        assert got == betweenness_reference(pairs)
+
+    def test_bridge_dominates(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            betweenness_approx,
+            betweenness_reference,
+        )
+
+        # two 4-cliques joined by bridge node 100: every cross-clique
+        # shortest path runs through it
+        c1, c2 = [1, 2, 3, 4], [11, 12, 13, 14]
+        pairs = [(a, b) for i, a in enumerate(c1) for b in c1[i + 1:]]
+        pairs += [(a, b) for i, a in enumerate(c2) for b in c2[i + 1:]]
+        pairs += [(1, 100), (100, 11)]
+        got = {r["entity_id"]: r["betweenness_scaled"]
+               for r in betweenness_approx(
+                   _edges_ds(pairs), pivots=2).take_all()}
+        assert got == betweenness_reference(pairs, pivots=2)
+        others = [v for kk, v in got.items() if kk != 100]
+        assert got[100] > max(others)
