@@ -1542,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
     from neo4j_document_pipeline_ray.extras.sampling import (
         docs_domain_budget,
+        docs_split,
         docs_stratified_sample,
         docs_weighted_sample,
     )
@@ -1646,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantiles": length_quantiles,
         "docs_len_quantiles_by_lang": grouped_length_quantiles,
         "docs_stratified_sample": docs_stratified_sample,
+        "docs_split": docs_split,
         "docs_weighted_sample": docs_weighted_sample,
         "docs_domain_budget": docs_domain_budget,
         "docs_decontaminate": docs_decontaminate,
@@ -2472,6 +2474,7 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.sampling import (
         docs_domain_budget_sql,
         docs_weighted_sample_sql,
+        docs_split_sql,
         docs_stratified_sample_sql,
     )
     from neo4j_document_pipeline_ray.extras.redact import scrub_blocklist_sql
@@ -3086,6 +3089,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_quantiles": length_quantiles_sql(),
         "docs_len_quantiles_by_lang": grouped_length_quantiles_sql(),
         "docs_stratified_sample": docs_stratified_sample_sql(),
+        "docs_split": docs_split_sql(),
         "docs_domain_budget": docs_domain_budget_sql(),
         "docs_weighted_sample": docs_weighted_sample_sql(),
         "docs_decontaminate": docs_decontaminate_sql(),

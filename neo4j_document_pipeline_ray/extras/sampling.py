@@ -218,3 +218,78 @@ WHERE n_chars > 0
 ORDER BY priority, doc_id
 LIMIT {k}
 """
+
+
+# --- deterministic train/val/test split -------------------------------------
+
+def docs_split(sf_dir: str, train_pct: int = 80,
+               val_pct: int = 10,
+               num_partitions: int = 4) -> "ray.data.Dataset":
+    """Deterministic corpus split report: assign every document to
+    train/val/test by the same Knuth hash the sampler ranks with
+    (``(doc_id * K) mod 2^32 mod 100`` against the percentage cut
+    points — reproducible across runs, cluster shapes and insertions;
+    no global sort, one streaming decision per row), then report per
+    (split, lang) document / token / char totals — the sanity table
+    every training run reads before touching the data.
+
+    In-batch Arrow partial aggregation means the exchange carries
+    (split, lang) partials only.  Returns ``(split, lang, n_docs,
+    n_tokens, n_chars)``.
+    """
+    import pyarrow.compute as pc
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = ((t["doc_id"].to_numpy().astype(np.uint64)
+              * np.uint64(_KNUTH)) % np.uint64(1 << 32)) % np.uint64(100)
+        split = np.where(
+            h < train_pct, "train",
+            np.where(h < train_pct + val_pct, "val", "test"))
+        tok = pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                      pa.int64())
+        work = pa.table({
+            "split": pa.array(split, pa.string()),
+            "lang": t["lang"],
+            "n_tokens": tok,
+            "n_chars": t["n_chars"],
+        })
+        agg = work.group_by(["split", "lang"], use_threads=False).aggregate(
+            [("n_tokens", "sum"), ("n_chars", "sum"),
+             ("split", "count")])
+        return pa.table({
+            "split": agg["split"],
+            "lang": agg["lang"],
+            "n_docs": agg["split_count"],
+            "n_tokens": agg["n_tokens_sum"],
+            "n_chars": agg["n_chars_sum"],
+        })
+
+    return hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["split", "lang"],
+        [("n_docs", "sum", "n_docs"), ("n_tokens", "sum", "n_tokens"),
+         ("n_chars", "sum", "n_chars")],
+        num_partitions=num_partitions)
+
+
+def docs_split_sql(train_pct: int = 80, val_pct: int = 10) -> str:
+    """DuckDB mirror of :func:`docs_split` (same Knuth hash cut)."""
+    return f"""
+    SELECT CASE WHEN h < {train_pct} THEN 'train'
+                WHEN h < {train_pct + val_pct} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '\\S+')))
+                AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM (SELECT *, ((doc_id * {_KNUTH}) % 4294967296) % 100 AS h
+          FROM documents)
+    GROUP BY 1, 2
+    """

@@ -269,3 +269,26 @@ class TestDomainReputation:
         assert got["a"]["mean_words_scaled"] == 3 * 1_000_000
         # 'b': words 3 + 2 + 2 = 7 over 3 docs
         assert got["b"]["mean_words_scaled"] == 7 * 1_000_000 // 3
+
+
+class TestDocsSplit:
+    def test_partitions_and_determinism(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.sampling import docs_split
+
+        rows1 = sorted(
+            ((r["split"], r["lang"], r["n_docs"], r["n_tokens"],
+              r["n_chars"]) for r in
+             docs_split("/root/testdata/sf0.001").take_all()))
+        rows2 = sorted(
+            ((r["split"], r["lang"], r["n_docs"], r["n_tokens"],
+              r["n_chars"]) for r in
+             docs_split("/root/testdata/sf0.001",
+                        num_partitions=2).take_all()))
+        assert rows1 == rows2  # partitioning-invariant
+        splits = {r[0] for r in rows1}
+        assert splits <= {"train", "val", "test"}
+        n_train = sum(r[2] for r in rows1 if r[0] == "train")
+        n_all = sum(r[2] for r in rows1)
+        assert n_all > 0
+        # hash split should land near 80% (loose band; deterministic)
+        assert 0.6 * n_all <= n_train <= 0.95 * n_all
