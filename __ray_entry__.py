@@ -874,6 +874,17 @@ def _q_kg_betweenness(sf_dir: str):
     return betweenness_approx(_kg(sf_dir)["edges"])
 
 
+def _q_kg_negative(sf_dir: str):
+    """Deterministic hash-bucket negative edge samples — the non-edge
+    training pairs a KG-embedding trainer consumes next to kg_edges
+    and kg_walks."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        negative_samples,
+    )
+
+    return negative_samples(_kg(sf_dir)["edges"])
+
+
 def _q_kg_alias_candidates(sf_dir: str):
     """Near-miss alias candidates the exact norm-key merge cannot
     catch: token-set Jaccard >= 1/2 over normalized entity names via
@@ -1603,6 +1614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighborhood": _q_kg_neighborhood,
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
+        "kg_negative": _q_kg_negative,
         "kg_alias_candidates": _q_kg_alias_candidates,
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_degree_hist": _q_kg_degree_hist,
@@ -2016,6 +2028,63 @@ def _betweenness_sql(nsub: str, nobj: str) -> str:
                CAST(sum(dep) AS BIGINT) AS betweenness_scaled
         FROM ({union}) WHERE node <> pvt
         GROUP BY node HAVING sum(dep) <> 0""")
+
+
+def _negative_sql(nsub: str, nobj: str) -> str:
+    """Unrolled replay of graph_algo.negative_samples: same splitmix
+    hash chain (subquery-nested HUGEINT emulation) for node buckets
+    and trial candidates, same min-id bucket reps, same anti-join."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        NEG_BUCKETS, NEG_TRIALS, NF_SPACE, _NEG_STEP, _NF_A, _NF_B,
+        _NF_C1,
+    )
+
+    m64 = 1 << 64
+
+    def chain(carry: str, expr: str) -> str:
+        return f"""
+            SELECT {carry},
+                   CAST(CAST(xor(z5, z5 >> 31) AS HUGEINT)
+                        % {NF_SPACE} AS BIGINT) % {NEG_BUCKETS} AS b
+            FROM (
+              SELECT {carry}, CAST((CAST(xor(z3, z3 >> 27) AS HUGEINT)
+                                    * {_NF_B}) % {m64} AS UBIGINT) AS z5
+              FROM (
+                SELECT {carry}, CAST((CAST(xor(z1, z1 >> 30) AS HUGEINT)
+                                      * {_NF_A}) % {m64} AS UBIGINT) AS z3
+                FROM (
+                  SELECT {carry}, CAST((CAST({expr} AS HUGEINT)
+                                        + {_NF_C1}) % {m64}
+                                       AS UBIGINT) AS z1
+                  FROM __SRC__)))"""
+
+    hb = chain("node", "node").replace("__SRC__", "n")
+    cand = chain("node, trial", f"node + trial * {_NEG_STEP}").replace(
+        "__SRC__",
+        f"(SELECT node, unnest(range({NEG_TRIALS})) AS trial FROM n)")
+    return f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), ee AS MATERIALIZED (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM e0 WHERE s <> d
+        ), n AS MATERIALIZED (
+            SELECT DISTINCT a AS node FROM ee
+            UNION SELECT DISTINCT b FROM ee
+        ), hb AS MATERIALIZED ({hb}
+        ), reps AS MATERIALIZED (
+            SELECT b, min(node) AS rep FROM hb GROUP BY b
+        ), cand AS MATERIALIZED ({cand}
+        )
+        SELECT c.node AS entity_id, c.trial, r.rep AS neg_id
+        FROM cand c JOIN reps r USING (b)
+        WHERE r.rep <> c.node
+          AND NOT EXISTS (
+            SELECT 1 FROM ee
+            WHERE ee.a = least(c.node, r.rep)
+              AND ee.b = greatest(c.node, r.rep))
+    """
 
 
 def _harmonic_sql(nsub: str, nobj: str, hops: int = 3) -> str:
@@ -2697,6 +2766,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighborhood": _neighborhood_sql(nsub, nobj),
         "kg_harmonic": _harmonic_sql(nsub, nobj),
         "kg_betweenness": _betweenness_sql(nsub, nobj),
+        "kg_negative": _negative_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),
         "kg_entity_timeline": f"""
             WITH t AS (

@@ -3031,3 +3031,145 @@ def betweenness_reference(edge_pairs, pivots: int = BC_PIVOTS,
             if v != s:
                 out[v] = out.get(v, 0) + d
     return out
+
+
+# --- negative sampling (link-prediction training data) --------------------------
+
+NEG_BUCKETS = 64
+NEG_TRIALS = 4
+_NEG_STEP = 0x9E37  # trial stride; node_id + t*step stays far inside int64
+
+
+def negative_samples(
+    edges: "ray.data.Dataset",
+    trials: int = NEG_TRIALS,
+    buckets: int = NEG_BUCKETS,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Deterministic negative edge samples — the non-edge pairs a KG
+    embedding trainer (TransE-class) consumes alongside the positive
+    edge list and the walk corpus.
+
+    Hash-bucket scheme: every node hashes into one of ``buckets``
+    buckets whose REPRESENTATIVE is its min entity id; the candidate
+    negative for (u, trial t) is the representative of bucket
+    ``splitmix61(u + t·step) % buckets``.  Candidates equal to u or
+    colliding with a REAL undirected edge are rejected by one
+    hash-partitioned anti-join against the distinct edge set — no
+    rejection loop, no per-row retry, one pass.  The bucket-rep table
+    is O(buckets) and broadcast once; everything else is node- or
+    candidate-sided.  Returns ``(entity_id, trial, neg_id)``.
+    """
+    import numpy as np
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            t["lo"].combine_chunks(), t["hi"].combine_chunks()])})
+
+    nodes = hash_aggregate(
+        e.map_batches(ends, batch_format="pyarrow"),
+        "node", [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def to_bucket(t: pa.Table) -> pa.Table:
+        b = _nf_hash(t["node"].to_numpy()) % buckets
+        return pa.table({"b": pa.array(b, pa.int64()),
+                         "node": t["node"]})
+
+    reps = hash_aggregate(
+        nodes.map_batches(to_bucket, batch_format="pyarrow"),
+        "b", [("node", "min", "rep")],
+        num_partitions=num_partitions)
+
+    def expand(t: pa.Table) -> pa.Table:
+        u = t["node"].to_numpy()
+        us = np.repeat(u, trials)
+        ts = np.tile(np.arange(trials, dtype=np.int64), len(u))
+        b = _nf_hash(us + ts * _NEG_STEP) % buckets
+        return pa.table({
+            "node": pa.array(us, pa.int64()),
+            "trial": pa.array(ts, pa.int64()),
+            "b": pa.array(b, pa.int64()),
+        })
+
+    cand = broadcast_join(
+        nodes.map_batches(expand, batch_format="pyarrow"),
+        reps, on=("b",), num_partitions=num_partitions)
+
+    def orient(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["rep"])
+        sub = t.filter(keep)
+        return pa.table({
+            "node": sub["node"], "trial": sub["trial"],
+            "rep": sub["rep"],
+            "lo": pc.min_element_wise(sub["node"], sub["rep"]),
+            "hi": pc.max_element_wise(sub["node"], sub["rep"]),
+        })
+
+    oriented = cand.map_batches(orient, batch_format="pyarrow")
+    marked = e.map_batches(
+        lambda t: t.append_column(
+            "_edge", pa.array([1] * t.num_rows, pa.int8())),
+        batch_format="pyarrow")
+    joined = broadcast_join(oriented, marked, on=("lo", "hi"),
+                            join_type="left_outer",
+                            num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.is_null(t["_edge"])
+        sub = t.filter(keep)
+        return pa.table({
+            "entity_id": sub["node"],
+            "trial": sub["trial"],
+            "neg_id": sub["rep"],
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def negative_samples_reference(edge_pairs, trials: int = NEG_TRIALS,
+                               buckets: int = NEG_BUCKETS) -> set:
+    """Pure-Python replay (test oracle)."""
+    import numpy as np
+
+    es, ns = set(), set()
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        es.add((min(a, b), max(a, b)))
+        ns.update((a, b))
+    reps: dict = {}
+    for v in sorted(ns):
+        bk = int(_nf_hash(np.array([v]))[0]) % buckets
+        if bk not in reps or v < reps[bk]:
+            reps[bk] = v
+    out = set()
+    for u in ns:
+        for t in range(trials):
+            bk = int(_nf_hash(np.array([u + t * _NEG_STEP]))[0]) % buckets
+            if bk not in reps:
+                continue
+            v = reps[bk]
+            if v == u or (min(u, v), max(u, v)) in es:
+                continue
+            out.add((u, t, v))
+    return out

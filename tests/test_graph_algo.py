@@ -852,3 +852,33 @@ class TestBetweenness:
         assert got == betweenness_reference(pairs, pivots=2)
         others = [v for kk, v in got.items() if kk != 100]
         assert got[100] > max(others)
+
+
+class TestNegativeSamples:
+    def test_matches_python_reference(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            negative_samples,
+            negative_samples_reference,
+        )
+
+        rng = random.Random(9)
+        pairs = [(rng.randrange(50) + 1, rng.randrange(50) + 1)
+                 for _ in range(150)]
+        got = {(r["entity_id"], r["trial"], r["neg_id"])
+               for r in negative_samples(_edges_ds(pairs)).take_all()}
+        assert got == negative_samples_reference(pairs)
+        assert got  # the scheme must actually yield samples here
+
+    def test_no_real_edges_and_no_self(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            negative_samples,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+        es = {(min(a, b), max(a, b)) for a, b in pairs}
+        for r in negative_samples(_edges_ds(pairs), trials=8).take_all():
+            u, v = r["entity_id"], r["neg_id"]
+            assert u != v
+            assert (min(u, v), max(u, v)) not in es
