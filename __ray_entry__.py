@@ -885,6 +885,16 @@ def _q_kg_negative(sf_dir: str):
     return negative_samples(_kg(sf_dir)["edges"])
 
 
+def _q_kg_rules(sf_dir: str):
+    """AMIE-style 2-atom chain rules over the typed edge table: top
+    chains by path support, closure counts and integer confidence."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        rule_mining,
+    )
+
+    return rule_mining(_kg(sf_dir)["edges"])
+
+
 def _q_kg_alias_candidates(sf_dir: str):
     """Near-miss alias candidates the exact norm-key merge cannot
     catch: token-set Jaccard >= 1/2 over normalized entity names via
@@ -1615,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
         "kg_negative": _q_kg_negative,
+        "kg_rules": _q_kg_rules,
         "kg_alias_candidates": _q_kg_alias_candidates,
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_degree_hist": _q_kg_degree_hist,
@@ -2084,6 +2095,45 @@ def _negative_sql(nsub: str, nobj: str) -> str:
             SELECT 1 FROM ee
             WHERE ee.a = least(c.node, r.rep)
               AND ee.b = greatest(c.node, r.rep))
+    """
+
+
+def _rules_sql(nsub: str, nobj: str) -> str:
+    """Replay of graph_algo.rule_mining — the oracle graph is small,
+    so direct wedge joins replace the per-mid count-vector trick."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        RULE_SCALE, RULE_TOPK,
+    )
+
+    return f"""
+        WITH t AS MATERIALIZED (
+            SELECT DISTINCT {_eid_sql(nsub)} AS a, rel_type AS r,
+                            {_eid_sql(nobj)} AS c
+            FROM read_parquet('{_TRUTH_001}')
+        ), e AS MATERIALIZED (
+            SELECT * FROM t WHERE a <> c
+        ), paths AS MATERIALIZED (
+            SELECT e1.r AS r1, e2.r AS r2, count(*) AS n_paths
+            FROM e e1 JOIN e e2 ON e2.a = e1.c AND e2.c <> e1.a
+            GROUP BY 1, 2
+        ), topk AS MATERIALIZED (
+            SELECT r1, r2, n_paths FROM paths
+            ORDER BY n_paths DESC, r1, r2 LIMIT {RULE_TOPK}
+        ), closed AS MATERIALIZED (
+            SELECT e1.r AS r1, e2.r AS r2, e3.r AS r3,
+                   count(*) AS n_closed
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.c AND e2.c <> e1.a
+            JOIN topk tp ON tp.r1 = e1.r AND tp.r2 = e2.r
+            JOIN e e3 ON e3.a = e1.a AND e3.c = e2.c
+            GROUP BY 1, 2, 3
+        )
+        SELECT c.r1, c.r2, c.r3,
+               CAST(tp.n_paths AS BIGINT) AS n_paths,
+               CAST(c.n_closed AS BIGINT) AS n_closed,
+               CAST(c.n_closed * {RULE_SCALE}
+                    // greatest(tp.n_paths, 1) AS BIGINT) AS conf_scaled
+        FROM closed c JOIN topk tp USING (r1, r2)
     """
 
 
@@ -2767,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_harmonic": _harmonic_sql(nsub, nobj),
         "kg_betweenness": _betweenness_sql(nsub, nobj),
         "kg_negative": _negative_sql(nsub, nobj),
+        "kg_rules": _rules_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),
         "kg_entity_timeline": f"""
             WITH t AS (

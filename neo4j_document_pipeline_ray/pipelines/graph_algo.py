@@ -3173,3 +3173,218 @@ def negative_samples_reference(edge_pairs, trials: int = NEG_TRIALS,
                 continue
             out.add((u, t, v))
     return out
+
+
+# --- AMIE-style rule mining ------------------------------------------------------
+
+RULE_TOPK = 10
+RULE_SCALE = 10**6
+
+
+def rule_mining(
+    edges: "ray.data.Dataset",
+    k: int = RULE_TOPK,
+    scale: int = RULE_SCALE,
+    src_col: str = "src_id",
+    rel_col: str = "rel_type",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Path-rule mining over the typed edge table (AMIE's 2-atom chain
+    rules, Galarraga et al. 2013): for the top-``k`` relation chains
+    ``r1(a,b) ∧ r2(b,c)`` by path support, measure how often a direct
+    edge ``r3(a,c)`` closes the path — the schema-discovery pass that
+    turns an extracted KG into candidate inference rules.
+
+    Scale design: path SUPPORT never materializes wedges — per mid
+    node the (r1 in-count) × (r2 out-count) vectors multiply inside a
+    partitioned group map, so the exchange carries (r1, r2) partials;
+    the a=c degenerate paths are removed by an exact correction join
+    keyed on the (b, a) pair.  Wedges ARE generated only for the
+    top-k chains (typed filter prunes the edge table first) and only
+    to join against direct edges for closure counts.  Rows:
+    ``(r1, r2, r3, n_paths, n_closed, conf_scaled)`` for closures
+    observed on top-k chains; confidence = closed·scale // paths.
+    """
+    import pandas as pd
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, rel_col, dst_col])
+             .map_batches(
+                 lambda t: pa.table({
+                     "a": t[src_col], "r": t[rel_col], "c": t[dst_col],
+                 }).filter(pc.not_equal(t[src_col], t[dst_col])),
+                 batch_format="pyarrow"),
+        ["a", "r", "c"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"]).materialize()
+
+    ins = hash_aggregate(
+        e.map_batches(lambda t: pa.table({"b": t["c"], "r1": t["r"]}),
+                      batch_format="pyarrow"),
+        ["b", "r1"], [(None, "count", "n1")],
+        num_partitions=num_partitions)
+    outs = hash_aggregate(
+        e.map_batches(lambda t: pa.table({"b": t["a"], "r2": t["r"]}),
+                      batch_format="pyarrow"),
+        ["b", "r2"], [(None, "count", "n2")],
+        num_partitions=num_partitions)
+
+    tagged = ins.map_batches(
+        lambda t: pa.table({"b": t["b"], "rel": t["r1"], "n": t["n1"],
+                            "side": pa.array([0] * t.num_rows,
+                                             pa.int8())}),
+        batch_format="pyarrow").union(outs.map_batches(
+            lambda t: pa.table({"b": t["b"], "rel": t["r2"],
+                                "n": t["n2"],
+                                "side": pa.array([1] * t.num_rows,
+                                                 pa.int8())}),
+            batch_format="pyarrow"))
+
+    def cross_per_mid(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = []
+        for _, g in df.groupby("b", sort=False):
+            gi = g[g["side"] == 0]
+            go = g[g["side"] == 1]
+            if gi.empty or go.empty:
+                continue
+            m = gi.merge(go, how="cross", suffixes=("_i", "_o"))
+            m["n"] = m["n_i"] * m["n_o"]
+            out.append(m[["rel_i", "rel_o", "n"]])
+        if not out:
+            return pd.DataFrame({"r1": pd.Series(dtype="object"),
+                                 "r2": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        res = pd.concat(out, ignore_index=True)
+        res.columns = ["r1", "r2", "n"]
+        return res.groupby(["r1", "r2"], as_index=False)["n"].sum()
+
+    raw = hash_aggregate(
+        partitioned_group_map(tagged, "b", cross_per_mid,
+                              num_partitions),
+        ["r1", "r2"], [("n", "sum", "n_raw")],
+        num_partitions=num_partitions)
+
+    # a = c correction: r1(a,b) ∧ r2(b,a) instances, keyed on (b, a)
+    back = broadcast_join(
+        e.map_batches(lambda t: pa.table(
+            {"b": t["c"], "aa": t["a"], "r1": t["r"]}),
+            batch_format="pyarrow"),
+        e.map_batches(lambda t: pa.table(
+            {"b": t["a"], "aa": t["c"], "r2": t["r"]}),
+            batch_format="pyarrow"),
+        on=("b", "aa"), num_partitions=num_partitions)
+    corr = hash_aggregate(back, ["r1", "r2"],
+                          [(None, "count", "n_corr")],
+                          num_partitions=num_partitions).materialize()
+
+    if corr.count() == 0:
+        # no a=c back-paths anywhere (an empty side breaks the join)
+        sup = raw.map_batches(
+            lambda t: pa.table({
+                "r1": t["r1"], "r2": t["r2"], "n_paths": t["n_raw"],
+            }),
+            batch_format="pyarrow")
+    else:
+        sup = broadcast_join(raw, corr, on=("r1", "r2"),
+                             join_type="left_outer",
+                             num_partitions=num_partitions)
+        sup = sup.map_batches(
+            lambda t: pa.table({
+                "r1": t["r1"], "r2": t["r2"],
+                "n_paths": pc.subtract(t["n_raw"],
+                                       pc.fill_null(t["n_corr"], 0)),
+            }),
+            batch_format="pyarrow")
+    top = sup.sort(["n_paths", "r1", "r2"],
+                   descending=[True, False, False]).limit(k).materialize()
+    rules = top.take_all()
+    if not rules:
+        return ray.data.from_arrow(pa.table({
+            "r1": pa.array([], pa.string()),
+            "r2": pa.array([], pa.string()),
+            "r3": pa.array([], pa.string()),
+            "n_paths": pa.array([], pa.int64()),
+            "n_closed": pa.array([], pa.int64()),
+            "conf_scaled": pa.array([], pa.int64()),
+        }))
+    r1set = {r["r1"] for r in rules}
+    r2set = {r["r2"] for r in rules}
+    support = {(r["r1"], r["r2"]): r["n_paths"] for r in rules}
+
+    # wedges ONLY for top-k chain types (typed prefilter), then close
+    left = e.map_batches(
+        lambda t, _s=sorted(r1set): pa.table(
+            {"b": t["c"], "aa": t["a"], "r1": t["r"]}).filter(
+            pc.is_in(t["r"], pa.array(_s, pa.string()))),
+        batch_format="pyarrow")
+    right = e.map_batches(
+        lambda t, _s=sorted(r2set): pa.table(
+            {"b": t["a"], "cc": t["c"], "r2": t["r"]}).filter(
+            pc.is_in(t["r"], pa.array(_s, pa.string()))),
+        batch_format="pyarrow")
+    wedges = broadcast_join(left, right, on=("b",),
+                            num_partitions=num_partitions)
+    wedges = wedges.map_batches(
+        lambda t: t.filter(pc.not_equal(t["aa"], t["cc"])),
+        batch_format="pyarrow")
+    closed = broadcast_join(
+        wedges, e.map_batches(
+            lambda t: pa.table({"aa": t["a"], "cc": t["c"],
+                                "r3": t["r"]}),
+            batch_format="pyarrow"),
+        on=("aa", "cc"), num_partitions=num_partitions)
+    cagg = hash_aggregate(closed.select_columns(["r1", "r2", "r3"]),
+                          ["r1", "r2", "r3"],
+                          [(None, "count", "n_closed")],
+                          num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r1 = t["r1"].to_pylist()
+        r2 = t["r2"].to_pylist()
+        keep = [i for i, (x, y) in enumerate(zip(r1, r2))
+                if (x, y) in support]
+        sub = t.take(pa.array(keep))
+        paths = np.array([support[(x, y)] for x, y in
+                          zip(sub["r1"].to_pylist(),
+                              sub["r2"].to_pylist())], dtype=np.int64)
+        ncl = sub["n_closed"].to_numpy()
+        return pa.table({
+            "r1": sub["r1"], "r2": sub["r2"], "r3": sub["r3"],
+            "n_paths": pa.array(paths, pa.int64()),
+            "n_closed": sub["n_closed"],
+            "conf_scaled": pa.array(
+                ncl * scale // np.maximum(paths, 1), pa.int64()),
+        })
+
+    return cagg.map_batches(finish, batch_format="pyarrow")
+
+
+def rule_mining_reference(typed_edges, k: int = RULE_TOPK,
+                          scale: int = RULE_SCALE) -> set:
+    """Pure-Python replay (test oracle): typed_edges = (a, r, c)."""
+    es = {(a, r, c) for a, r, c in typed_edges if a != c}
+    from collections import Counter
+
+    sup: Counter = Counter()
+    for a1, r1, b1 in es:
+        for a2, r2, c2 in es:
+            if a2 == b1 and c2 != a1:
+                sup[(r1, r2)] += 1
+    top = sorted(sup.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    support = dict(top)
+    closed: Counter = Counter()
+    for a1, r1, b1 in es:
+        for a2, r2, c2 in es:
+            if a2 != b1 or c2 == a1:
+                continue
+            if (r1, r2) not in support:
+                continue
+            for a3, r3, c3 in es:
+                if a3 == a1 and c3 == c2:
+                    closed[(r1, r2, r3)] += 1
+    return {(r1, r2, r3, support[(r1, r2)], n,
+             n * scale // max(support[(r1, r2)], 1))
+            for (r1, r2, r3), n in closed.items()}

@@ -882,3 +882,54 @@ class TestNegativeSamples:
             u, v = r["entity_id"], r["neg_id"]
             assert u != v
             assert (min(u, v), max(u, v)) not in es
+
+
+def _typed_edges_ds(triples):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "src_id": pa.array([a for a, _, _ in triples], pa.int64()),
+        "rel_type": pa.array([r for _, r, _ in triples], pa.string()),
+        "dst_id": pa.array([c for _, _, c in triples], pa.int64()),
+    }))
+
+
+class TestRuleMining:
+    def test_matches_python_reference(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            rule_mining,
+            rule_mining_reference,
+        )
+
+        rng = random.Random(21)
+        rels = ["works_for", "located_in", "part_of", "born_in"]
+        triples = set()
+        while len(triples) < 120:
+            triples.add((rng.randrange(25) + 1, rng.choice(rels),
+                         rng.randrange(25) + 1))
+        triples = sorted(triples)
+        got = {(r["r1"], r["r2"], r["r3"], r["n_paths"], r["n_closed"],
+                r["conf_scaled"])
+               for r in rule_mining(_typed_edges_ds(triples),
+                                    k=5).take_all()}
+        assert got == rule_mining_reference(triples, k=5)
+        assert got
+
+    def test_planted_rule_is_confident(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            RULE_SCALE,
+            rule_mining,
+        )
+
+        # born_in(a,b) ∧ part_of(b,c) is ALWAYS closed by lives_in(a,c)
+        triples = []
+        for a in range(1, 6):
+            triples += [(a, "born_in", 100 + a),
+                        (100 + a, "part_of", 200),
+                        (a, "lives_in", 200)]
+        out = {(r["r1"], r["r2"], r["r3"]): r["conf_scaled"]
+               for r in rule_mining(_typed_edges_ds(triples),
+                                    k=3).take_all()}
+        assert out[("born_in", "part_of", "lives_in")] == RULE_SCALE

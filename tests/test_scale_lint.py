@@ -65,6 +65,7 @@ ALLOWED = {
     "extras/textstats.py::unigram_logprob.score": "batch-local",
     "extras/bpe.py::bpe_train": "iterative",  # vocab table per round; top-1 take
     "pipelines/graph_algo.py::betweenness_approx": "iterative",
+    "pipelines/graph_algo.py::rule_mining": "k-sized",  # top-k rules + corr probe
     "pipelines/graph_algo.py::bfs_distances": "iterative",
     "pipelines/graph_algo.py::harmonic_centrality_approx": "iterative",
     "pipelines/graph_algo.py::minimum_spanning_forest": "iterative",
