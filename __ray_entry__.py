@@ -895,6 +895,68 @@ def _q_kg_rules(sf_dir: str):
     return rule_mining(_kg(sf_dir)["edges"])
 
 
+_CTX_PAD = 60
+
+
+def _q_kg_mention_contexts(sf_dir: str):
+    """NER/RE training-data generation from the KG: for every (doc,
+    entity) mention whose canonical name occurs verbatim in the
+    document, the FIRST occurrence offset and a ±60-char context
+    window — the labeled spans an extraction-model trainer consumes.
+
+    Shape: the name map is node-sided (broadcast-gated); document text
+    ships through the doc_id hash join exactly once; the find is
+    vectorized per distinct name within each batch
+    (pc.find_substring over that name's rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        safe_join,
+    )
+
+    kg = _kg(sf_dir)
+    named = broadcast_join(
+        kg["mentions"], kg["nodes"].select_columns(["entity_id", "name"]),
+        on=("entity_id",))
+    rows = safe_join(named, kg["docs"].select_columns(["doc_id", "text"]),
+                     join_type="inner", num_partitions=8, on=("doc_id",))
+
+    def contexts(t: pa.Table) -> pa.Table:
+        names = t["name"].to_pylist()
+        text = t["text"]
+        offs = np.full(t.num_rows, -1, dtype=np.int64)
+        idx_by_name: dict = {}
+        for i, nm in enumerate(names):
+            idx_by_name.setdefault(nm, []).append(i)
+        for nm, idxs in idx_by_name.items():
+            if not nm:
+                continue
+            sub = text.take(pa.array(idxs))
+            found = pc.find_substring(sub, nm).to_numpy(
+                zero_copy_only=False)
+            offs[np.asarray(idxs)] = found
+        keep = offs >= 0
+        sub = t.filter(pa.array(keep))
+        off = offs[keep]
+        texts = sub["text"].to_pylist()
+        nms = sub["name"].to_pylist()
+        ctx = [
+            s[max(0, o - _CTX_PAD): min(len(s), o + len(nm) + _CTX_PAD)]
+            for s, nm, o in zip(texts, nms, off)
+        ]
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "entity_id": sub["entity_id"],
+            "name_offset": pa.array(off, pa.int64()),
+            "context": pa.array(ctx, pa.string()),
+        })
+
+    return rows.map_batches(contexts, batch_format="pyarrow")
+
+
 def _q_kg_alias_candidates(sf_dir: str):
     """Near-miss alias candidates the exact norm-key merge cannot
     catch: token-set Jaccard >= 1/2 over normalized entity names via
@@ -1626,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_betweenness": _q_kg_betweenness,
         "kg_negative": _q_kg_negative,
         "kg_rules": _q_kg_rules,
+        "kg_mention_contexts": _q_kg_mention_contexts,
         "kg_alias_candidates": _q_kg_alias_candidates,
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_degree_hist": _q_kg_degree_hist,
@@ -2865,6 +2928,51 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_kept = 0 THEN 'dropped'
                         ELSE 'kept' END AS status
             FROM agg
+        """,
+        # offsets are byte-based on the Arrow side and char-based in
+        # DuckDB — identical for this ASCII corpus (the FINGERPRINT_SQL
+        # caveat)
+        "kg_mention_contexts": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            ), m AS (
+                SELECT doc_id, subject AS name FROM t
+                UNION ALL SELECT doc_id, object FROM t
+            ), men AS (
+                SELECT DISTINCT doc_id, {_eid_sql(nname)} AS entity_id
+                FROM m
+            ), pool AS (
+                SELECT subject AS name, subject_type AS label,
+                       {nsub} AS norm_key
+                FROM read_parquet('{_TRUTH_001}')
+                UNION ALL
+                SELECT object, object_type, {nobj}
+                FROM read_parquet('{_TRUTH_001}')
+            ), nm AS (
+                SELECT {_eid_sql('norm_key')} AS entity_id,
+                       split_part(min(name || chr(31) || label),
+                                  chr(31), 1) AS name
+                FROM pool GROUP BY norm_key
+            ), docs AS (
+                SELECT sha256(text) AS doc_id, min(text) AS text
+                FROM read_parquet('{_PAGES_001}') GROUP BY 1
+            ), j AS (
+                SELECT men.doc_id, men.entity_id, nm.name, d.text,
+                       strpos(d.text, nm.name) AS pos1
+                FROM men JOIN nm USING (entity_id)
+                         JOIN docs d ON d.doc_id = men.doc_id
+                WHERE nm.name <> ''
+            )
+            SELECT doc_id, entity_id,
+                   CAST(pos1 - 1 AS BIGINT) AS name_offset,
+                   substr(text, greatest(0, pos1 - 1 - {_CTX_PAD}) + 1,
+                          least(len(text),
+                                pos1 - 1 + len(name) + {_CTX_PAD})
+                          - greatest(0, pos1 - 1 - {_CTX_PAD}))
+                       AS context
+            FROM j WHERE pos1 > 0
         """,
         "kg_degree_hist": f"""
             WITH e AS (

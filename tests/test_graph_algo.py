@@ -933,3 +933,26 @@ class TestRuleMining:
                for r in rule_mining(_typed_edges_ds(triples),
                                     k=3).take_all()}
         assert out[("born_in", "part_of", "lives_in")] == RULE_SCALE
+
+
+class TestMentionContexts:
+    def test_offsets_point_at_names(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        out = entrymod.queries()["kg_mention_contexts"](
+            "/root/testdata/sf0.001").take_all()
+        assert out
+        kg = entrymod._kg("/root/testdata/sf0.001")
+        names = {r["entity_id"]: r["name"] for r in
+                 kg["nodes"].select_columns(
+                     ["entity_id", "name"]).take_all()}
+        texts = {r["doc_id"]: r["text"] for r in
+                 kg["docs"].select_columns(["doc_id", "text"]).take_all()}
+        for r in out[:200]:
+            nm = names[r["entity_id"]]
+            s = texts[r["doc_id"]]
+            off = r["name_offset"]
+            assert s[off:off + len(nm)] == nm          # offset is exact
+            assert s.find(nm) == off                   # FIRST occurrence
+            assert nm in r["context"]
+            assert len(r["context"]) <= len(nm) + 120  # ±60 pad
