@@ -1206,6 +1206,17 @@ def _q_kg_communities(sf_dir: str):
     return label_prop_communities(_kg(sf_dir)["edges"], rounds=_LPA_ROUNDS)
 
 
+def _q_kg_supergraph(sf_dir: str):
+    """Community-coarsened supergraph: per (community, community) pair
+    the distinct-edge count (internal edges on the diagonal, cut sizes
+    off it)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        community_supergraph,
+    )
+
+    return community_supergraph(_kg(sf_dir)["edges"], rounds=_LPA_ROUNDS)
+
+
 def _q_kg_sssp(sf_dir: str):
     """BFS hop distances from the top-degree entity over the
     undirected KG — the distance-decay input of a retrieval ranker
@@ -1697,6 +1708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
+        "kg_supergraph": _q_kg_supergraph,
         "kg_sssp": _q_kg_sssp,
         "kg_sssp_weighted": _q_kg_sssp_weighted,
         "kg_schema_report": _q_kg_schema_report,
@@ -2389,9 +2401,9 @@ def _undirected_sql(nsub: str, nobj: str) -> str:
         )"""
 
 
-def _lpa_sql(nsub: str, nobj: str, rounds: int = 4) -> str:
-    """Unrolled synchronous label-propagation mirror of
-    pipelines/graph_algo.py:label_prop_communities."""
+def _lpa_ctes(nsub: str, nobj: str, rounds: int = 4) -> list:
+    """Shared unrolled synchronous-LPA label CTEs (final labels in
+    l{rounds}); used by the communities and supergraph oracles."""
     ctes = [_undirected_sql(nsub, nobj) + """
         , l0 AS (
             SELECT DISTINCT node AS id, node AS lab FROM bo
@@ -2409,8 +2421,28 @@ def _lpa_sql(nsub: str, nobj: str, rounds: int = 4) -> str:
                   FROM c{k})
             WHERE n = mx GROUP BY node
         )""")
+    return ctes
+
+
+def _lpa_sql(nsub: str, nobj: str, rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation mirror of
+    pipelines/graph_algo.py:label_prop_communities."""
+    ctes = _lpa_ctes(nsub, nobj, rounds)
     return ("WITH " + ",".join(ctes)
             + f" SELECT id AS entity_id, lab AS community FROM l{rounds}")
+
+
+def _supergraph_sql(nsub: str, nobj: str, rounds: int = 4) -> str:
+    """Mirror of graph_algo.community_supergraph: the LPA label CTEs
+    plus one endpoint-label aggregate over the distinct edge set."""
+    ctes = _lpa_ctes(nsub, nobj, rounds)
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT least(la.lab, lb.lab) AS community_a,
+               greatest(la.lab, lb.lab) AS community_b,
+               count(*) AS n_edges
+        FROM ee JOIN l{rounds} la ON la.id = ee.a
+                JOIN l{rounds} lb ON lb.id = ee.b
+        GROUP BY 1, 2""")
 
 
 def _sssp_sql(nsub: str, nobj: str, max_rounds: int = 32) -> str:
@@ -2790,6 +2822,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(nsub, nobj),
         "kg_ppr": _ppr_sql(nsub, nobj),
         "kg_communities": _lpa_sql(nsub, nobj, rounds=_LPA_ROUNDS),
+        "kg_supergraph": _supergraph_sql(nsub, nobj, rounds=_LPA_ROUNDS),
         "kg_sssp": _sssp_sql(nsub, nobj),
         "kg_sssp_weighted": _sssp_weighted_sql(nsub, nobj),
         "kg_hits": _hits_sql(nsub, nobj, iters=3),

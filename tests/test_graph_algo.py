@@ -956,3 +956,28 @@ class TestMentionContexts:
             assert s.find(nm) == off                   # FIRST occurrence
             assert nm in r["context"]
             assert len(r["context"]) <= len(nm) + 120  # ±60 pad
+
+
+class TestCommunitySupergraph:
+    def test_two_cliques_and_bridge(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            community_supergraph,
+            label_prop_reference,
+        )
+
+        c1, c2 = [1, 2, 3, 4], [11, 12, 13, 14]
+        pairs = [(a, b) for i, a in enumerate(c1) for b in c1[i + 1:]]
+        pairs += [(a, b) for i, a in enumerate(c2) for b in c2[i + 1:]]
+        pairs += [(4, 11)]  # single bridge edge
+        lab = label_prop_reference(pairs, rounds=4)
+        la, lb = lab[1], lab[11]
+        got = {(r["community_a"], r["community_b"]): r["n_edges"]
+               for r in community_supergraph(
+                   _edges_ds(pairs), rounds=4).take_all()}
+        if la == lb:
+            assert got == {(la, la): 13}
+        else:
+            lo, hi = min(la, lb), max(la, lb)
+            assert got[(la, la)] == 6      # intra clique 1
+            assert got[(lb, lb)] == 6      # intra clique 2
+            assert got[(lo, hi)] == 1      # the cut
