@@ -1206,6 +1206,16 @@ def _q_kg_communities(sf_dir: str):
     return label_prop_communities(_kg(sf_dir)["edges"], rounds=_LPA_ROUNDS)
 
 
+def _q_kg_truss_support(sf_dir: str):
+    """Per-edge triangle support (the k-truss peeling quantity): how
+    many common neighbors corroborate each extracted edge."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        edge_triangle_support,
+    )
+
+    return edge_triangle_support(_kg(sf_dir)["edges"])
+
+
 def _q_kg_supergraph(sf_dir: str):
     """Community-coarsened supergraph: per (community, community) pair
     the distinct-edge count (internal edges on the diagonal, cut sizes
@@ -1709,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _q_kg_ppr,
         "kg_communities": _q_kg_communities,
         "kg_supergraph": _q_kg_supergraph,
+        "kg_truss_support": _q_kg_truss_support,
         "kg_sssp": _q_kg_sssp,
         "kg_sssp_weighted": _q_kg_sssp_weighted,
         "kg_schema_report": _q_kg_schema_report,
@@ -2823,6 +2834,27 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _ppr_sql(nsub, nobj),
         "kg_communities": _lpa_sql(nsub, nobj, rounds=_LPA_ROUNDS),
         "kg_supergraph": _supergraph_sql(nsub, nobj, rounds=_LPA_ROUNDS),
+        "kg_truss_support": f"""
+            WITH e0 AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+                FROM read_parquet('{_TRUTH_001}')
+            ), ee AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e0 WHERE s <> d
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM ee e1
+                JOIN ee e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN ee e3 ON e3.a = e1.b AND e3.b = e2.b
+            ), sup AS (
+                SELECT x AS lo, y AS hi FROM tri
+                UNION ALL SELECT x, z FROM tri
+                UNION ALL SELECT y, z FROM tri
+            )
+            SELECT lo AS entity_a, hi AS entity_b,
+                   count(*) AS support
+            FROM sup GROUP BY 1, 2
+        """,
         "kg_sssp": _sssp_sql(nsub, nobj),
         "kg_sssp_weighted": _sssp_weighted_sql(nsub, nobj),
         "kg_hits": _hits_sql(nsub, nobj, iters=3),

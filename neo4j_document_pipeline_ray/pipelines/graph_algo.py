@@ -189,39 +189,16 @@ def degree_topk(
 
 # --- triangle counting -----------------------------------------------------
 
-def triangle_counts(
+def _triangle_hits(
     edges: "ray.data.Dataset",
-    src_col: str = "src_id",
-    dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    src_col: str,
+    dst_col: str,
+    num_partitions: int,
 ) -> "ray.data.Dataset":
-    """Per-node triangle participation counts over the UNDIRECTED
-    distinct edge set (self-loops dropped) — the standard KG-audit
-    cohesion metric Neo4j GDS would provide in the reference stack.
-
-    Distributed shape (node-iterator with degree ordering, the
-    MapReduce scheme of Suri & Vassilvitskii, WWW'11):
-
-    1. canonicalize + distinct the edge set (one hash exchange);
-    2. orient every edge from its lower-(degree, id) endpoint to the
-       higher one — each node's ORIENTED out-degree is then O(sqrt(E))
-       regardless of how hot the original hub was, which bounds wedge
-       generation (the classic "curse of the last reducer" fix);
-    3. wedges: group oriented edges by source, emit every neighbor
-       pair once (numpy triu per node, Python only at node
-       granularity inside a partition);
-    4. closure: tag wedges and edges, union, hash-partition by the
-       (lo, hi) pair key, and intersect per partition — a wedge whose
-       endpoints are themselves an edge is a triangle, found exactly
-       once (at its minimum-(degree, id) apex);
-    5. one final hash aggregate: each triangle credits its 3 corners.
-
-    Degree tables are node-sided O(V) and ride ``broadcast_join``'s
-    size gate; wedge volume is O(E^1.5) worst-case and streams through
-    the exchange without ever materializing per node.
-
-    Returns ``(entity_id, n_triangles)`` for nodes in >=1 triangle.
-    """
+    """One row per triangle ``(apex, a, b)`` (a < b), found exactly
+    once at its minimum-(degree, id) apex — the degree-ordered
+    node-iterator core shared by per-node triangle counts and
+    per-edge truss support."""
 
     def canon(t: pa.Table) -> pa.Table:
         s, d = t[src_col], t[dst_col]
@@ -322,6 +299,43 @@ def triangle_counts(
     # shuffle), automatic hash-join fallback beyond the gate.
     hits = broadcast_join(wedge_ds, e, on=("a", "b"),
                           right_on=("lo", "hi"))
+    return hits
+
+
+def triangle_counts(
+    edges: "ray.data.Dataset",
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-node triangle participation counts over the UNDIRECTED
+    distinct edge set (self-loops dropped) — the standard KG-audit
+    cohesion metric Neo4j GDS would provide in the reference stack.
+
+    Distributed shape (node-iterator with degree ordering, the
+    MapReduce scheme of Suri & Vassilvitskii, WWW'11):
+
+    1. canonicalize + distinct the edge set (one hash exchange);
+    2. orient every edge from its lower-(degree, id) endpoint to the
+       higher one — each node's ORIENTED out-degree is then O(sqrt(E))
+       regardless of how hot the original hub was, which bounds wedge
+       generation (the classic "curse of the last reducer" fix);
+    3. wedges: group oriented edges by source, emit every neighbor
+       pair once (numpy triu per node, Python only at node
+       granularity inside a partition);
+    4. closure: tag wedges and edges, union, hash-partition by the
+       (lo, hi) pair key, and intersect per partition — a wedge whose
+       endpoints are themselves an edge is a triangle, found exactly
+       once (at its minimum-(degree, id) apex);
+    5. one final hash aggregate: each triangle credits its 3 corners.
+
+    Degree tables are node-sided O(V) and ride ``broadcast_join``'s
+    size gate; wedge volume is O(E^1.5) worst-case and streams through
+    the exchange without ever materializing per node.
+
+    Returns ``(entity_id, n_triangles)`` for nodes in >=1 triangle.
+    """
+    hits = _triangle_hits(edges, src_col, dst_col, num_partitions)
 
     def corners(t: pa.Table) -> pa.Table:
         # each matched wedge IS a triangle (apex, a, b); credit 3 corners
@@ -3450,3 +3464,68 @@ def community_supergraph(
         j.map_batches(pairs, batch_format="pyarrow"),
         ["community_a", "community_b"], [(None, "count", "n_edges")],
         num_partitions=num_partitions)
+
+
+# --- per-edge triangle support (k-truss foundation) ------------------------------
+
+def edge_triangle_support(
+    edges: "ray.data.Dataset",
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-EDGE triangle support over the undirected distinct graph —
+    the quantity k-truss peels on and the strongest simple signal for
+    "is this edge corroborated by the neighborhood or a stray
+    extraction?".  Each triangle (apex, a, b) from the shared
+    degree-ordered pass credits its three canonical edges; one hash
+    aggregate counts.  Returns ``(entity_a, entity_b, support)`` for
+    edges in at least one triangle.
+    """
+    hits = _triangle_hits(edges, src_col, dst_col, num_partitions)
+
+    def tri_edges(t: pa.Table) -> pa.Table:
+        def arr(x):
+            return x.combine_chunks() if isinstance(
+                x, pa.ChunkedArray) else x
+
+        ap, a, b = (arr(t["apex"]), arr(t["a"]), arr(t["b"]))
+        lo = pa.concat_arrays([
+            arr(pc.min_element_wise(ap, a)),
+            arr(pc.min_element_wise(ap, b)),
+            a,
+        ])
+        hi = pa.concat_arrays([
+            arr(pc.max_element_wise(ap, a)),
+            arr(pc.max_element_wise(ap, b)),
+            b,
+        ])
+        return pa.table({"lo": lo, "hi": hi})
+
+    agg = hash_aggregate(
+        hits.map_batches(tri_edges, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "support")],
+        num_partitions=num_partitions)
+    return agg.map_batches(
+        lambda t: pa.table({"entity_a": t["lo"], "entity_b": t["hi"],
+                            "support": t["support"]}),
+        batch_format="pyarrow")
+
+
+def edge_triangle_support_reference(edge_pairs) -> dict:
+    """Pure-Python replay: per canonical edge the number of common
+    neighbors (test oracle)."""
+    adj: dict = {}
+    es = set()
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        es.add((min(a, b), max(a, b)))
+    out = {}
+    for lo, hi in es:
+        n = len(adj[lo] & adj[hi])
+        if n:
+            out[(lo, hi)] = n
+    return out

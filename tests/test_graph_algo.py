@@ -981,3 +981,37 @@ class TestCommunitySupergraph:
             assert got[(la, la)] == 6      # intra clique 1
             assert got[(lb, lb)] == 6      # intra clique 2
             assert got[(lo, hi)] == 1      # the cut
+
+
+class TestEdgeTriangleSupport:
+    def test_matches_python_reference(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            edge_triangle_support,
+            edge_triangle_support_reference,
+        )
+
+        rng = random.Random(17)
+        pairs = [(rng.randrange(25) + 1, rng.randrange(25) + 1)
+                 for _ in range(120)]
+        got = {(r["entity_a"], r["entity_b"]): r["support"]
+               for r in edge_triangle_support(
+                   _edges_ds(pairs)).take_all()}
+        assert got == edge_triangle_support_reference(pairs)
+        assert got
+
+    def test_clique_and_tail(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            edge_triangle_support,
+        )
+
+        # 4-clique: every edge in 2 triangles; tail edge in none
+        c = [1, 2, 3, 4]
+        pairs = [(a, b) for i, a in enumerate(c) for b in c[i + 1:]]
+        pairs += [(4, 9)]
+        got = {(r["entity_a"], r["entity_b"]): r["support"]
+               for r in edge_triangle_support(
+                   _edges_ds(pairs)).take_all()}
+        assert got == {(a, b): 2 for i, a in enumerate(c)
+                       for b in c[i + 1:]}

@@ -86,7 +86,7 @@ ALLOWED = {
     "pipelines/graph_algo.py::related_docs_topk": "node-sided",  # doc sizes
     "pipelines/graph_algo.py::sssp_weighted": "iterative",
     "pipelines/graph_algo.py::sssp_weighted._fingerprint": "group-sized",
-    "pipelines/graph_algo.py::triangle_counts": "iterative",
+    "pipelines/graph_algo.py::_triangle_hits": "iterative",
     "pipelines/graphrag.py::_bm25_corpus_stats": "group-sized",
     "pipelines/graphrag.py::_bm25_with_retry": "k-sized",
     "pipelines/graphrag.py::build_text_index": "group-sized",  # df meta row
