@@ -1002,6 +1002,95 @@ def _q_kg_entity_timeline(sf_dir: str):
          (None, "count", "n_docs")])
 
 
+def _q_kg_edge_timeline(sf_dir: str):
+    """Per-EDGE temporal profile: first/last crawl timestamp and
+    supporting-document count per (src, rel, dst) — the edge-level
+    twin of kg_entity_timeline (a temporal KG's edge validity
+    window)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.functions.textnorm import sha256_hex
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        hash_aggregate,
+    )
+
+    t = _kg(sf_dir)["triples"].select_columns(
+        ["src_id", "rel_type", "dst_id", "doc_id"])
+    prov = hash_aggregate(
+        t, ["src_id", "rel_type", "dst_id", "doc_id"],
+        [(None, "count", "_m")]).drop_columns(["_m"])
+
+    pages = rd.read_parquet(_corpus(sf_dir)["pages"],
+                            columns=["text", "warc_ts"])
+
+    def doc_ts(tb: pa.Table) -> pa.Table:
+        ids = [sha256_hex(x or "") for x in tb["text"].to_pylist()]
+        ts = pc.cast(pc.cast(tb["warc_ts"], pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "ts": ts})
+
+    spans = hash_aggregate(
+        pages.map_batches(doc_ts, batch_format="pyarrow"),
+        "doc_id", [("ts", "min", "f"), ("ts", "max", "l")])
+    j = broadcast_join(prov, spans, on=("doc_id",))
+    return hash_aggregate(
+        j.select_columns(["src_id", "rel_type", "dst_id", "f", "l"]),
+        ["src_id", "rel_type", "dst_id"],
+        [("f", "min", "first_seen_us"), ("l", "max", "last_seen_us"),
+         (None, "count", "n_docs")])
+
+
+def _q_kg_domain_entities(sf_dir: str):
+    """Per-domain KG profile: documents, distinct entities and mention
+    rows per URL host — where each slice of the graph comes from (the
+    provenance rollup a crawl-curation pass reads next to
+    docs_domain_reputation)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        hash_aggregate,
+    )
+
+    kg = _kg(sf_dir)
+
+    def dom(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["url"], r"^https?://(?P<host>[^/]+)")
+        host = pc.struct_field(ex, "host")
+        return pa.table({"doc_id": t["doc_id"],
+                         "domain": pc.fill_null(host, "")})
+
+    dmap = kg["docs"].select_columns(["doc_id", "url"]).map_batches(
+        dom, batch_format="pyarrow")
+    docs_per = hash_aggregate(dmap.select_columns(["domain"]),
+                              "domain", [(None, "count", "n_docs")])
+    m = broadcast_join(kg["mentions"], dmap, on=("doc_id",))
+    ment_per = hash_aggregate(m.select_columns(["domain"]),
+                              "domain", [(None, "count", "n_mentions")])
+    de = hash_aggregate(m.select_columns(["domain", "entity_id"]),
+                        ["domain", "entity_id"],
+                        [(None, "count", "_m")]).drop_columns(["_m"])
+    ent_per = hash_aggregate(de.select_columns(["domain"]),
+                             "domain", [(None, "count", "n_entities")])
+    out = broadcast_join(docs_per, ent_per, on=("domain",),
+                         join_type="left_outer")
+    out = broadcast_join(out, ment_per, on=("domain",),
+                         join_type="left_outer")
+    return out.map_batches(
+        lambda t: pa.table({
+            "domain": t["domain"],
+            "n_docs": t["n_docs"],
+            "n_entities": pc.fill_null(t["n_entities"], 0),
+            "n_mentions": pc.fill_null(t["n_mentions"], 0),
+        }),
+        batch_format="pyarrow")
+
+
 def _q_kg_degree_hist(sf_dir: str):
     """Log2-bucket degree histogram — the power-law-tail audit of the
     extracted entity graph (same degree definition as kg_degree_topk)."""
@@ -1712,6 +1801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_contexts": _q_kg_mention_contexts,
         "kg_alias_candidates": _q_kg_alias_candidates,
         "kg_entity_timeline": _q_kg_entity_timeline,
+        "kg_edge_timeline": _q_kg_edge_timeline,
+        "kg_domain_entities": _q_kg_domain_entities,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_diff": _q_kg_diff,
         "kg_msf": _q_kg_msf,
@@ -2947,6 +3038,63 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative": _negative_sql(nsub, nobj),
         "kg_rules": _rules_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),
+        "kg_edge_timeline": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            ), prov AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS src_id, rel_type,
+                                {_eid_sql(nobj)} AS dst_id, doc_id
+                FROM t
+            ), spans AS (
+                SELECT sha256(text) AS doc_id,
+                       min(epoch_us(warc_ts)) AS f,
+                       max(epoch_us(warc_ts)) AS l
+                FROM read_parquet('{_PAGES_001}') GROUP BY 1
+            )
+            SELECT src_id, rel_type, dst_id,
+                   min(f) AS first_seen_us,
+                   max(l) AS last_seen_us,
+                   count(*) AS n_docs
+            FROM prov JOIN spans USING (doc_id)
+            GROUP BY 1, 2, 3
+        """,
+        "kg_domain_entities": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            ), m AS (
+                SELECT doc_id, subject AS name FROM t
+                UNION ALL SELECT doc_id, object FROM t
+            ), men AS (
+                SELECT DISTINCT doc_id, {_eid_sql(nname)} AS entity_id
+                FROM m
+            ), docs AS (
+                SELECT sha256(text) AS doc_id,
+                       COALESCE(regexp_extract(min(url),
+                                '^https?://([^/]+)', 1), '') AS domain
+                FROM read_parquet('{_PAGES_001}')
+                GROUP BY sha256(text)
+            ), dp AS (
+                SELECT domain, count(*) AS n_docs FROM docs GROUP BY 1
+            ), mm AS (
+                SELECT d.domain, men.entity_id
+                FROM men JOIN docs d USING (doc_id)
+            ), mp AS (
+                SELECT domain, count(*) AS n_mentions FROM mm GROUP BY 1
+            ), ep AS (
+                SELECT domain, count(*) AS n_entities
+                FROM (SELECT DISTINCT domain, entity_id FROM mm)
+                GROUP BY 1
+            )
+            SELECT dp.domain, dp.n_docs,
+                   COALESCE(ep.n_entities, 0) AS n_entities,
+                   COALESCE(mp.n_mentions, 0) AS n_mentions
+            FROM dp LEFT JOIN ep USING (domain)
+                    LEFT JOIN mp USING (domain)
+        """,
         "kg_entity_timeline": f"""
             WITH t AS (
                 SELECT tr.*, sha256(p.text) AS doc_id

@@ -1015,3 +1015,34 @@ class TestEdgeTriangleSupport:
                    _edges_ds(pairs)).take_all()}
         assert got == {(a, b): 2 for i, a in enumerate(c)
                        for b in c[i + 1:]}
+
+
+class TestDomainEntities:
+    def test_multi_domain_fixture(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        import __ray_entry__ as entrymod
+
+        key = "/tmp/_fake_domain_sf"
+        entrymod._KG_CACHE[key] = {
+            "docs": ray.data.from_pandas(pd.DataFrame({
+                "doc_id": ["d1", "d2", "d3"],
+                "url": ["https://a.test/x", "https://a.test/y",
+                        "http://b.test/z"],
+            })),
+            "mentions": ray.data.from_pandas(pd.DataFrame({
+                "doc_id": ["d1", "d1", "d2", "d3"],
+                "entity_id": pd.Series([10, 11, 10, 12], dtype="int64"),
+            })),
+        }
+        try:
+            out = {r["domain"]: (r["n_docs"], r["n_entities"],
+                                 r["n_mentions"])
+                   for r in entrymod._q_kg_domain_entities(key).take_all()}
+        finally:
+            del entrymod._KG_CACHE[key]
+        assert out == {
+            "a.test": (2, 2, 3),   # d1+d2; entities {10, 11}; 3 rows
+            "b.test": (1, 1, 1),
+        }
