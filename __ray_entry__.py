@@ -1091,6 +1091,18 @@ def _q_kg_domain_entities(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_kg_path_between(sf_dir: str):
+    """Deterministic shortest path between the two fixed seed
+    entities (min-parent BFS; the reference's Neo4j shortestPath
+    'how are X and Y related' query)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        shortest_path_between,
+    )
+
+    s, t = _khop_seeds()[:2]
+    return shortest_path_between(_kg(sf_dir)["edges"], s, t)
+
+
 def _q_kg_degree_hist(sf_dir: str):
     """Log2-bucket degree histogram — the power-law-tail audit of the
     extracted entity graph (same degree definition as kg_degree_topk)."""
@@ -1803,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_timeline": _q_kg_entity_timeline,
         "kg_edge_timeline": _q_kg_edge_timeline,
         "kg_domain_entities": _q_kg_domain_entities,
+        "kg_path_between": _q_kg_path_between,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_diff": _q_kg_diff,
         "kg_msf": _q_kg_msf,
@@ -2312,6 +2325,57 @@ def _rules_sql(nsub: str, nobj: str) -> str:
                     // greatest(tp.n_paths, 1) AS BIGINT) AS conf_scaled
         FROM closed c JOIN topk tp USING (r1, r2)
     """
+
+
+def _path_sql(nsub: str, nobj: str, source: int, target: int,
+              rounds: int = 8) -> str:
+    """Unrolled replay of graph_algo.shortest_path_between: min-parent
+    BFS levels, then a parent-chain walk from the target.  Levels past
+    the target's distance exist in the unroll but the chain never
+    touches them, so the result equals the early-exiting operator."""
+    ctes = [f"""
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), ee AS MATERIALIZED (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM e0 WHERE s <> d
+        ), bo AS MATERIALIZED (
+            SELECT a AS node, b AS peer FROM ee
+            UNION ALL SELECT b, a FROM ee
+        ), f0 AS (
+            SELECT CAST({source} AS BIGINT) AS node,
+                   CAST(NULL AS BIGINT) AS parent
+        ), d0 AS (
+            SELECT node FROM f0
+        )"""]
+    for l in range(1, rounds + 1):
+        ctes.append(f"""
+        f{l} AS MATERIALIZED (
+            SELECT bo.peer AS node, min(f.node) AS parent
+            FROM f{l - 1} f JOIN bo ON bo.node = f.node
+            LEFT JOIN d{l - 1} s ON s.node = bo.peer
+            WHERE s.node IS NULL
+            GROUP BY bo.peer
+        ), d{l} AS MATERIALIZED (
+            SELECT node FROM d{l - 1}
+            UNION ALL SELECT node FROM f{l}
+        )""")
+    pm = " UNION ALL ".join(
+        f"SELECT node, parent, CAST({l} AS BIGINT) AS dist FROM f{l}"
+        for l in range(0, rounds + 1))
+    ctes.append(f"""
+        pm AS MATERIALIZED ({pm}),
+        r0 AS (SELECT node, parent, dist FROM pm
+               WHERE node = {target})""")
+    for k in range(1, rounds + 1):
+        ctes.append(f"""
+        r{k} AS (SELECT pm.node, pm.parent, pm.dist
+                 FROM pm JOIN r{k - 1} ON pm.node = r{k - 1}.parent)""")
+    union = " UNION ALL ".join(
+        f"SELECT dist AS step, node AS entity_id FROM r{k}"
+        for k in range(0, rounds + 1))
+    return "WITH " + ",".join(ctes) + " " + union
 
 
 def _harmonic_sql(nsub: str, nobj: str, hops: int = 3) -> str:
@@ -3034,6 +3098,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_neighborhood": _neighborhood_sql(nsub, nobj),
         "kg_harmonic": _harmonic_sql(nsub, nobj),
+        "kg_path_between": _path_sql(nsub, nobj, *_khop_seeds()[:2]),
         "kg_betweenness": _betweenness_sql(nsub, nobj),
         "kg_negative": _negative_sql(nsub, nobj),
         "kg_rules": _rules_sql(nsub, nobj),

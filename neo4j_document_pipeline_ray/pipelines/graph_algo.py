@@ -3529,3 +3529,161 @@ def edge_triangle_support_reference(edge_pairs) -> dict:
         if n:
             out[(lo, hi)] = n
     return out
+
+
+# --- shortest path between two entities ------------------------------------------
+
+def shortest_path_between(
+    edges: "ray.data.Dataset",
+    source: int,
+    target: int,
+    max_rounds: int = 8,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "pa.Table":
+    """One shortest path from ``source`` to ``target`` over the
+    undirected distinct graph — the "how are X and Y related" query a
+    KG explorer serves (the reference's Neo4j would run
+    ``shortestPath``).  Deterministic: every node reached at level l
+    records the MINIMUM-id level-(l−1) neighbor as parent, so the
+    reconstructed path is unique regardless of partitioning (what lets
+    the unrolled SQL replay hash-match).
+
+    Forward BFS is the bfs_distances loop plus a min-parent aggregate;
+    reconstruction walks ≤ ``max_rounds`` parents through per-level
+    filter+take probes of the (node-sided) level tables.  Returns
+    ``(step, entity_id)`` rows from source (step 0) to target, empty
+    if not reached within ``max_rounds``.
+    """
+    import numpy as np
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "peer": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    bo = e.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    empty = pa.table({"step": pa.array([], pa.int64()),
+                      "entity_id": pa.array([], pa.int64())})
+    frontier = ray.data.from_arrow(pa.table({
+        "node": pa.array([source], pa.int64()),
+    })).materialize()
+    levels = [ray.data.from_arrow(pa.table({
+        "node": pa.array([source], pa.int64()),
+        "parent": pa.array([None], pa.int64()),
+    })).materialize()]
+    seen = frontier.materialize()
+    reached = source == target
+    rounds = 0
+    while not reached and rounds < max_rounds:
+        rounds += 1
+        hop = broadcast_join(bo, frontier, on=("node",),
+                             num_partitions=num_partitions)
+        cand = hash_aggregate(
+            hop.map_batches(
+                lambda t: pa.table({"node": t["peer"],
+                                    "parent": t["node"]}),
+                batch_format="pyarrow"),
+            "node", [("parent", "min", "parent")],
+            num_partitions=num_partitions)
+        mark = seen.map_batches(
+            lambda t: t.append_column(
+                "_seen", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow")
+        nxt = broadcast_join(cand, mark, on=("node",),
+                             join_type="left_outer",
+                             num_partitions=num_partitions)
+        lvl = nxt.map_batches(
+            lambda t: pa.table({
+                "node": t.filter(pc.is_null(t["_seen"]))["node"],
+                "parent": t.filter(pc.is_null(t["_seen"]))["parent"],
+            }),
+            batch_format="pyarrow").materialize()
+        if lvl.count() == 0:
+            return empty
+        levels.append(lvl)
+        frontier = lvl.select_columns(["node"]).materialize()
+        seen = seen.union(frontier).materialize()
+        hit = lvl.map_batches(
+            lambda t, _t=target: t.filter(pc.equal(t["node"], _t)),
+            batch_format="pyarrow").take_all()
+        reached = bool(hit)
+
+    if not reached:
+        return empty
+
+    # walk parents backward; each probe filters ONE level table
+    path = [target]
+    for lvl_idx in range(len(levels) - 1, 0, -1):
+        cur = path[-1]
+        row = levels[lvl_idx].map_batches(
+            lambda t, _c=cur: t.filter(pc.equal(t["node"], _c)),
+            batch_format="pyarrow").take_all()
+        if not row:
+            # current node was reached at an earlier level; skip
+            continue
+        path.append(int(row[0]["parent"]))
+    path.reverse()
+    assert path[0] == source
+    return pa.table({
+        "step": pa.array(list(range(len(path))), pa.int64()),
+        "entity_id": pa.array(path, pa.int64()),
+    })
+
+
+def shortest_path_reference(edge_pairs, source: int, target: int,
+                            max_rounds: int = 8) -> list:
+    """Pure-Python replay of the min-parent BFS path (test oracle)."""
+    adj: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if source == target:
+        return [(0, source)]
+    parent = {source: None}
+    frontier = [source]
+    dist = {source: 0}
+    for _ in range(max_rounds):
+        nxt: dict = {}
+        for u in sorted(frontier):
+            for v in adj.get(u, ()):
+                if v not in dist and (v not in nxt or u < nxt[v]):
+                    nxt[v] = u
+        if not nxt:
+            return []
+        for v, p in nxt.items():
+            parent[v] = p
+            dist[v] = dist[p] + 1
+        frontier = list(nxt)
+        if target in dist:
+            break
+    if target not in dist:
+        return []
+    path = [target]
+    while parent[path[-1]] is not None:
+        path.append(parent[path[-1]])
+    path.reverse()
+    return list(enumerate(path))

@@ -1046,3 +1046,37 @@ class TestDomainEntities:
             "a.test": (2, 2, 3),   # d1+d2; entities {10, 11}; 3 rows
             "b.test": (1, 1, 1),
         }
+
+
+class TestShortestPathBetween:
+    def test_matches_python_reference(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            shortest_path_between,
+            shortest_path_reference,
+        )
+
+        rng = random.Random(2)
+        pairs = [(rng.randrange(30) + 1, rng.randrange(30) + 1)
+                 for _ in range(60)]
+        pairs += [(40, 41), (41, 42)]
+        for s, t in [(1, 2), (40, 42), (1, 40), (5, 5)]:
+            got = shortest_path_between(_edges_ds(pairs), s, t)
+            rows = list(zip(got["step"].to_pylist(),
+                            got["entity_id"].to_pylist()))
+            assert rows == shortest_path_reference(pairs, s, t), (s, t)
+
+    def test_path_is_valid_walk(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            shortest_path_between,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)]
+        got = shortest_path_between(_edges_ds(pairs), 1, 4)
+        path = got["entity_id"].to_pylist()
+        assert path[0] == 1 and path[-1] == 4
+        assert len(path) == 3  # 1-5-4 or 1-2-..; shortest is 2 hops
+        es = {(min(a, b), max(a, b)) for a, b in pairs}
+        for u, v in zip(path, path[1:]):
+            assert (min(u, v), max(u, v)) in es

@@ -84,6 +84,7 @@ ALLOWED = {
     "pipelines/graph_algo.py::personalized_pagerank": "iterative",
     "pipelines/graph_algo.py::random_walks": "iterative",  # walk frontier
     "pipelines/graph_algo.py::related_docs_topk": "node-sided",  # doc sizes
+    "pipelines/graph_algo.py::shortest_path_between": "iterative",
     "pipelines/graph_algo.py::sssp_weighted": "iterative",
     "pipelines/graph_algo.py::sssp_weighted._fingerprint": "group-sized",
     "pipelines/graph_algo.py::_triangle_hits": "iterative",
