@@ -260,6 +260,21 @@ def run_bench() -> dict:
     timed_call("kg_cooccur_topk",
                lambda: cooccurrence_topk(tables["mentions"], k=50))
 
+    # round-4 flagship analytics: sketch class (ANF/HyperBall) and
+    # rule mining.  Boruvka MSF is deliberately NOT benched: at toy
+    # node counts its wall time is pure per-round executor fixed cost
+    # (outer contraction rounds x inner CC rounds, ~60 s/rep at
+    # sf0.01 while the gate's single rep is 23 s) — no data-volume
+    # signal; the correctness gate + pytest cover it.
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        neighborhood_function,
+        rule_mining,
+    )
+
+    timed_call("kg_neighborhood",
+               lambda: neighborhood_function(tables["edges"], hops=3))
+    timed_call("kg_rules", lambda: rule_mining(tables["edges"]))
+
     question = 'How does the "National Broadband Plan" support the Six Pillars?'
 
     # index DDL analog: the reference creates its vector + fulltext

@@ -3360,11 +3360,13 @@ def rule_mining(
         r2 = t["r2"].to_pylist()
         keep = [i for i, (x, y) in enumerate(zip(r1, r2))
                 if (x, y) in support]
-        sub = t.take(pa.array(keep))
+        # keep may be empty on a small partition: pa.array([]) is
+        # null-typed and Table.take has no (string, null) kernel
+        sub = t.take(pa.array(keep, type=pa.int64()))
         paths = np.array([support[(x, y)] for x, y in
                           zip(sub["r1"].to_pylist(),
                               sub["r2"].to_pylist())], dtype=np.int64)
-        ncl = sub["n_closed"].to_numpy()
+        ncl = sub["n_closed"].to_numpy(zero_copy_only=False)
         return pa.table({
             "r1": sub["r1"], "r2": sub["r2"], "r3": sub["r3"],
             "n_paths": pa.array(paths, pa.int64()),
