@@ -852,6 +852,31 @@ def _q_kg_neighborhood(sf_dir: str):
     return neighborhood_function(_kg(sf_dir)["edges"], hops=3)
 
 
+def _q_kg_eff_diameter(sf_dir: str):
+    """Integer effective diameter (smallest hop covering >=90% of the
+    final ANF mass) — the one-row graph-compactness audit derived from
+    the same KMV sketch pass as kg_neighborhood, so the DuckDB replay
+    of that sketch hash-matches this too."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        effective_diameter,
+    )
+
+    return effective_diameter(_kg(sf_dir)["edges"], hops=3)
+
+
+def _q_kg_rel_cardinality(sf_dir: str):
+    """Per-relation functionality / inverse-functionality audit
+    (AMIE's fun/ifun): distinct-subject and distinct-object counts per
+    rel_type over the snapshot's unique edge identities, integer
+    scaled.  The schema-quality report that separates 1:1 relations
+    from fan-out relations."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        relation_cardinality,
+    )
+
+    return relation_cardinality(_kg(sf_dir)["edges"])
+
+
 def _q_kg_harmonic(sf_dir: str):
     """Approximate harmonic centrality from the HyperBall/KMV sketch
     rounds (Boldi/Vigna 2013) — integer telescoped weighting, one
@@ -1806,6 +1831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_similarity": _q_kg_node_similarity,
         "kg_components": _q_kg_components,
         "kg_neighborhood": _q_kg_neighborhood,
+        "kg_eff_diameter": _q_kg_eff_diameter,
+        "kg_rel_cardinality": _q_kg_rel_cardinality,
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
         "kg_negative": _q_kg_negative,
@@ -3097,6 +3124,34 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tc USING (entity_id)
         """,
         "kg_neighborhood": _neighborhood_sql(nsub, nobj),
+        # same sketch replay, reduced to the one-row 90%-coverage head
+        "kg_eff_diameter": f"""
+            WITH nfq AS ({_neighborhood_sql(nsub, nobj)})
+            SELECT hop AS eff_diameter_hop, nf_est AS nf_at_hop,
+                   (SELECT nf_est FROM nfq WHERE hop = 3) AS nf_max
+            FROM nfq
+            WHERE 10 * nf_est
+                  >= 9 * (SELECT nf_est FROM nfq WHERE hop = 3)
+            ORDER BY hop LIMIT 1
+        """,
+        # AMIE fun/ifun over the same edge identity as kg_rel_counts
+        "kg_rel_cardinality": f"""
+            WITH e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, rel_type,
+                       {_eid_sql(nobj)} AS d,
+                       coalesce(term, '') AS term_key
+                FROM read_parquet('{_TRUTH_001}')
+            )
+            SELECT rel_type,
+                   count(*) AS n_edges,
+                   count(DISTINCT s) AS n_src,
+                   count(DISTINCT d) AS n_dst,
+                   CAST((1000000 * count(DISTINCT s)) // count(*)
+                        AS BIGINT) AS func_scaled,
+                   CAST((1000000 * count(DISTINCT d)) // count(*)
+                        AS BIGINT) AS inv_func_scaled
+            FROM e GROUP BY rel_type
+        """,
         "kg_harmonic": _harmonic_sql(nsub, nobj),
         "kg_path_between": _path_sql(nsub, nobj, *_khop_seeds()[:2]),
         "kg_betweenness": _betweenness_sql(nsub, nobj),

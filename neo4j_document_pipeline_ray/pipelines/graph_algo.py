@@ -2397,6 +2397,46 @@ def neighborhood_function_reference(edge_pairs, hops: int = 3,
     return out
 
 
+def effective_diameter(
+    edges: "ray.data.Dataset",
+    hops: int = 3,
+    k: int = NF_K,
+    coverage_num: int = 9,
+    coverage_den: int = 10,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> pa.Table:
+    """Integer effective diameter from the ANF profile: the smallest
+    hop h with coverage_den * N(h) >= coverage_num * N(hops) (default
+    the standard 90% threshold of Palmer/Gibbons/Faloutsos, KDD'02,
+    without the fractional interpolation — integer hops keep the
+    result a pure function of the data, so the DuckDB replay of the
+    same KMV sketch hash-matches).  One reuse of the
+    :func:`neighborhood_function` pass plus an O(hops) driver-side
+    scan of its (hops+1)-row output.  Always returns exactly one
+    (eff_diameter_hop, nf_at_hop, nf_max) int64 row (hop 0 on an
+    empty graph, where every N(h) is 0).
+    """
+    import numpy as np
+
+    nf = neighborhood_function(
+        edges, hops=hops, k=k, src_col=src_col, dst_col=dst_col,
+        num_partitions=num_partitions)
+    hop = nf["hop"].to_numpy(zero_copy_only=False)
+    est = nf["nf_est"].to_numpy(zero_copy_only=False)
+    order = np.argsort(hop)
+    hop, est = hop[order], est[order]
+    nf_max = int(est[-1])
+    ok = np.flatnonzero(coverage_den * est >= coverage_num * nf_max)
+    i = int(ok[0])
+    return pa.table({
+        "eff_diameter_hop": pa.array([int(hop[i])], pa.int64()),
+        "nf_at_hop": pa.array([int(est[i])], pa.int64()),
+        "nf_max": pa.array([nf_max], pa.int64()),
+    })
+
+
 # --- degree histogram -----------------------------------------------------------
 
 def degree_histogram(
@@ -2452,6 +2492,68 @@ def degree_histogram(
         })
 
     return hist.map_batches(add_lo, batch_format="pyarrow")
+
+
+RELCARD_SCALE = 10**6
+
+
+def relation_cardinality(
+    edges: "ray.data.Dataset",
+    num_partitions: int = 16,
+    scale: int = RELCARD_SCALE,
+) -> pa.Table:
+    """Per-relation cardinality profile: edge count, distinct-subject
+    and distinct-object counts, and the integer-scaled functionality
+    fun(r) = |subjects| / |edges| and inverse functionality
+    ifun(r) = |objects| / |edges| of Suchanek et al. (AMIE, WWW'13)
+    — the standard schema-quality audit that tells 1:1 relations
+    ("capital of") from fan-out relations ("mentions").
+
+    Input rows are assumed unique per edge identity (the snapshot
+    edges table: one row per (src, rel, dst, term), same identity as
+    kg_rel_counts).  Three slim node/edge-sided exchanges, each
+    pre-collapsed in-batch by hash_aggregate partials; the merge is a
+    pyarrow join over per-relation tables, bounded by the number of
+    distinct relation types (schema-sized, never corpus-sized).
+    Returns (rel_type, n_edges, n_src, n_dst, func_scaled,
+    inv_func_scaled) int64/string rows.
+    """
+    import numpy as np
+    import ray
+
+    slim = edges.select_columns(["rel_type", "src_id", "dst_id"])
+    n_edges = hash_aggregate(
+        slim.select_columns(["rel_type"]), "rel_type",
+        [(None, "count", "n_edges")], num_partitions=num_partitions)
+    per_end = []
+    for col, alias in (("src_id", "n_src"), ("dst_id", "n_dst")):
+        distinct = hash_aggregate(
+            slim.select_columns(["rel_type", col]),
+            ["rel_type", col], [(None, "count", "_m")],
+            num_partitions=num_partitions).drop_columns(["_m"])
+        per_end.append(hash_aggregate(
+            distinct.select_columns(["rel_type"]), "rel_type",
+            [(None, "count", alias)], num_partitions=num_partitions))
+
+    def _small(ds, alias: str) -> pa.Table:
+        parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
+        if not parts:
+            return pa.table({"rel_type": pa.array([], pa.string()),
+                             alias: pa.array([], pa.int64())})
+        return pa.concat_tables(parts).select(["rel_type", alias])
+
+    out = _small(n_edges, "n_edges")
+    for d, alias in zip(per_end, ("n_src", "n_dst")):
+        out = out.join(_small(d, alias), keys=["rel_type"],
+                       join_type="inner")
+    out = out.sort_by("rel_type")
+    ne = out["n_edges"].to_numpy(zero_copy_only=False)
+    ns = out["n_src"].to_numpy(zero_copy_only=False)
+    nd = out["n_dst"].to_numpy(zero_copy_only=False)
+    return out.append_column(
+        "func_scaled", pa.array(scale * ns // ne, pa.int64())
+    ).append_column(
+        "inv_func_scaled", pa.array(scale * nd // ne, pa.int64()))
 
 
 # --- minimum spanning forest (Boruvka) ------------------------------------------

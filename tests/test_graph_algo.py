@@ -1080,3 +1080,83 @@ class TestShortestPathBetween:
         es = {(min(a, b), max(a, b)) for a, b in pairs}
         for u, v in zip(path, path[1:]):
             assert (min(u, v), max(u, v)) in es
+
+
+class TestEffectiveDiameter:
+    def test_path_graph(self, ray_session):
+        # 5-node path: N = {0:5, 1:13, 2:19, 3:23}; 90% of 23 needs
+        # 10*N(h) >= 207 -> first satisfied at hop 3
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            effective_diameter,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        got = effective_diameter(_edges_ds(pairs), hops=3)
+        assert got.to_pylist() == [
+            {"eff_diameter_hop": 3, "nf_at_hop": 23, "nf_max": 23}]
+
+    def test_star_graph(self, ray_session):
+        # K_{1,4}: N = {0:5, 1:13, 2:25, 3:25}; 10*N(h) >= 225 first
+        # at hop 2 (130 < 225 <= 250)
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            effective_diameter,
+        )
+
+        pairs = [(1, 2), (1, 3), (1, 4), (1, 5)]
+        got = effective_diameter(_edges_ds(pairs), hops=3)
+        assert got.to_pylist() == [
+            {"eff_diameter_hop": 2, "nf_at_hop": 25, "nf_max": 25}]
+
+    def test_empty_graph_one_zero_row(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            effective_diameter,
+        )
+
+        got = effective_diameter(_edges_ds([]), hops=3)
+        assert got.to_pylist() == [
+            {"eff_diameter_hop": 0, "nf_at_hop": 0, "nf_max": 0}]
+
+
+def _typed_edges_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src_id": pa.array([s for s, _, _ in rows], pa.int64()),
+        "rel_type": pa.array([r for _, r, _ in rows], pa.string()),
+        "dst_id": pa.array([d for _, _, d in rows], pa.int64()),
+    }))
+
+
+class TestRelationCardinality:
+    def test_fun_ifun(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            relation_cardinality,
+        )
+
+        rows = [
+            # 1:1 relation: 3 edges, 3 subjects, 3 objects
+            (1, "capital_of", 10), (2, "capital_of", 11),
+            (3, "capital_of", 12),
+            # fan-out: 3 edges, 2 subjects, 2 objects
+            (1, "mentions", 10), (1, "mentions", 11), (2, "mentions", 10),
+        ]
+        got = relation_cardinality(_typed_edges_ds(rows))
+        assert got.to_pylist() == [
+            {"rel_type": "capital_of", "n_edges": 3, "n_src": 3,
+             "n_dst": 3, "func_scaled": 1_000_000,
+             "inv_func_scaled": 1_000_000},
+            {"rel_type": "mentions", "n_edges": 3, "n_src": 2,
+             "n_dst": 2, "func_scaled": 666_666,
+             "inv_func_scaled": 666_666},
+        ]
+
+    def test_empty_edges(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            relation_cardinality,
+        )
+
+        got = relation_cardinality(_typed_edges_ds([]))
+        assert got.num_rows == 0
+        assert got.column_names == [
+            "rel_type", "n_edges", "n_src", "n_dst",
+            "func_scaled", "inv_func_scaled"]
