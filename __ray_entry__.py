@@ -1620,6 +1620,49 @@ def _q_pages_links(sf_dir: str):
                                       columns=["url", "html"]))
 
 
+def _q_pages_host_graph(sf_dir: str):
+    """Host-level link graph (src_host, dst_host, n_links) — the
+    page-graph coarsening every web-scale ranking / crawl-scheduling
+    pass runs first (extras/urls.py:host_graph)."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.urls import host_graph
+
+    paths = _corpus(sf_dir)
+    return host_graph(rd.read_parquet(paths["pages"],
+                                      columns=["url", "html"]))
+
+
+def _q_pages_host_rank(sf_dir: str):
+    """Integer PageRank over the host graph — the host-authority
+    signal for crawl prioritization and corpus quality weighting
+    (extras/urls.py:host_rank; same stable_id + unrolled-PR replay
+    contract as kg_pagerank)."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.urls import host_rank
+
+    paths = _corpus(sf_dir)
+    return host_rank(rd.read_parquet(paths["pages"],
+                                     columns=["url", "html"]))
+
+
+def _q_pages_crawl_frontier(sf_dir: str):
+    """Top-k out-linked canonical URLs not already crawled, ranked by
+    citing-host breadth then citation count — the crawl scheduler's
+    next-fetch list (extras/urls.py:crawl_frontier; tagged-union
+    anti-join against the corpus's canonical URLs)."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.urls import crawl_frontier
+
+    paths = _corpus(sf_dir)
+    return crawl_frontier(
+        rd.read_parquet(paths["pages"], columns=["url", "html"]),
+        k=100,
+        page_urls=rd.read_parquet(paths["pages"], columns=["url"]))
+
+
 def _q_pages_anchor_terms(sf_dir: str):
     """Top (dst_url, anchor-text) citation pairs — anchor mining, the
     external naming signal web KGs weight above on-page text
@@ -1814,6 +1857,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_section_stats": _q_pages_section_stats,
         "pages_url_dedup": _q_pages_url_dedup,
         "pages_links": _q_pages_links,
+        "pages_host_graph": _q_pages_host_graph,
+        "pages_host_rank": _q_pages_host_rank,
+        "pages_crawl_frontier": _q_pages_crawl_frontier,
         "pages_anchor_terms": _q_pages_anchor_terms,
         "kg_label_counts": _q_kg_label_counts,
         "kg_rel_counts": _q_kg_rel_counts,
@@ -2074,18 +2120,16 @@ def _khop_sql(nsub: str, nobj: str) -> str:
     """
 
 
-def _pagerank_sql(nsub: str, nobj: str, iters: int = 3) -> str:
-    """Unrolled integer-PageRank mirror of pipelines/graph_algo.py —
-    exact because both sides use only BIGINT floor arithmetic."""
+def _pagerank_unroll(edges_cte: str, iters: int, tail: str) -> str:
+    """Shared unrolled integer-PageRank CTE chain — exact because both
+    sides use only BIGINT floor arithmetic.  ``edges_cte`` must define
+    (possibly after preceding CTEs) a CTE ``e(s, d)`` of DISTINCT
+    directed edges; ``tail`` is the final SELECT over ``i{iters}``."""
     from neo4j_document_pipeline_ray.pipelines.graph_algo import PR_SCALE
 
     num, den = 85, 100
     base = (PR_SCALE * (den - num)) // den
-    ctes = [f"""
-        e AS (
-            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
-            FROM read_parquet('{_TRUTH_001}')
-        ), nodes AS (
+    ctes = [edges_cte + f""", nodes AS (
             SELECT s AS id FROM e UNION SELECT d FROM e
         ), deg AS (
             SELECT s, count(*) AS outdeg FROM e GROUP BY s
@@ -2105,8 +2149,46 @@ def _pagerank_sql(nsub: str, nobj: str, iters: int = 3) -> str:
                 GROUP BY e.d
             ) si ON n.id = si.id
         )""")
-    return ("WITH " + ",".join(ctes)
-            + f" SELECT id AS entity_id, r AS rank_scaled FROM i{iters}")
+    return "WITH " + ",".join(ctes) + " " + tail
+
+
+def _pagerank_sql(nsub: str, nobj: str, iters: int = 3) -> str:
+    """Unrolled integer-PageRank mirror of pipelines/graph_algo.py
+    over the truth-table entity graph."""
+    edges = f"""
+        e AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        )"""
+    return _pagerank_unroll(
+        edges, iters,
+        f"SELECT id AS entity_id, r AS rank_scaled FROM i{iters}")
+
+
+def _host_rank_sql(pages_glob: str, iters: int = 3) -> str:
+    """Unrolled integer-PageRank replay over the host graph — same
+    link extraction + host normalization as extras/urls.host_graph,
+    same stable_id host ids as extras/urls.host_rank."""
+    from neo4j_document_pipeline_ray.extras.urls import host_sql, links_sql
+
+    hs, hd = host_sql("src_url"), host_sql("dst_url")
+    edges = f"""
+        links AS ({links_sql(pages_glob)}),
+        hg AS (
+            SELECT DISTINCT {hs} AS a, {hd} AS b
+            FROM links
+            WHERE {hs} <> '' AND {hd} <> ''
+        ),
+        e AS (
+            SELECT {_eid_sql('a')} AS s, {_eid_sql('b')} AS d FROM hg
+        )"""
+    tail = f"""
+        SELECT m.host, r.r AS rank_scaled
+        FROM i{iters} r JOIN (
+            SELECT host, {_eid_sql('host')} AS id FROM (
+                SELECT a AS host FROM hg UNION SELECT b FROM hg)
+        ) m ON m.id = r.id"""
+    return _pagerank_unroll(edges, iters, tail)
 
 
 def _kmv_sketch_ctes(nsub: str, nobj: str, hops: int) -> list:
@@ -2875,6 +2957,8 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.dupgrams import DUP_NGRAM_SQL
     from neo4j_document_pipeline_ray.extras.urls import (
         anchor_terms_sql,
+        crawl_frontier_sql,
+        host_graph_sql,
         links_sql,
         url_dedup_sql,
     )
@@ -3582,6 +3666,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pages_url_dedup": url_dedup_sql(_PAGES_001),
         "pages_links": links_sql(_PAGES_001),
+        "pages_host_graph": host_graph_sql(_PAGES_001),
+        "pages_host_rank": _host_rank_sql(_PAGES_001),
+        "pages_crawl_frontier": crawl_frontier_sql(_PAGES_001, k=100),
         "pages_anchor_terms": anchor_terms_sql(_PAGES_001),
         "pages_section_stats": f"""
             WITH b AS (

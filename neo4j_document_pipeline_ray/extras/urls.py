@@ -35,7 +35,11 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+from neo4j_document_pipeline_ray.stages.grouped import (
+    broadcast_join,
+    hash_aggregate,
+    partitioned_group_map,
+)
 
 _SPLIT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<host>[^/?#]+)(?P<path>[^?#]*)"
 _TS_FMT = "%Y-%m-%d %H:%M:%S"  # fixed 19 chars; floor-to-second both sides
@@ -301,4 +305,213 @@ def url_dedup_sql(pages_glob: str) -> str:
            substr(min(k), 21) AS kept_url,
            substr(min(k), 1, 19) AS first_ts
     FROM n GROUP BY canon_url
+    """
+
+
+def host_of(urls: "pa.ChunkedArray | pa.Array") -> "pa.Array":
+    """Normalized host of absolute URLs ('' when not absolute) — the
+    host steps of :func:`canonicalize_urls` (lowercase, strip leading
+    ``www.``, strip default ports)."""
+    ex = pc.extract_regex(urls, _SPLIT_RE)
+    host = pc.fill_null(pc.struct_field(ex, "host"), "")
+    host = pc.utf8_lower(host)
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    return pc.replace_substring_regex(host, r":(80|443)$", "")
+
+
+def host_graph(pages: "ray.data.Dataset",
+               num_partitions: int = 8,
+               drop_self: bool = False) -> "ray.data.Dataset":
+    """Host-level link graph of the crawl: ``(src_host, dst_host,
+    n_links)`` over normalized hosts, non-absolute endpoints dropped —
+    the coarsening every web-scale ranking / crawl-scheduling pass
+    runs first, because the host graph is orders of magnitude smaller
+    than the page graph.  Intra-host links are KEPT by default (they
+    dominate real crawls and carry the site-internal navigation
+    signal); ``drop_self=True`` gives the cross-host-only coarsening.
+    Page-sized work stays in-batch (href findall + host regex); only
+    (host-pair, count) partials reach the exchange via
+    hash_aggregate."""
+    links = page_links(pages)
+
+    def to_hosts(t: pa.Table) -> pa.Table:
+        sh, dh = host_of(t["src_url"]), host_of(t["dst_url"])
+        tb = pa.table({"src_host": sh, "dst_host": dh})
+        keep = pc.and_(pc.not_equal(sh, ""), pc.not_equal(dh, ""))
+        if drop_self:
+            keep = pc.and_(keep, pc.not_equal(sh, dh))
+        return tb.filter(keep)
+
+    return hash_aggregate(
+        links.map_batches(to_hosts, batch_format="pyarrow"),
+        ["src_host", "dst_host"], [(None, "count", "n_links")],
+        num_partitions=num_partitions)
+
+
+def host_rank(pages: "ray.data.Dataset", iters: int = 3,
+              num_partitions: int = 8) -> "ray.data.Dataset":
+    """Integer PageRank over the host graph — the host-authority
+    signal crawl schedulers and corpus-quality weights use (cf.
+    Common Crawl's harmonic-centrality host ranking).  Hosts get the
+    same pure-function ids as entities (``stable_id``, so the DuckDB
+    unrolled-PageRank replay hash-matches); the name join-back rides
+    broadcast_join's size gate (host table is host-count-sized, never
+    link-count-sized).  Returns ``(host, rank_scaled)``."""
+    from neo4j_document_pipeline_ray.functions.textnorm import stable_id
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import pagerank
+
+    hg = host_graph(pages, num_partitions=num_partitions)
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        sh, dh = t["src_host"].to_pylist(), t["dst_host"].to_pylist()
+        ids = {h: stable_id(h) for h in set(sh) | set(dh)}
+        return pa.table({
+            "src_id": pa.array([ids[h] for h in sh], pa.int64()),
+            "dst_id": pa.array([ids[h] for h in dh], pa.int64()),
+        })
+
+    pr = pagerank(hg.map_batches(to_ids, batch_format="pyarrow"),
+                  iters=iters)
+
+    def name_rows(t: pa.Table) -> pa.Table:
+        hosts = sorted(set(t["src_host"].to_pylist())
+                       | set(t["dst_host"].to_pylist()))
+        return pa.table({
+            "entity_id": pa.array([stable_id(h) for h in hosts],
+                                  pa.int64()),
+            "host": pa.array(hosts, pa.string()),
+        })
+
+    names = hash_aggregate(
+        hg.map_batches(name_rows, batch_format="pyarrow"),
+        ["entity_id", "host"], [(None, "count", "_m")],
+        num_partitions=num_partitions).drop_columns(["_m"])
+    joined = broadcast_join(pr, names, on=("entity_id",),
+                            num_partitions=num_partitions)
+    return joined.select_columns(["host", "rank_scaled"])
+
+
+def crawl_frontier(pages: "ray.data.Dataset", k: int = 100,
+                   num_partitions: int = 8,
+                   page_urls: "ray.data.Dataset | None" = None
+                   ) -> "ray.data.Dataset":
+    """Top-k out-linked canonical URLs NOT already in the crawl,
+    ranked by citing-host breadth, then citation count, then URL —
+    the scheduler's next-fetch list.  The not-in-corpus test is the
+    engine's tagged-union anti-join (no all-pairs, no driver set):
+    link candidates and the corpus's canonical URLs hash-partition by
+    canon_url; each partition subtracts and aggregates with pandas
+    vectorized ops.  Only the aggregated frontier reaches the final
+    sort+limit head (the anchor_terms convention).
+
+    Pass ``page_urls`` as a url-only pruned read so the corpus side
+    never ships HTML payloads; defaults to a column projection of
+    ``pages``."""
+    import numpy as np
+
+    links = page_links(pages)
+    if page_urls is None:
+        page_urls = pages.select_columns(["url"])
+
+    def cand(t: pa.Table) -> pa.Table:
+        d = canonicalize_urls(t["dst_url"])
+        tb = pa.table({
+            "canon_url": d,
+            "src_host": host_of(t["src_url"]),
+            "is_left": pa.array(np.ones(len(d), dtype=bool)),
+        })
+        return tb.filter(pc.not_equal(d, ""))
+
+    def present(t: pa.Table) -> pa.Table:
+        c = pc.unique(canonicalize_urls(t["url"]))
+        return pa.table({
+            "canon_url": c,
+            "src_host": pa.nulls(len(c), pa.string()),
+            "is_left": pa.array(np.zeros(len(c), dtype=bool)),
+        })
+
+    tagged = links.map_batches(cand, batch_format="pyarrow").union(
+        page_urls.map_batches(present, batch_format="pyarrow"))
+
+    def subtract(df):
+        import pandas as pd
+
+        seen = df.loc[~df["is_left"], "canon_url"].unique()
+        keep = df[df["is_left"] & ~df["canon_url"].isin(seen)]
+        g = keep.groupby("canon_url", sort=False).agg(
+            n_links=("src_host", "size"),
+            n_hosts=("src_host", "nunique"))
+        return pd.DataFrame({
+            "canon_url": g.index.astype(str),
+            "n_links": g["n_links"].astype("int64").values,
+            "n_hosts": g["n_hosts"].astype("int64").values,
+        })
+
+    agg = partitioned_group_map(tagged, "canon_url", subtract,
+                                num_partitions=num_partitions)
+    return agg.sort(["n_hosts", "n_links", "canon_url"],
+                    descending=[True, True, False]).limit(k)
+
+
+_SPLIT_SQL = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)([^?#]*)'"
+
+
+def host_sql(url_expr: str) -> str:
+    """DuckDB expression equal to :func:`host_of` on ``url_expr``."""
+    return (f"regexp_replace(regexp_replace(lower(regexp_extract("
+            f"{url_expr}, {_SPLIT_SQL}, 1)), '^www\\.', ''), "
+            f"':(80|443)$', '')")
+
+
+def canon_sql(url_expr: str) -> str:
+    """DuckDB expression equal to :func:`canonicalize_urls` on
+    ``url_expr`` (the url_dedup_sql CASE, inlined for any expr)."""
+    return (f"CASE WHEN regexp_extract({url_expr}, {_SPLIT_SQL}, 1) = ''"
+            f" THEN lower({url_expr})"
+            f" ELSE {host_sql(url_expr)}"
+            f" || regexp_replace(regexp_extract({url_expr},"
+            f" {_SPLIT_SQL}, 2), '/+$', '') END")
+
+
+def host_graph_sql(pages_glob: str, drop_self: bool = False) -> str:
+    """DuckDB mirror of :func:`host_graph`."""
+    self_filter = "AND src_host <> dst_host" if drop_self else ""
+    return f"""
+    WITH links AS ({links_sql(pages_glob)}),
+    h AS (
+        SELECT {host_sql('src_url')} AS src_host,
+               {host_sql('dst_url')} AS dst_host
+        FROM links
+    )
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM h
+    WHERE src_host <> '' AND dst_host <> '' {self_filter}
+    GROUP BY 1, 2
+    """
+
+
+def crawl_frontier_sql(pages_glob: str, k: int = 100) -> str:
+    """DuckDB mirror of :func:`crawl_frontier`."""
+    return f"""
+    WITH links AS ({links_sql(pages_glob)}),
+    cand AS (
+        SELECT {canon_sql('dst_url')} AS canon_url,
+               {host_sql('src_url')} AS src_host
+        FROM links
+    ),
+    corpus AS (
+        SELECT DISTINCT {canon_sql('url')} AS canon_url
+        FROM read_parquet('{pages_glob}')
+    ),
+    f AS (
+        SELECT canon_url,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts
+        FROM cand
+        WHERE canon_url <> ''
+          AND canon_url NOT IN (SELECT canon_url FROM corpus)
+        GROUP BY canon_url
+    )
+    SELECT canon_url, n_links, n_hosts
+    FROM f ORDER BY n_hosts DESC, n_links DESC, canon_url LIMIT {k}
     """

@@ -170,3 +170,127 @@ class TestUrlDedup:
         })
         (row,) = url_dedup(ray.data.from_pandas(same_ts)).take_all()
         assert row["kept_url"] == "http://t.io/x"  # 'h'<'h'.. http<https
+
+
+def _multi_host_pages():
+    """Three hosts; b/c both cite a; a links within itself and out to
+    an uncrawled URL that c also cites."""
+    return pd.DataFrame({
+        "url": ["https://a.io/p1", "https://a.io/p2",
+                "https://b.io/p1", "https://c.io/p1"],
+        "html": [
+            b"<a href='/p2'>self</a><a href='https://new.net/x'>n</a>",
+            b"<a href='/p1'>self</a>",
+            b"<a href='https://a.io/p1'>a</a>"
+            b"<a href='https://www.A.io/p2'>a2</a>",
+            b"<a href='https://a.io/p1'>a</a>"
+            b"<a href='https://new.net/x/'>n</a>",
+        ],
+    })
+
+
+class TestHostGraph:
+    def test_counts_and_normalization(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import host_graph
+
+        pages = ray.data.from_pandas(_multi_host_pages()).repartition(2)
+        got = {(r["src_host"], r["dst_host"]): r["n_links"]
+               for r in host_graph(pages).take_all()}
+        # www.A.io normalizes to a.io, self-host links kept
+        assert got == {
+            ("a.io", "a.io"): 2, ("a.io", "new.net"): 1,
+            ("b.io", "a.io"): 2, ("c.io", "a.io"): 1,
+            ("c.io", "new.net"): 1,
+        }
+
+    def test_drop_self(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import host_graph
+
+        pages = ray.data.from_pandas(_multi_host_pages())
+        got = {(r["src_host"], r["dst_host"])
+               for r in host_graph(pages, drop_self=True).take_all()}
+        assert ("a.io", "a.io") not in got
+        assert ("b.io", "a.io") in got
+
+    def test_duckdb_mirror_parity(self, ray_session, tmp_path):
+        import duckdb
+
+        from neo4j_document_pipeline_ray.extras.urls import (
+            host_graph,
+            host_graph_sql,
+        )
+
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(pa.Table.from_pandas(_multi_host_pages()), p)
+        got = (host_graph(ray.data.read_parquet(p)).to_pandas()
+               .sort_values(["src_host", "dst_host"])
+               .reset_index(drop=True))
+        want = duckdb.sql(
+            host_graph_sql(p) + " ORDER BY src_host, dst_host").df()
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
+
+
+class TestHostRank:
+    def test_rank_orders_cited_host_first(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import host_rank
+
+        pages = ray.data.from_pandas(_multi_host_pages()).repartition(2)
+        rows = {r["host"]: r["rank_scaled"]
+                for r in host_rank(pages).take_all()}
+        assert set(rows) == {"a.io", "b.io", "c.io", "new.net"}
+        # a.io is cited by two hosts (+ itself); it must out-rank the
+        # never-cited b.io and c.io
+        assert rows["a.io"] > rows["b.io"]
+        assert rows["a.io"] > rows["c.io"]
+
+    def test_matches_integer_pagerank_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import host_rank
+        from neo4j_document_pipeline_ray.functions.textnorm import (
+            stable_id,
+        )
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            pagerank_reference,
+        )
+
+        pages = ray.data.from_pandas(_multi_host_pages())
+        got = {r["host"]: r["rank_scaled"]
+               for r in host_rank(pages).take_all()}
+        hosts = ["a.io", "b.io", "c.io", "new.net"]
+        ids = {h: stable_id(h) for h in hosts}
+        pairs = {(ids["a.io"], ids["a.io"]), (ids["a.io"], ids["new.net"]),
+                 (ids["b.io"], ids["a.io"]), (ids["c.io"], ids["a.io"]),
+                 (ids["c.io"], ids["new.net"])}
+        want = pagerank_reference(sorted(pairs), iters=3)
+        assert {ids[h]: v for h, v in got.items()} == want
+
+
+class TestCrawlFrontier:
+    def test_frontier_excludes_crawled(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import crawl_frontier
+
+        pages = ray.data.from_pandas(_multi_host_pages()).repartition(2)
+        rows = crawl_frontier(pages, k=10).take_all()
+        by_url = {r["canon_url"]: r for r in rows}
+        # crawled pages never appear, even when cited
+        assert "a.io/p1" not in by_url and "a.io/p2" not in by_url
+        # new.net/x cited by 2 hosts (trailing slash canonicalizes)
+        assert by_url["new.net/x"]["n_links"] == 2
+        assert by_url["new.net/x"]["n_hosts"] == 2
+        # ranked first by host breadth
+        assert rows[0]["canon_url"] == "new.net/x"
+
+    def test_duckdb_mirror_parity(self, ray_session, tmp_path):
+        import duckdb
+
+        from neo4j_document_pipeline_ray.extras.urls import (
+            crawl_frontier,
+            crawl_frontier_sql,
+        )
+
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(pa.Table.from_pandas(_multi_host_pages()), p)
+        got = crawl_frontier(ray.data.read_parquet(p), k=5).to_pandas()
+        want = duckdb.sql(crawl_frontier_sql(p, k=5)).df()
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
