@@ -877,6 +877,18 @@ def _q_kg_rel_cardinality(sf_dir: str):
     return relation_cardinality(_kg(sf_dir)["edges"])
 
 
+def _q_kg_distant_pairs(sf_dir: str):
+    """Distant-supervision RE training pairs (Mintz et al.): every
+    (KB edge, co-mentioning document) with a gold/silver provenance
+    flag (pipelines/graph_algo.py:distant_supervision)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        distant_supervision,
+    )
+
+    kg = _kg(sf_dir)
+    return distant_supervision(kg["mentions"], kg["edges"], kg["triples"])
+
+
 def _q_kg_harmonic(sf_dir: str):
     """Approximate harmonic centrality from the HyperBall/KMV sketch
     rounds (Boldi/Vigna 2013) — integer telescoped weighting, one
@@ -1879,6 +1891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighborhood": _q_kg_neighborhood,
         "kg_eff_diameter": _q_kg_eff_diameter,
         "kg_rel_cardinality": _q_kg_rel_cardinality,
+        "kg_distant_pairs": _q_kg_distant_pairs,
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
         "kg_negative": _q_kg_negative,
@@ -3217,6 +3230,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE 10 * nf_est
                   >= 9 * (SELECT nf_est FROM nfq WHERE hop = 3)
             ORDER BY hop LIMIT 1
+        """,
+        # distant supervision: doc-level mentions (the kg_mentions set)
+        # self-joined into ordered pairs, filtered to KB edges, gold
+        # iff the doc is provenance of that exact (s, r, d)
+        "kg_distant_pairs": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            ), m AS (
+                SELECT DISTINCT doc_id, entity_id FROM (
+                    SELECT doc_id, {_eid_sql(nsub)} AS entity_id FROM t
+                    UNION ALL
+                    SELECT doc_id, {_eid_sql(nobj)} FROM t)
+            ), e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS src_id, rel_type,
+                       {_eid_sql(nobj)} AS dst_id
+                FROM t
+            ), prov AS (
+                SELECT DISTINCT doc_id, {_eid_sql(nsub)} AS src_id,
+                       rel_type, {_eid_sql(nobj)} AS dst_id
+                FROM t
+            ), pairs AS (
+                SELECT a.doc_id, a.entity_id AS src_id,
+                       b.entity_id AS dst_id
+                FROM m a JOIN m b USING (doc_id)
+                WHERE a.entity_id <> b.entity_id
+            )
+            SELECT p.doc_id, p.src_id, e.rel_type, p.dst_id,
+                   CAST(CASE WHEN pr.doc_id IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS is_gold
+            FROM pairs p
+            JOIN e ON e.src_id = p.src_id AND e.dst_id = p.dst_id
+            LEFT JOIN prov pr
+              ON pr.doc_id = p.doc_id AND pr.src_id = p.src_id
+             AND pr.rel_type = e.rel_type AND pr.dst_id = p.dst_id
         """,
         # AMIE fun/ifun over the same edge identity as kg_rel_counts
         "kg_rel_cardinality": f"""

@@ -1160,3 +1160,39 @@ class TestRelationCardinality:
         assert got.column_names == [
             "rel_type", "n_edges", "n_src", "n_dst",
             "func_scaled", "inv_func_scaled"]
+
+
+class TestDistantSupervision:
+    def test_gold_silver_split(self, ray_session):
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            distant_supervision,
+        )
+
+        mentions = rd.from_arrow(pa.table({
+            "doc_id": pa.array(["D1", "D1", "D1", "D2", "D2",
+                                "D3", "D3"], pa.string()),
+            "entity_id": pa.array([1, 2, 3, 1, 2, 2, 3], pa.int64()),
+        }))
+        edges = rd.from_arrow(pa.table({
+            "src_id": pa.array([1, 3], pa.int64()),
+            "rel_type": pa.array(["r", "r2"], pa.string()),
+            "dst_id": pa.array([2, 2], pa.int64()),
+        }))
+        triples = rd.from_arrow(pa.table({
+            "doc_id": pa.array(["D1"], pa.string()),
+            "src_id": pa.array([1], pa.int64()),
+            "rel_type": pa.array(["r"], pa.string()),
+            "dst_id": pa.array([2], pa.int64()),
+        }))
+        got = {(r["doc_id"], r["src_id"], r["rel_type"], r["dst_id"]):
+               r["is_gold"]
+               for r in distant_supervision(mentions, edges,
+                                            triples).take_all()}
+        assert got == {
+            ("D1", 1, "r", 2): 1,    # gold: D1 is provenance
+            ("D2", 1, "r", 2): 0,    # silver: co-mention, no assertion
+            ("D1", 3, "r2", 2): 0,
+            ("D3", 3, "r2", 2): 0,
+        }
