@@ -877,6 +877,40 @@ def _q_kg_rel_cardinality(sf_dir: str):
     return relation_cardinality(_kg(sf_dir)["edges"])
 
 
+def _q_kg_verbalized(sf_dir: str):
+    """KG→text corpus synthesis (KELM / T-REx style): one verbalized
+    sentence per distinct surface triple with its corpus support —
+    the synthetic-text channel for LM pretraining over the KG.  Pure
+    map + one pre-combined count exchange; the sentence is a
+    deterministic concat, so the DuckDB mirror hash-matches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    from neo4j_document_pipeline_ray.stages.grouped import distinct_by
+
+    ident = ["subject", "predicate", "rel_type", "object",
+             "subject_type", "object_type", "object_kind",
+             "start", "end", "term", "count"]
+    t = _kg(sf_dir)["triples"].select_columns(ident)
+    # distinct_by, not a keyed aggregate: start/end/term carry nulls
+    # (same reason kg_triples uses it)
+    distinct = distinct_by(t, "subject", subset=ident, num_partitions=8)
+    agg = hash_aggregate(
+        distinct.select_columns(["subject", "predicate", "object"]),
+        ["subject", "predicate", "object"],
+        [(None, "count", "n")], num_partitions=8)
+
+    def verbalize(tb: pa.Table) -> pa.Table:
+        sent = pc.binary_join_element_wise(
+            tb["subject"], tb["predicate"], tb["object"], " ")
+        return tb.append_column(
+            "sentence", pc.binary_join_element_wise(sent, ".", ""))
+
+    return agg.map_batches(verbalize, batch_format="pyarrow")
+
+
 def _q_kg_distant_pairs(sf_dir: str):
     """Distant-supervision RE training pairs (Mintz et al.): every
     (KB edge, co-mentioning document) with a gold/silver provenance
@@ -1892,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eff_diameter": _q_kg_eff_diameter,
         "kg_rel_cardinality": _q_kg_rel_cardinality,
         "kg_distant_pairs": _q_kg_distant_pairs,
+        "kg_verbalized": _q_kg_verbalized,
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
         "kg_negative": _q_kg_negative,
@@ -3230,6 +3265,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE 10 * nf_est
                   >= 9 * (SELECT nf_est FROM nfq WHERE hop = 3)
             ORDER BY hop LIMIT 1
+        """,
+        # KELM-style verbalization: distinct-assertion support per
+        # surface triple, deterministic sentence concat
+        "kg_verbalized": f"""
+            WITH t AS (
+                SELECT DISTINCT subject, predicate, rel_type, object,
+                       subject_type, object_type, object_kind,
+                       "start", "end", term, "count"
+                FROM read_parquet('{_TRUTH_001}')
+            )
+            SELECT subject, predicate, object,
+                   CAST(count(*) AS BIGINT) AS n,
+                   subject || ' ' || predicate || ' ' || object || '.'
+                       AS sentence
+            FROM t GROUP BY 1, 2, 3
         """,
         # distant supervision: doc-level mentions (the kg_mentions set)
         # self-joined into ordered pairs, filtered to KB edges, gold
