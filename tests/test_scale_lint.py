@@ -30,7 +30,7 @@ import pytest
 PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "neo4j_document_pipeline_ray")
 
-WATCHED = {"materialize", "take_all", "to_pandas"}
+WATCHED = {"materialize", "take_all", "to_pandas", "to_arrow_refs"}
 
 # (relpath-in-package :: dotted enclosing scope) -> boundedness class
 ALLOWED = {
@@ -73,6 +73,8 @@ ALLOWED = {
     "pipelines/graph_algo.py::neighborhood_function.nf_estimate":
         "group-sized",  # one partial-sum row per block
     "pipelines/graph_algo.py::cooccurrence_topk": "node-sided",
+    # rows = #distinct rel_types (schema-sized)
+    "pipelines/graph_algo.py::relation_cardinality._small": "group-sized",
     "pipelines/graph_algo.py::hits": "iterative",
     "pipelines/graph_algo.py::hits._max_of": "group-sized",  # 1 row
     "pipelines/graph_algo.py::kcore": "iterative",
