@@ -877,6 +877,34 @@ def _q_kg_rel_cardinality(sf_dir: str):
     return relation_cardinality(_kg(sf_dir)["edges"])
 
 
+def _q_kg_pagerank_asof(sf_dir: str):
+    """Time-sliced centrality: integer PageRank over only the edges
+    whose validity window contains the as-of year (open bounds always
+    valid) — 'who mattered in 2025', the temporal analytics twin of
+    kg_pagerank.  One extra vectorized window filter before the same
+    distinct + unrolled-PR path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import pagerank
+
+    year = "2025"
+    t = _kg(sf_dir)["triples"].select_columns(
+        ["src_id", "dst_id", "start", "end"])
+
+    def valid(tb: pa.Table) -> pa.Table:
+        s = pc.fill_null(tb["start"], "")
+        e = pc.fill_null(tb["end"], "")
+        ok = pc.and_(
+            pc.or_(pc.equal(s, ""), pc.less_equal(s, year)),
+            pc.or_(pc.equal(e, ""), pc.greater_equal(e, year)))
+        return pa.table({"src_id": tb["src_id"],
+                         "dst_id": tb["dst_id"]}).filter(ok)
+
+    return pagerank(t.map_batches(valid, batch_format="pyarrow"),
+                    iters=3)
+
+
 def _q_kg_verbalized(sf_dir: str):
     """KG→text corpus synthesis (KELM / T-REx style): one verbalized
     sentence per distinct surface triple with its corpus support —
@@ -1927,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rel_cardinality": _q_kg_rel_cardinality,
         "kg_distant_pairs": _q_kg_distant_pairs,
         "kg_verbalized": _q_kg_verbalized,
+        "kg_pagerank_asof": _q_kg_pagerank_asof,
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
         "kg_negative": _q_kg_negative,
@@ -3266,6 +3295,16 @@ def oracle_sql() -> dict[str, str]:
                   >= 9 * (SELECT nf_est FROM nfq WHERE hop = 3)
             ORDER BY hop LIMIT 1
         """,
+        # time-sliced PageRank: same unroll, window-filtered edge set
+        "kg_pagerank_asof": _pagerank_unroll(f"""
+            e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s,
+                       {_eid_sql(nobj)} AS d
+                FROM read_parquet('{_TRUTH_001}')
+                WHERE (coalesce("start", '') = '' OR "start" <= '2025')
+                  AND (coalesce("end", '') = '' OR "end" >= '2025')
+            )""", 3,
+            "SELECT id AS entity_id, r AS rank_scaled FROM i3"),
         # KELM-style verbalization: distinct-assertion support per
         # surface triple, deterministic sentence concat
         "kg_verbalized": f"""
