@@ -1721,6 +1721,20 @@ def _q_pages_host_rank(sf_dir: str):
                                      columns=["url", "html"]))
 
 
+def _q_pages_host_harmonic(sf_dir: str):
+    """Approximate harmonic centrality per host (the Common Crawl
+    host-ranking metric) over the cross-host graph; isolated hosts
+    score 0 (extras/urls.py:host_harmonic; KMV sketch, bit-replayable
+    like kg_harmonic)."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.urls import host_harmonic
+
+    paths = _corpus(sf_dir)
+    return host_harmonic(rd.read_parquet(paths["pages"],
+                                         columns=["url", "html"]))
+
+
 def _q_pages_crawl_frontier(sf_dir: str):
     """Top-k out-linked canonical URLs not already crawled, ranked by
     citing-host breadth then citation count — the crawl scheduler's
@@ -1933,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_links": _q_pages_links,
         "pages_host_graph": _q_pages_host_graph,
         "pages_host_rank": _q_pages_host_rank,
+        "pages_host_harmonic": _q_pages_host_harmonic,
         "pages_crawl_frontier": _q_pages_crawl_frontier,
         "pages_anchor_terms": _q_pages_anchor_terms,
         "kg_label_counts": _q_kg_label_counts,
@@ -2268,23 +2283,27 @@ def _host_rank_sql(pages_glob: str, iters: int = 3) -> str:
     return _pagerank_unroll(edges, iters, tail)
 
 
-def _kmv_sketch_ctes(nsub: str, nobj: str, hops: int) -> list:
+def _kmv_sketch_ctes(nsub: str, nobj: str, hops: int,
+                     e0_cte: "str | None" = None) -> list:
     """Shared CTE prefix for the KMV-sketch oracles (neighborhood
     function + harmonic centrality): distinct undirected truth edges,
     the splitmix-style 61-bit hash (HUGEINT emulation of mod-2^64
     arithmetic — multipliers are < 2^62 so products fit INT128), and
-    ``hops`` unrolled k-smallest-distinct merge rounds s0..s{hops}."""
+    ``hops`` unrolled k-smallest-distinct merge rounds s0..s{hops}.
+    ``e0_cte`` overrides the edge source: a string of CTEs ending with
+    ``e0(s, d)`` (used by the host-graph harmonic replay)."""
     from neo4j_document_pipeline_ray.pipelines.graph_algo import (
         NF_K, NF_SPACE, _NF_A, _NF_B, _NF_C1,
     )
 
     k = NF_K
     m64 = 1 << 64
-    ctes = [f"""
+    head = e0_cte if e0_cte is not None else f"""
         e0 AS (
             SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
             FROM read_parquet('{_TRUTH_001}')
-        ), ee AS (
+        )"""
+    ctes = [head + f""", ee AS (
             SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
             FROM e0 WHERE s <> d
         ), n AS (
@@ -2564,11 +2583,16 @@ def _path_sql(nsub: str, nobj: str, source: int, target: int,
     return "WITH " + ",".join(ctes) + " " + union
 
 
-def _harmonic_sql(nsub: str, nobj: str, hops: int = 3) -> str:
+def _harmonic_sql(nsub: str, nobj: str, hops: int = 3,
+                  e0_cte: "str | None" = None,
+                  tail: "str | None" = None) -> str:
     """Unrolled replay of graph_algo.harmonic_centrality_approx: the
     shared sketch CTEs + per-round per-node estimates combined with
     the telescoped integer weights (weight(0) = −S, weight(h) =
-    S//h − S//(h+1), weight(H) = S//H)."""
+    S//h − S//(h+1), weight(H) = S//H).  ``e0_cte``/``tail`` override
+    the edge source and the final SELECT (host-graph replay); the
+    default tail groups per node over the weighted union ``{union}``
+    placeholder."""
     from neo4j_document_pipeline_ray.pipelines.graph_algo import (
         HARMONIC_SCALE, NF_K, NF_SPACE,
     )
@@ -2583,7 +2607,7 @@ def _harmonic_sql(nsub: str, nobj: str, hops: int = 3) -> str:
             return s // h
         return s // h - s // (h + 1)
 
-    ctes = _kmv_sketch_ctes(nsub, nobj, hops)
+    ctes = _kmv_sketch_ctes(nsub, nobj, hops, e0_cte=e0_cte)
     per = [f"""
         hc{r} AS (
             SELECT node,
@@ -2595,10 +2619,42 @@ def _harmonic_sql(nsub: str, nobj: str, hops: int = 3) -> str:
         )""" for r in range(0, hops + 1)]
     union = " UNION ALL ".join(
         f"SELECT node, c FROM hc{r}" for r in range(0, hops + 1))
-    return ("WITH " + ",".join(ctes + per)
-            + f""" SELECT node AS entity_id,
-                          CAST(sum(c) AS BIGINT) AS harmonic_scaled
-                   FROM ({union}) GROUP BY node""")
+    if tail is None:
+        tail = f""" SELECT node AS entity_id,
+                           CAST(sum(c) AS BIGINT) AS harmonic_scaled
+                    FROM ({union}) GROUP BY node"""
+    else:
+        tail = tail.format(union=union)
+    return "WITH " + ",".join(ctes + per) + " " + tail
+
+
+def _host_harmonic_sql(pages_glob: str, hops: int = 3) -> str:
+    """Host-graph replay of the harmonic-centrality sketch: same KMV
+    rounds over stable_id host ids, host names joined back, hosts with
+    no cross-host edges kept at the standard isolated-node score 0."""
+    from neo4j_document_pipeline_ray.extras.urls import host_sql, links_sql
+
+    hs, hd = host_sql("src_url"), host_sql("dst_url")
+    e0 = f"""
+        links AS ({links_sql(pages_glob)}),
+        hg AS (
+            SELECT DISTINCT {hs} AS a0, {hd} AS b0
+            FROM links
+            WHERE {hs} <> '' AND {hd} <> ''
+        ),
+        e0 AS (
+            SELECT {_eid_sql('a0')} AS s, {_eid_sql('b0')} AS d FROM hg
+        )"""
+    tail = f"""
+        SELECT m.host,
+               CAST(coalesce(hsum.v, 0) AS BIGINT) AS harmonic_scaled
+        FROM (
+            SELECT host, {_eid_sql('host')} AS id FROM (
+                SELECT a0 AS host FROM hg UNION SELECT b0 FROM hg)
+        ) m LEFT JOIN (
+            SELECT node, sum(c) AS v FROM ({{union}}) GROUP BY node
+        ) hsum ON hsum.node = m.id"""
+    return _harmonic_sql("", "", hops=hops, e0_cte=e0, tail=tail)
 
 
 def _msf_sql(nsub: str, nobj: str, rounds: int = 9) -> str:
@@ -3806,6 +3862,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_links": links_sql(_PAGES_001),
         "pages_host_graph": host_graph_sql(_PAGES_001),
         "pages_host_rank": _host_rank_sql(_PAGES_001),
+        "pages_host_harmonic": _host_harmonic_sql(_PAGES_001),
         "pages_crawl_frontier": crawl_frontier_sql(_PAGES_001, k=100),
         "pages_anchor_terms": anchor_terms_sql(_PAGES_001),
         "pages_section_stats": f"""

@@ -515,3 +515,70 @@ def crawl_frontier_sql(pages_glob: str, k: int = 100) -> str:
     SELECT canon_url, n_links, n_hosts
     FROM f ORDER BY n_hosts DESC, n_links DESC, canon_url LIMIT {k}
     """
+
+
+def host_harmonic(pages: "ray.data.Dataset", hops: int = 3,
+                  num_partitions: int = 8) -> "ray.data.Dataset":
+    """Approximate harmonic centrality per host — the metric Common
+    Crawl's public host ranking actually uses (Boldi/Vigna HyperBall;
+    here the engine's KMV-sketch variant, bit-replayable in DuckDB).
+    Runs over the UNDIRECTED cross-host graph; hosts with no
+    cross-host edges keep the standard isolated-node score 0, so every
+    host in the crawl appears exactly once.  Returns
+    ``(host, harmonic_scaled)``."""
+    from neo4j_document_pipeline_ray.functions.textnorm import stable_id
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        harmonic_centrality_approx,
+    )
+
+    hg = host_graph(pages, num_partitions=num_partitions)
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        sh, dh = t["src_host"].to_pylist(), t["dst_host"].to_pylist()
+        ids = {h: stable_id(h) for h in set(sh) | set(dh)}
+        return pa.table({
+            "src_id": pa.array([ids[h] for h in sh], pa.int64()),
+            "dst_id": pa.array([ids[h] for h in dh], pa.int64()),
+        })
+
+    hc = harmonic_centrality_approx(
+        hg.map_batches(to_ids, batch_format="pyarrow"), hops=hops,
+        num_partitions=num_partitions)
+
+    def name_rows(t: pa.Table) -> pa.Table:
+        hosts = sorted(set(t["src_host"].to_pylist())
+                       | set(t["dst_host"].to_pylist()))
+        return pa.table({
+            "entity_id": pa.array([stable_id(h) for h in hosts],
+                                  pa.int64()),
+            "host": pa.array(hosts, pa.string()),
+        })
+
+    names = hash_aggregate(
+        hg.map_batches(name_rows, batch_format="pyarrow"),
+        ["entity_id", "host"], [(None, "count", "_m")],
+        num_partitions=num_partitions).drop_columns(["_m"])
+
+    # node-sided pin: the score table is O(#hosts); an all-intra-host
+    # crawl yields an EMPTY (schema-less) score set, where the join
+    # below would fail — every host then gets the isolated score 0
+    hc = hc.materialize()
+    if hc.count() == 0:
+        return names.map_batches(
+            lambda t: pa.table({
+                "host": t["host"],
+                "harmonic_scaled": pa.array([0] * t.num_rows, pa.int64()),
+            }), batch_format="pyarrow")
+
+    joined = broadcast_join(names, hc, on=("entity_id",),
+                            join_type="left_outer",
+                            num_partitions=num_partitions)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": t["host"],
+            "harmonic_scaled": pc.fill_null(
+                pc.cast(t["harmonic_scaled"], pa.int64()), 0),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

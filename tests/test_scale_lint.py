@@ -75,6 +75,8 @@ ALLOWED = {
     "pipelines/graph_algo.py::cooccurrence_topk": "node-sided",
     # rows = #distinct rel_types (schema-sized)
     "pipelines/graph_algo.py::relation_cardinality._small": "group-sized",
+    # O(#hosts) score table; empty-set guard for all-intra-host crawls
+    "extras/urls.py::host_harmonic": "node-sided",
     "pipelines/graph_algo.py::hits": "iterative",
     "pipelines/graph_algo.py::hits._max_of": "group-sized",  # 1 row
     "pipelines/graph_algo.py::kcore": "iterative",

@@ -294,3 +294,42 @@ class TestCrawlFrontier:
         want = duckdb.sql(crawl_frontier_sql(p, k=5)).df()
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want, check_dtype=False)
+
+
+class TestHostHarmonic:
+    def test_hub_ranks_first_and_total_over_hosts(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import host_harmonic
+
+        pages = ray.data.from_pandas(_multi_host_pages()).repartition(2)
+        rows = {r["host"]: r["harmonic_scaled"]
+                for r in host_harmonic(pages).take_all()}
+        # every host appears exactly once; a.io is the cross-host hub
+        assert set(rows) == {"a.io", "b.io", "c.io", "new.net"}
+        assert rows["a.io"] == max(rows.values())
+        assert all(v >= 0 for v in rows.values())
+
+    def test_isolated_hosts_score_zero(self, ray_session):
+        # single-host crawl: no cross-host edges, isolated score 0
+        from neo4j_document_pipeline_ray.extras.urls import host_harmonic
+
+        pages = ray.data.from_pandas(pd.DataFrame({
+            "url": ["https://solo.io/p1", "https://solo.io/p2"],
+            "html": [b"<a href='/p2'>x</a>", b"<a href='/p1'>y</a>"],
+        }))
+        assert host_harmonic(pages).take_all() == [
+            {"host": "solo.io", "harmonic_scaled": 0}]
+
+    def test_duckdb_mirror_parity(self, ray_session, tmp_path):
+        import duckdb
+
+        import __ray_entry__ as entry
+        from neo4j_document_pipeline_ray.extras.urls import host_harmonic
+
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(pa.Table.from_pandas(_multi_host_pages()), p)
+        got = (host_harmonic(ray.data.read_parquet(p)).to_pandas()
+               .sort_values("host").reset_index(drop=True))
+        want = duckdb.sql(
+            entry._host_harmonic_sql(p) + " ORDER BY host").df()
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
