@@ -275,6 +275,23 @@ def run_bench() -> dict:
                lambda: neighborhood_function(tables["edges"], hops=3))
     timed_call("kg_rules", lambda: rule_mining(tables["edges"]))
 
+    # round-4 web-graph + training-data flagships: host-level harmonic
+    # centrality (link extraction + KMV sketch rounds) and distant-
+    # supervision pair generation (per-doc self-merge + KB joins)
+    from neo4j_document_pipeline_ray.extras.urls import host_harmonic
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        distant_supervision,
+    )
+
+    pages_slim = rd.read_parquet(paths["pages"], columns=["url", "html"])
+    triples = rd.read_parquet(os.path.join(out_dir, "triples"),
+                              columns=["doc_id", "src_id", "rel_type",
+                                       "dst_id"]).materialize()
+    timed_call("pages_host_harmonic", lambda: host_harmonic(pages_slim))
+    timed_call("kg_distant_pairs",
+               lambda: distant_supervision(tables["mentions"],
+                                           tables["edges"], triples))
+
     question = 'How does the "National Broadband Plan" support the Six Pillars?'
 
     # index DDL analog: the reference creates its vector + fulltext
