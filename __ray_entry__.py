@@ -545,6 +545,16 @@ def _q_lang_id(sf_dir: str):
     return lang_id(sf_dir)
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Language-ID accuracy audit: (true lang, predicted lang, n)
+    confusion counts against the corpus's lang column."""
+    from neo4j_document_pipeline_ray.extras.textstats import (
+        lang_confusion,
+    )
+
+    return lang_confusion(sf_dir)
+
+
 def _q_docs_repetition(sf_dir: str):
     """Gopher-style repetition signals (dup-line / dup-char /
     top-2-gram fractions, integer-scaled) over documents."""
@@ -2034,6 +2044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_segment_dedup": segment_dedup_sf,
         "docs_importance": docs_importance,
         "docs_lang_id": _q_lang_id,
+        "docs_lang_confusion": _q_lang_confusion,
         "docs_fingerprint": _q_fingerprints,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_ngrams": _q_docs_dup_ngrams,
@@ -3116,6 +3127,7 @@ def oracle_sql() -> dict[str, str]:
         distinct_tokens_kmv_sql,
         grouped_distinct_tokens_kmv_sql,
         salient_terms_sql,
+        LANG_CONFUSION_SQL,
         LANG_ID_SQL,
         QUALITY_SQL,
         TOKEN_COUNT_SQL,
@@ -3942,6 +3954,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_domain_reputation": DOMAIN_REP_SQL,
         "emb_bitext": BITEXT_SQL,
         "docs_lang_id": LANG_ID_SQL,
+        "docs_lang_confusion": LANG_CONFUSION_SQL,
         "docs_fingerprint": FINGERPRINT_SQL,
         "docs_repetition": REPETITION_SQL,
         "docs_dup_ngrams": DUP_NGRAM_SQL,

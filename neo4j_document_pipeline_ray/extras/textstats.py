@@ -214,6 +214,44 @@ FROM (
 """
 
 
+def lang_confusion(sf_dir: str, num_partitions: int = 4) -> "ray.data.Dataset":
+    """Language-ID confusion matrix: (true lang, predicted lang, n) —
+    the accuracy audit a curation pass runs before trusting the
+    heuristic classifier for filtering.  Prediction happens in-batch
+    (same kernel as :func:`lang_id`); only (lang-pair, count) partials
+    reach the exchange."""
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    ds = _read_documents(sf_dir, ["text", "lang"])
+
+    def batch(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        en = pc.count_substring_regex(low, _EN_STOPS)
+        ms = pc.count_substring_regex(low, _MS_STOPS)
+        return pa.table({
+            "lang": t["lang"],
+            "pred_lang": pc.if_else(pc.greater_equal(en, ms), "en", "ms"),
+        })
+
+    return hash_aggregate(
+        ds.map_batches(batch, batch_format="pyarrow"),
+        ["lang", "pred_lang"], [(None, "count", "n")],
+        num_partitions=num_partitions)
+
+
+LANG_CONFUSION_SQL = f"""
+SELECT lang,
+       CASE WHEN en >= ms THEN 'en' ELSE 'ms' END AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+    SELECT lang,
+           len(regexp_extract_all(lower(text), '{_EN_STOPS}')) AS en,
+           len(regexp_extract_all(lower(text), '{_MS_STOPS}')) AS ms
+    FROM documents
+) GROUP BY 1, 2
+"""
+
+
 # --- document fingerprinting (rolling-hash winnowing) ---------------------
 
 _FP_BASE = np.uint64(1_000_003)
