@@ -961,6 +961,36 @@ def _q_kg_distant_pairs(sf_dir: str):
     return distant_supervision(kg["mentions"], kg["edges"], kg["triples"])
 
 
+def _q_ann_pq_topk(sf_dir: str):
+    """PQ top-k through the asymmetric-distance code table (32x
+    compression at dim 64 / m 8) with exact re-rank of the candidate
+    head — the memory-bound ANN layout for corpora whose raw vectors
+    cannot be scanned.  APPROXIMATE by design (k-means codebooks are
+    not SQL-expressible -> rows-only); the pytest oracle pins exact
+    reconstruction == brute force and rerank recall."""
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        build_pq_index,
+        pq_topk,
+        query_vector,
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    idx = os.path.join(
+        "/tmp/graft_pq_index",
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{st.st_size}-{int(st.st_mtime)}",
+    )
+    if not os.path.isdir(idx):
+        build_pq_index(rd.read_parquet(emb_path), idx)
+    return pq_topk(idx, query_vector(sf_dir), k=10, rerank=50,
+                   embeddings=rd.read_parquet(emb_path))
+
+
 def _q_kg_harmonic(sf_dir: str):
     """Approximate harmonic centrality from the HyperBall/KMV sketch
     rounds (Boldi/Vigna 2013) — integer telescoped weighting, one
@@ -2070,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_multi_topk": _q_ann_multi_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
         "emb_near_dup": _q_emb_near_dup,
         "emb_semdedup": _q_emb_semdedup,
         "mm_features": _q_mm_features,

@@ -1072,3 +1072,173 @@ def bitext_sql(src_label: int = 0, dst_label: int = 1) -> str:
 
 
 BITEXT_SQL = bitext_sql()
+
+
+# --- product quantization (PQ) --------------------------------------------
+
+PQ_M = 8    # subspaces; dim must be divisible by M
+PQ_K = 16   # codes per subspace (one uint8 column each)
+
+
+def train_pq_codebooks(sample: np.ndarray, m: int = PQ_M,
+                       ks: int = PQ_K, iters: int = 5) -> np.ndarray:
+    """Deterministic per-subspace L2 k-means (Jégou et al., TPAMI'11):
+    split the dim into ``m`` contiguous blocks; per block, init = the
+    first ``ks`` sample rows, fixed iteration count, ties to the
+    lowest code id (argmin semantics), empty codes keep their previous
+    position.  Returns ``(m, ks, dim//m)`` float64 codebooks."""
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if n < ks:
+        raise ValueError(f"need >= {ks} training rows, got {n}")
+    sub = dim // m
+    books = np.empty((m, ks, sub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * sub:(j + 1) * sub]
+        c = x[:ks].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+            assign = d2.argmin(axis=1)
+            for q in range(ks):  # ks iterations, not row iterations
+                sel = x[assign == q]
+                if len(sel):
+                    c[q] = sel.mean(axis=0)
+        books[j] = c
+    return books
+
+
+def pq_encode(m_matrix: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Vectorized encoder: per subspace, argmin L2 against that
+    subspace's codebook.  Returns ``(n, m)`` uint8 codes."""
+    n = len(m_matrix)
+    m, ks, sub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        x = m_matrix[:, j * sub:(j + 1) * sub]
+        # |x - c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 is per-row constant
+        d = -2.0 * (x @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def build_pq_index(
+    embeddings: "ray.data.Dataset", index_dir: str,
+    m: int = PQ_M, ks: int = PQ_K, iters: int = 5,
+    train_rows: int = 4096,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> dict:
+    """Materialize a PQ code table: train per-subspace codebooks on
+    the deterministic id-hash sample, then one encode pass writes
+    ``(vec_id, c0..c{m-1})`` uint8 columns — dim*4 / m bytes per
+    vector of compression (32x at dim 64, m 8), the memory-bound ANN
+    layout for corpora whose raw vectors cannot be held or scanned.
+    Codebooks travel in ``_meta.json``; build is atomic like
+    :func:`build_ivf_index`."""
+    import json
+    import shutil
+
+    sample = _hash_sample(embeddings, id_col, emb_col, train_rows)
+    books = train_pq_codebooks(sample, m, ks, iters)
+
+    def encode(t: pa.Table) -> pa.Table:
+        mat = _batch_matrix(t, col=emb_col)
+        codes = pq_encode(mat, books)
+        cols = {"vec_id": t[id_col]}
+        for j in range(m):
+            cols[f"c{j}"] = pa.array(codes[:, j], pa.uint8())
+        return pa.table(cols)
+
+    tmp_dir = index_dir.rstrip("/") + ".tmp"
+    for d in (tmp_dir, index_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    embeddings.map_batches(encode, batch_format="pyarrow") \
+        .write_parquet(tmp_dir)
+    meta = {
+        "dim": int(books.shape[0] * books.shape[2]), "m": m, "ks": ks,
+        "n_rows": _index_rows(tmp_dir),
+        "codebooks": books.tolist(),
+    }
+    with open(os.path.join(tmp_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_dir, index_dir)
+    return meta
+
+
+def pq_topk(index_dir: str, query: np.ndarray, k: int = 10,
+            rerank: int = 0,
+            embeddings: "ray.data.Dataset | None" = None
+            ) -> "ray.data.Dataset":
+    """Approximate cosine top-k by asymmetric distance over the PQ
+    code table: per subspace a ``ks``-entry LUT of inner products and
+    of code norms (subspace blocks are orthogonal, so the
+    reconstruction's norm is EXACT from the per-code norms); per batch
+    the score is two uint8 gathers + a sum — the raw vectors are never
+    read.  With ``rerank > 0`` the top ``rerank`` PQ candidates are
+    re-scored exactly against ``embeddings`` (pruned ``is_in``
+    filter), the standard ADC + re-rank serving shape."""
+    import json
+
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    m, ks, sub = books.shape
+    qn = query / max(np.linalg.norm(query), 1e-12)
+    # LUTs: ip[j, q] = q-block . code, n2[j, q] = |code|^2
+    lut_ip = np.stack([books[j] @ qn[j * sub:(j + 1) * sub]
+                       for j in range(m)])
+    lut_n2 = (books ** 2).sum(axis=-1)
+    n_cand = max(k, rerank)
+    lut_ref = ray.put((lut_ip, lut_n2))
+
+    def score(t: pa.Table) -> pa.Table:
+        ip_t, n2_t = ray.get(lut_ref)
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        ip = np.zeros(len(ids), dtype=np.float64)
+        n2 = np.zeros(len(ids), dtype=np.float64)
+        for j in range(m):
+            c = t[f"c{j}"].to_numpy(zero_copy_only=False)
+            ip += ip_t[j][c]
+            n2 += n2_t[j][c]
+        sims = np.round(ip / np.sqrt(np.maximum(n2, 1e-24)), 6)
+        if len(sims) > n_cand:
+            part = np.lexsort((ids, -sims))[:n_cand]
+            ids, sims = ids[part], sims[part]
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "sim": pa.array(sims, pa.float64()),
+        })
+
+    cand = ray.data.read_parquet(index_dir) \
+        .map_batches(score, batch_format="pyarrow") \
+        .sort(["sim", "vec_id"], descending=[True, False]).limit(n_cand)
+    if not rerank:
+        return cand.limit(k)
+
+    # k-sized candidate head -> exact re-rank over a pruned filter
+    ids = [r["vec_id"] for r in cand.take_all()]
+    keep = pa.array(sorted(ids), pa.int64())
+
+    def exact(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.is_in(t["vec_id"], keep))
+        if not sel.num_rows:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        mat = _batch_matrix(sel)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat @ qn) / norms, 6)
+        return pa.table({
+            "vec_id": sel["vec_id"],
+            "sim": pa.array(sims, pa.float64()),
+        })
+
+    return embeddings.map_batches(exact, batch_format="pyarrow") \
+        .sort(["sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+def pq_bytes_per_vector(meta: dict) -> tuple:
+    """(pq_bytes, raw_bytes) per vector — the compression the code
+    table buys over scanning float32 embeddings."""
+    return meta["m"], meta["dim"] * 4

@@ -1086,3 +1086,81 @@ class TestBitextMining:
         (row,) = bitext_mine(ray.data.from_pandas(df)).take_all()
         assert (row["src_id"], row["dst_id"]) == (1, 2)
         assert row["margin"] == 0.0
+
+
+class TestPQ:
+    @pytest.fixture()
+    def emb(self, ray_session):
+        import ray.data as rd
+
+        return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_exact_on_codebook_points(self, ray_session, tmp_path):
+        """A corpus whose rows all equal one of 16 base vectors (the
+        first 16 rows covering every base) trains codebooks that
+        reconstruct exactly, so ADC == the exact cosine scan."""
+        import numpy as np
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            brute_force_topk,
+            build_pq_index,
+            pq_topk,
+        )
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(16, 64))
+        rows = np.array([base[i % 16] for i in range(200)])
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(200), pa.int64()),
+            "embedding": pa.array(rows.tolist(),
+                                  pa.list_(pa.float64())),
+        }))
+        idx = str(tmp_path / "pq_index")
+        meta = build_pq_index(ds, idx)
+        assert meta["n_rows"] == 200 and meta["m"] == 8
+        q = rng.normal(size=64)
+        got = pq_topk(idx, q, k=10).take_all()
+        want = brute_force_topk(ds, q, k=10).take_all()
+        assert [(r["vec_id"], r["sim"]) for r in got] == [
+            (r["vec_id"], r["sim"]) for r in want]
+
+    def test_rerank_recall_and_compression(self, ray_session, emb, tmp_path):
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            brute_force_topk,
+            build_pq_index,
+            pq_bytes_per_vector,
+            pq_topk,
+            query_vector,
+        )
+
+        q = query_vector("/root/testdata/sf0.001")
+        idx = str(tmp_path / "pq_index")
+        meta = build_pq_index(emb, idx)
+        pq_b, raw_b = pq_bytes_per_vector(meta)
+        assert raw_b // pq_b == 32  # dim 64 float32 -> 8 uint8 codes
+        exact = {r["vec_id"]
+                 for r in brute_force_topk(emb, q, k=10).take_all()}
+        approx = {r["vec_id"]
+                  for r in pq_topk(idx, q, k=10, rerank=50,
+                                   embeddings=emb).take_all()}
+        assert len(exact & approx) >= 6, (exact, approx)
+
+    def test_rerank_head_is_exactly_scored(self, ray_session, emb, tmp_path):
+        """Every vec_id the reranked head returns must carry its EXACT
+        cosine (identical to the brute-force sim for that id)."""
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            brute_force_topk,
+            build_pq_index,
+            pq_topk,
+            query_vector,
+        )
+
+        q = query_vector("/root/testdata/sf0.001")
+        idx = str(tmp_path / "pq_index")
+        build_pq_index(emb, idx)
+        exact = {r["vec_id"]: r["sim"]
+                 for r in brute_force_topk(emb, q, k=500).take_all()}
+        for r in pq_topk(idx, q, k=10, rerank=50,
+                         embeddings=emb).take_all():
+            assert exact[r["vec_id"]] == r["sim"]

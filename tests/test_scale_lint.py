@@ -77,6 +77,8 @@ ALLOWED = {
     "pipelines/graph_algo.py::relation_cardinality._small": "group-sized",
     # O(#hosts) score table; empty-set guard for all-intra-host crawls
     "extras/urls.py::host_harmonic": "node-sided",
+    # max(k, rerank) candidate head pulled for the exact re-rank filter
+    "extras/similarity.py::pq_topk": "k-sized",
     "pipelines/graph_algo.py::hits": "iterative",
     "pipelines/graph_algo.py::hits._max_of": "group-sized",  # 1 row
     "pipelines/graph_algo.py::kcore": "iterative",
