@@ -915,6 +915,18 @@ def _q_kg_pagerank_asof(sf_dir: str):
                     iters=3)
 
 
+def _q_kg_ego_nets(sf_dir: str):
+    """GNN training-data generation: per-seed bounded-fanout ego-net
+    edge lists (GraphSAGE neighborhood sampling, deterministic
+    lowest-id fanout) for the fixed khop seeds
+    (pipelines/graph_algo.py:ego_net_sample)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        ego_net_sample,
+    )
+
+    return ego_net_sample(_kg(sf_dir)["edges"], _khop_seeds(), hops=2)
+
+
 def _q_kg_verbalized(sf_dir: str):
     """KG→text corpus synthesis (KELM / T-REx style): one verbalized
     sentence per distinct surface triple with its corpus support —
@@ -2011,6 +2023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_distant_pairs": _q_kg_distant_pairs,
         "kg_verbalized": _q_kg_verbalized,
         "kg_pagerank_asof": _q_kg_pagerank_asof,
+        "kg_ego_nets": _q_kg_ego_nets,
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
         "kg_negative": _q_kg_negative,
@@ -2252,6 +2265,58 @@ def _khop_sql(nsub: str, nobj: str) -> str:
         )
         SELECT id AS entity_id FROM h1
     """
+
+
+def _ego_sql(nsub: str, nobj: str, seeds: "list[int]",
+             hops: int = 2, fanout: "int | None" = None) -> str:
+    """Unrolled replay of graph_algo.ego_net_sample: per hop a
+    frontier-edge join capped at ``fanout`` lowest peers per
+    (seed, node) via row_number, a seen anti-join, and the union of
+    per-hop capped edge sets."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        EGO_FANOUT,
+    )
+
+    f = EGO_FANOUT if fanout is None else fanout
+    pairs = ", ".join(f"({s}, {s})" for s in sorted(set(seeds)))
+    ctes = [f"""
+        e0 AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), ee AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM e0 WHERE s <> d
+        ), bo AS (
+            SELECT a AS node, b AS peer FROM ee
+            UNION ALL SELECT b, a FROM ee
+        ), f0(seed_id, node) AS (
+            SELECT * FROM (VALUES {pairs})
+        ), seen0 AS (
+            SELECT seed_id, node FROM f0
+        )"""]
+    for h in range(1, hops + 1):
+        ctes.append(f"""
+        cap{h} AS (
+            SELECT seed_id, node, peer FROM (
+                SELECT fr.seed_id, bo.node, bo.peer,
+                       row_number() OVER (PARTITION BY fr.seed_id,
+                                          bo.node ORDER BY bo.peer) AS rn
+                FROM f{h - 1} fr JOIN bo ON bo.node = fr.node
+            ) WHERE rn <= {f}
+        ), f{h} AS (
+            SELECT DISTINCT c.seed_id, c.peer AS node
+            FROM cap{h} c LEFT JOIN seen{h - 1} s
+              ON s.seed_id = c.seed_id AND s.node = c.peer
+            WHERE s.node IS NULL
+        ), seen{h} AS (
+            SELECT seed_id, node FROM seen{h - 1}
+            UNION SELECT seed_id, node FROM f{h}
+        )""")
+    union = " UNION ALL ".join(
+        f"""SELECT seed_id, CAST({h} AS BIGINT) AS hop,
+                   node AS src_id, peer AS dst_id FROM cap{h}"""
+        for h in range(1, hops + 1))
+    return "WITH " + ",".join(ctes) + " " + union
 
 
 def _pagerank_unroll(edges_cte: str, iters: int, tail: str) -> str:
@@ -3272,6 +3337,7 @@ def oracle_sql() -> dict[str, str]:
         # the scan path, so it shares the same oracle
         "kg_bm25_index_topk": _bm25_topk_sql(nname),
         "kg_khop": _khop_sql(nsub, nobj),
+        "kg_ego_nets": _ego_sql(nsub, nobj, _khop_seeds()),
         "kg_pagerank": _pagerank_sql(nsub, nobj),
         "kg_ppr": _ppr_sql(nsub, nobj),
         "kg_communities": _lpa_sql(nsub, nobj, rounds=_LPA_ROUNDS),

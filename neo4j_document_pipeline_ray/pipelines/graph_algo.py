@@ -3857,3 +3857,144 @@ def distant_supervision(
         })
 
     return labeled.map_batches(finish, batch_format="pyarrow")
+
+
+# --- GraphSAGE-style ego-net sampling ---------------------------------------------
+
+EGO_FANOUT = 8
+
+
+def ego_net_sample(
+    edges: "ray.data.Dataset",
+    seeds: "list[int]",
+    hops: int = 2,
+    fanout: int = EGO_FANOUT,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """GNN training-data generation: per-seed bounded-fanout ego-net
+    edge lists (the GraphSAGE neighborhood-sampling shape, Hamilton et
+    al. NeurIPS'17) over the undirected distinct graph.  Deterministic
+    sampling — each frontier node keeps its ``fanout`` LOWEST-id
+    neighbors (no RNG, so a DuckDB ``row_number() OVER (ORDER BY
+    peer)`` replay hash-matches) — expansion follows only the sampled
+    neighbors, the SAGE semantics.
+
+    Shape: the BFS is KEYED on (seed, node) — one pass per hop for ALL
+    seeds, never a per-seed loop — so seed count scales like rows, not
+    rounds.  Each hop: one streaming probe of the edge table against
+    the (small, fanout-bounded) frontier, a per-(seed, node) head
+    inside doc-keyed partitions, and a seen-set anti-join.  Frontier
+    size is ≤ seeds · fanout^hop by construction.  Returns
+    ``(seed_id, hop, src_id, dst_id)`` rows.
+    """
+    import pandas as pd  # noqa: F401
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+        })
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "peer": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    bo = e.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    frontier = ray.data.from_arrow(pa.table({
+        "seed_id": pa.array(sorted(set(seeds)), pa.int64()),
+        "node": pa.array(sorted(set(seeds)), pa.int64()),
+    })).materialize()
+    seen = frontier.materialize()
+    out = None
+    for hop in range(1, hops + 1):
+        cand = broadcast_join(bo, frontier, on=("node",),
+                              num_partitions=num_partitions)
+
+        def cap(df):
+            g = df.sort_values(["seed_id", "node", "peer"]) \
+                  .groupby(["seed_id", "node"], sort=False).head(fanout)
+            return pd.DataFrame({
+                "seed_id": g["seed_id"].astype("int64"),
+                "node": g["node"].astype("int64"),
+                "peer": g["peer"].astype("int64"),
+            })
+
+        capped = partitioned_group_map(
+            cand.select_columns(["seed_id", "node", "peer"]),
+            ["seed_id", "node"], cap,
+            num_partitions=num_partitions).materialize()
+
+        lvl = capped.map_batches(
+            lambda t, _h=hop: pa.table({
+                "seed_id": t["seed_id"],
+                "hop": pa.array([_h] * t.num_rows, pa.int64()),
+                "src_id": t["node"],
+                "dst_id": t["peer"],
+            }), batch_format="pyarrow")
+        out = lvl if out is None else out.union(lvl)
+
+        nxt = hash_aggregate(
+            capped.map_batches(
+                lambda t: pa.table({"seed_id": t["seed_id"],
+                                    "node": t["peer"]}),
+                batch_format="pyarrow"),
+            ["seed_id", "node"], [(None, "count", "_m")],
+            num_partitions=num_partitions).drop_columns(["_m"])
+        mark = seen.map_batches(
+            lambda t: t.append_column(
+                "_seen", pa.array([1] * t.num_rows, pa.int8())),
+            batch_format="pyarrow")
+        fresh = broadcast_join(nxt, mark, on=("seed_id", "node"),
+                               join_type="left_outer",
+                               num_partitions=num_partitions)
+        frontier = fresh.map_batches(
+            lambda t: t.filter(pc.is_null(t["_seen"]))
+                       .select(["seed_id", "node"]),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            break
+        seen = seen.union(frontier).materialize()
+    return out
+
+
+def ego_net_reference(edge_pairs, seeds, hops: int = 2,
+                      fanout: int = EGO_FANOUT) -> set:
+    """Pure-Python replay of the exact sampling semantics."""
+    adj: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = set()
+    frontier = {(s, s) for s in seeds}
+    seen = set(frontier)
+    for hop in range(1, hops + 1):
+        nxt = set()
+        for seed, node in frontier:
+            for peer in sorted(adj.get(node, ()))[:fanout]:
+                rows.add((seed, hop, node, peer))
+                if (seed, peer) not in seen:
+                    nxt.add((seed, peer))
+        seen |= nxt
+        frontier = nxt
+        if not frontier:
+            break
+    return rows

@@ -1196,3 +1196,49 @@ class TestDistantSupervision:
             ("D1", 3, "r2", 2): 0,
             ("D3", 3, "r2", 2): 0,
         }
+
+
+class TestEgoNetSample:
+    def test_matches_python_reference(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            ego_net_reference,
+            ego_net_sample,
+        )
+
+        rng = random.Random(13)
+        pairs = [(rng.randrange(60) + 1, rng.randrange(60) + 1)
+                 for _ in range(250)]
+        seeds = [1, 7, 42]
+        got = {(r["seed_id"], r["hop"], r["src_id"], r["dst_id"])
+               for r in ego_net_sample(_edges_ds(pairs), seeds,
+                                       hops=2).take_all()}
+        assert got == ego_net_reference(pairs, seeds, hops=2)
+
+    def test_fanout_cap_bites(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            ego_net_sample,
+        )
+
+        # star: hub 1 with 20 leaves; fanout 8 keeps the 8 lowest ids
+        pairs = [(1, 100 + i) for i in range(20)]
+        rows = ego_net_sample(_edges_ds(pairs), [1], hops=1,
+                              fanout=8).take_all()
+        assert sorted(r["dst_id"] for r in rows) == [100 + i
+                                                     for i in range(8)]
+        assert all(r["hop"] == 1 and r["seed_id"] == 1 and
+                   r["src_id"] == 1 for r in rows)
+
+    def test_expansion_follows_sampled_neighbors_only(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            ego_net_sample,
+        )
+
+        # 1 -> {2..11}; only the 8 lowest (2..9) are sampled; node 12
+        # hangs off 11, which was NOT sampled -> never reached
+        pairs = [(1, i) for i in range(2, 12)] + [(11, 12)]
+        rows = ego_net_sample(_edges_ds(pairs), [1], hops=2,
+                              fanout=8).take_all()
+        nodes = {r["dst_id"] for r in rows} | {r["src_id"] for r in rows}
+        assert 12 not in nodes and 11 not in nodes

@@ -79,6 +79,8 @@ ALLOWED = {
     "extras/urls.py::host_harmonic": "node-sided",
     # max(k, rerank) candidate head pulled for the exact re-rank filter
     "extras/similarity.py::pq_topk": "k-sized",
+    # bounded driver loop: frontier <= seeds * fanout^hop per round
+    "pipelines/graph_algo.py::ego_net_sample": "iterative",
     "pipelines/graph_algo.py::hits": "iterative",
     "pipelines/graph_algo.py::hits._max_of": "group-sized",  # 1 row
     "pipelines/graph_algo.py::kcore": "iterative",
