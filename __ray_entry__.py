@@ -545,6 +545,16 @@ def _q_lang_id(sf_dir: str):
     return lang_id(sf_dir)
 
 
+def _q_docs_bpe_encode(sf_dir: str):
+    """Tokenize the corpus with the trained BPE merges: per-doc token
+    count under the learned vocabulary (extras/bpe.py:docs_bpe_encode
+    — the pass that actually runs over 100 TB once training is
+    done)."""
+    from neo4j_document_pipeline_ray.extras.bpe import docs_bpe_encode
+
+    return docs_bpe_encode(sf_dir, iters=3)
+
+
 def _q_lang_confusion(sf_dir: str):
     """Language-ID accuracy audit: (true lang, predicted lang, n)
     confusion counts against the corpus's lang column."""
@@ -2088,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_importance": docs_importance,
         "docs_lang_id": _q_lang_id,
         "docs_lang_confusion": _q_lang_confusion,
+        "docs_bpe_encode": _q_docs_bpe_encode,
         "docs_fingerprint": _q_fingerprints,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_ngrams": _q_docs_dup_ngrams,
@@ -3192,7 +3203,10 @@ def oracle_sql() -> dict[str, str]:
     from neo4j_document_pipeline_ray.extras.decontam import (
         docs_decontaminate_sql,
     )
-    from neo4j_document_pipeline_ray.extras.bpe import BPE_PAIRS_SQL
+    from neo4j_document_pipeline_ray.extras.bpe import (
+        BPE_ENCODE_SQL,
+        BPE_PAIRS_SQL,
+    )
     from neo4j_document_pipeline_ray.extras.bpe import bpe_train_sql as _bpe_train_sql
     from neo4j_document_pipeline_ray.extras.dupgrams import DUP_NGRAM_SQL
     from neo4j_document_pipeline_ray.extras.urls import (
@@ -4056,6 +4070,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": REPETITION_SQL,
         "docs_dup_ngrams": DUP_NGRAM_SQL,
         "docs_bpe_pairs": BPE_PAIRS_SQL,
+        "docs_bpe_encode": BPE_ENCODE_SQL,
         "docs_bpe_train": _bpe_train_sql(3),
         "docs_prefix_jaccard": PREFIX_JACCARD_SQL,
         "docs_salient_terms": salient_terms_sql(3),

@@ -303,3 +303,125 @@ def bpe_train_sql(iters: int = 3) -> str:
                    r AS "right", CAST(pn AS BIGINT) AS pair_n
             FROM t{k}""" for k in range(1, iters + 1))
     return "WITH " + ",".join(ctes) + " " + union
+
+
+def bpe_encode_counts(
+    docs: "ray.data.Dataset",
+    merges: "list[tuple[str, str]]",
+) -> "ray.data.Dataset":
+    """Tokenize the corpus with a TRAINED merge list — the step that
+    actually runs over 100 TB once the vocabulary exists.  Per doc:
+    lowercase whitespace words, each folded through the merge rules in
+    training order; returns ``(doc_id, n_bpe_tokens, n_words)`` (docs
+    with no words drop, matching the trainer's word table).
+
+    Shape: pure map — no exchange at all; the merge list is a
+    driver-side constant (vocab-sized) captured in the task closure,
+    and a per-batch word memo collapses the fold to once per DISTINCT
+    word per batch (Zipf makes that a small fraction of tokens)."""
+    rules = [(str(a), str(b)) for a, b in merges]
+
+    def enc(t: pa.Table) -> pa.Table:
+        memo: dict = {}
+
+        def width(w: str) -> int:
+            got = memo.get(w)
+            if got is None:
+                syms = "\t".join(w)
+                for lft, rgt in rules:
+                    syms = _merge_word(syms, lft, rgt)
+                got = memo[w] = syms.count("\t") + 1
+            return got
+
+        ids, ntok, nw = [], [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            words = (s or "").lower().split()
+            if not words:
+                continue
+            ids.append(doc_id)
+            ntok.append(sum(width(w) for w in words))
+            nw.append(len(words))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bpe_tokens": pa.array(ntok, pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+        })
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        enc, batch_format="pyarrow")
+
+
+def docs_bpe_encode(sf_dir: str, iters: int = 3) -> "ray.data.Dataset":
+    """Train ``iters`` merges, then tokenize the corpus with them."""
+    trained = docs_bpe_train(sf_dir, iters=iters)
+    merges = list(zip(trained["left"].to_pylist(),
+                      trained["right"].to_pylist()))
+    return bpe_encode_counts(_read_documents(sf_dir, ["doc_id", "text"]),
+                             merges)
+
+
+def bpe_encode_sql(iters: int = 3) -> str:
+    """DuckDB replay of :func:`docs_bpe_encode`: the train chain keyed
+    by word (v0..v{iters}), then per-doc word occurrences joined to the
+    folded per-word token widths."""
+    tab = "chr(9)"
+    ctes = [f"""
+    w AS MATERIALIZED (
+        SELECT w AS word, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ) GROUP BY w
+    ), v0 AS MATERIALIZED (
+        SELECT word,
+               array_to_string(
+                   list_transform(range(1, length(word) + 1),
+                                  i -> substr(word, i, 1)), {tab}) AS syms
+        FROM w
+    )"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+    p{k} AS MATERIALIZED (
+        SELECT pr.l AS l, pr.r AS r, sum(n) AS pn FROM (
+            SELECT w.n, unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> {{'l': toks[i], 'r': toks[i + 1]}})) AS pr
+            FROM (SELECT word, string_split(syms, {tab}) AS toks
+                  FROM v{k - 1}) v JOIN w USING (word)
+            WHERE len(toks) >= 2
+        ) GROUP BY 1, 2
+    ), t{k} AS MATERIALIZED (
+        SELECT l, r FROM p{k} ORDER BY pn DESC, l, r LIMIT 1
+    ), v{k} AS MATERIALIZED (
+        SELECT v.word, CASE
+            WHEN NOT contains({tab} || v.syms || {tab},
+                              {tab} || t.l || {tab} || t.r || {tab})
+            THEN v.syms
+            ELSE substr(list_reduce(
+                list_prepend('', string_split(v.syms, {tab})),
+                (acc, x) -> CASE WHEN ends_with(acc, {tab} || t.l)
+                                      AND x = t.r
+                            THEN acc || x
+                            ELSE acc || {tab} || x END), 2)
+            END AS syms
+        FROM v{k - 1} v CROSS JOIN t{k} t
+    )""")
+    return "WITH " + ",".join(ctes) + f"""
+    , tokmap AS (
+        SELECT word, len(string_split(syms, {tab})) AS ntok
+        FROM v{iters}
+    ), docwords AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id,
+           CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM docwords JOIN tokmap USING (word)
+    GROUP BY doc_id
+    """
+
+
+BPE_ENCODE_SQL = bpe_encode_sql()

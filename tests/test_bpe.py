@@ -78,3 +78,59 @@ class TestBpeTrain:
         assert _merge_word("a\ta\ta\ta", "a", "a") == "aa\taa"
         assert _merge_word("b\ta\ta", "b", "a") == "ba\ta"
         assert _merge_word("x\ty", "a", "b") == "x\ty"
+
+
+class TestBpeEncode:
+    def test_counts_match_pure_python(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.bpe import (
+            _merge_word,
+            bpe_encode_counts,
+            bpe_train_reference,
+        )
+
+        texts = ["the cat the hat", "the the the", "cat hat   cat",
+                 "", "   ", "a"]
+        merges = [(l, r) for _, l, r, _ in
+                  bpe_train_reference(texts, iters=3)]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }))
+        got = {r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+               for r in bpe_encode_counts(ds, merges).take_all()}
+
+        def width(w):
+            syms = "\t".join(w)
+            for l, r in merges:
+                syms = _merge_word(syms, l, r)
+            return syms.count("\t") + 1
+
+        want = {}
+        for i, s in enumerate(texts):
+            words = s.lower().split()
+            if words:
+                want[i] = (sum(width(w) for w in words), len(words))
+        assert got == want  # empty docs (3, 4) drop
+
+    def test_merges_shrink_counts(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.bpe import (
+            bpe_encode_counts,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["abab abab"], pa.string()),
+        }))
+        no_merge = bpe_encode_counts(ds, []).take_all()[0]
+        merged = bpe_encode_counts(ds, [("a", "b"), ("ab", "ab")]
+                                   ).take_all()[0]
+        assert no_merge["n_bpe_tokens"] == 8
+        assert merged["n_bpe_tokens"] == 2
