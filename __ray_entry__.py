@@ -545,6 +545,21 @@ def _q_lang_id(sf_dir: str):
     return lang_id(sf_dir)
 
 
+def _q_rel_profile(sf_dir: str):
+    """Generic column profile of the orders table: per column row
+    count, null count and KMV distinct sketch — all columns in ONE
+    streaming pass with zero exchanges (extras/profile.py)."""
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.profile import table_profile
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    return table_profile(ds, ["o_orderkey", "o_custkey",
+                              "o_orderstatus", "o_orderpriority"])
+
+
 def _q_docs_bpe_encode(sf_dir: str):
     """Tokenize the corpus with the trained BPE merges: per-doc token
     count under the learned vocabulary (extras/bpe.py:docs_bpe_encode
@@ -2099,6 +2114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_id": _q_lang_id,
         "docs_lang_confusion": _q_lang_confusion,
         "docs_bpe_encode": _q_docs_bpe_encode,
+        "rel_profile": _q_rel_profile,
         "docs_fingerprint": _q_fingerprints,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_ngrams": _q_docs_dup_ngrams,
@@ -3209,6 +3225,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from neo4j_document_pipeline_ray.extras.bpe import bpe_train_sql as _bpe_train_sql
     from neo4j_document_pipeline_ray.extras.dupgrams import DUP_NGRAM_SQL
+    from neo4j_document_pipeline_ray.extras.profile import (
+        table_profile_sql as _profile_sql,
+    )
     from neo4j_document_pipeline_ray.extras.urls import (
         anchor_terms_sql,
         crawl_frontier_sql,
@@ -4071,6 +4090,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_ngrams": DUP_NGRAM_SQL,
         "docs_bpe_pairs": BPE_PAIRS_SQL,
         "docs_bpe_encode": BPE_ENCODE_SQL,
+        "rel_profile": _profile_sql(
+            "orders", ["o_orderkey", "o_custkey",
+                       "o_orderstatus", "o_orderpriority"]),
         "docs_bpe_train": _bpe_train_sql(3),
         "docs_prefix_jaccard": PREFIX_JACCARD_SQL,
         "docs_salient_terms": salient_terms_sql(3),

@@ -292,3 +292,58 @@ class TestDocsSplit:
         assert n_all > 0
         # hash split should land near 80% (loose band; deterministic)
         assert 0.6 * n_all <= n_train <= 0.95 * n_all
+
+
+class TestTableProfile:
+    def test_exact_below_k_and_nulls(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.profile import (
+            table_profile,
+        )
+
+        ds = rd.from_arrow(pa.table({
+            "a": pa.array([1, 2, 2, None, 3], pa.int64()),
+            "b": pa.array(["x", "x", None, None, ""], pa.string()),
+        })).repartition(3)
+        got = {r["col"]: r for r in table_profile(
+            ds, ["a", "b"], k=8).to_pylist()}
+        assert got["a"]["n_rows"] == 5 and got["a"]["n_nulls"] == 1
+        assert got["a"]["est_distinct"] == 3  # exact below k
+        assert got["b"]["n_rows"] == 5 and got["b"]["n_nulls"] == 2
+        assert got["b"]["est_distinct"] == 2  # "x" and ""
+
+    def test_duckdb_mirror_parity(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.profile import (
+            table_profile,
+            table_profile_sql,
+        )
+
+        t = pa.table({
+            "num": pa.array(list(range(50)) + [None], pa.int64()),
+            "txt": pa.array([f"v{i % 7}" for i in range(50)] + [None],
+                            pa.string()),
+        })
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(t, p)
+        got = table_profile(rd.read_parquet(p), ["num", "txt"],
+                            k=16).to_pandas().sort_values("col") \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW tbl AS SELECT * "
+                    f"FROM read_parquet('{p}')")
+        want = con.execute(
+            table_profile_sql("tbl", ["num", "txt"], k=16)
+            + " ORDER BY col").df()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)

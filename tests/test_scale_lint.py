@@ -81,6 +81,8 @@ ALLOWED = {
     "extras/similarity.py::pq_topk": "k-sized",
     # bounded driver loop: frontier <= seeds * fanout^hop per round
     "pipelines/graph_algo.py::ego_net_sample": "iterative",
+    # O(k x n_cols x n_batches) sketch partials, corpus-independent
+    "extras/profile.py::table_profile": "k-sized",
     "pipelines/graph_algo.py::hits": "iterative",
     "pipelines/graph_algo.py::hits._max_of": "group-sized",  # 1 row
     "pipelines/graph_algo.py::kcore": "iterative",
