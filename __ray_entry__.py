@@ -998,6 +998,87 @@ def _q_kg_distant_pairs(sf_dir: str):
     return distant_supervision(kg["mentions"], kg["edges"], kg["triples"])
 
 
+_DS_SPAN = 300  # max distance between the two mention starts
+
+
+def _q_kg_distant_contexts(sf_dir: str):
+    """The text side of distant supervision: for every distant pair
+    whose BOTH canonical names occur verbatim in the document within
+    ``_DS_SPAN`` chars of each other, the covering ±60-char context
+    window plus both offsets — the actual input rows an RE trainer
+    consumes (pairs alone are labels without text).
+
+    Shape: reuses distant_supervision's pair stream; the two name
+    maps are node-sided broadcast joins; document text ships through
+    the doc_id hash join once; finds are vectorized per distinct name
+    within each batch (the kg_mention_contexts kernel, run twice)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        distant_supervision,
+    )
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        safe_join,
+    )
+
+    kg = _kg(sf_dir)
+    pairs = distant_supervision(
+        kg["mentions"], kg["edges"], kg["triples"]).select_columns(
+        ["doc_id", "src_id", "rel_type", "dst_id"])
+
+    def named(col, alias):
+        return kg["nodes"].map_batches(
+            lambda t, _c=col, _a=alias: pa.table(
+                {_c: t["entity_id"], _a: t["name"]}),
+            batch_format="pyarrow")
+
+    x = broadcast_join(pairs, named("src_id", "s_name"), on=("src_id",))
+    x = broadcast_join(x, named("dst_id", "d_name"), on=("dst_id",))
+    rows = safe_join(x, kg["docs"].select_columns(["doc_id", "text"]),
+                     join_type="inner", num_partitions=8, on=("doc_id",))
+
+    def _find(t, col):
+        offs = np.full(t.num_rows, -1, dtype=np.int64)
+        idx_by_name: dict = {}
+        for i, nm in enumerate(t[col].to_pylist()):
+            idx_by_name.setdefault(nm, []).append(i)
+        for nm, idxs in idx_by_name.items():
+            if not nm:
+                continue
+            sub = t["text"].take(pa.array(idxs))
+            offs[np.asarray(idxs)] = pc.find_substring(
+                sub, nm).to_numpy(zero_copy_only=False)
+        return offs
+
+    def contexts(t: pa.Table) -> pa.Table:
+        o1, o2 = _find(t, "s_name"), _find(t, "d_name")
+        keep = (o1 >= 0) & (o2 >= 0) & (np.abs(o1 - o2) <= _DS_SPAN)
+        sub = t.filter(pa.array(keep))
+        o1, o2 = o1[keep], o2[keep]
+        texts = sub["text"].to_pylist()
+        sn = sub["s_name"].to_pylist()
+        dn = sub["d_name"].to_pylist()
+        ctx = []
+        for s, a, b, p1, p2 in zip(texts, sn, dn, o1, o2):
+            lo = max(0, min(p1, p2) - _CTX_PAD)
+            hi = min(len(s), max(p1 + len(a), p2 + len(b)) + _CTX_PAD)
+            ctx.append(s[lo:hi])
+        return pa.table({
+            "doc_id": sub["doc_id"],
+            "src_id": sub["src_id"],
+            "rel_type": sub["rel_type"],
+            "dst_id": sub["dst_id"],
+            "src_offset": pa.array(o1, pa.int64()),
+            "dst_offset": pa.array(o2, pa.int64()),
+            "context": pa.array(ctx, pa.string()),
+        })
+
+    return rows.map_batches(contexts, batch_format="pyarrow")
+
+
 def _q_ann_pq_topk(sf_dir: str):
     """PQ top-k through the asymmetric-distance code table (32x
     compression at dim 64 / m 8) with exact re-rank of the candidate
@@ -2049,6 +2130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_verbalized": _q_kg_verbalized,
         "kg_pagerank_asof": _q_kg_pagerank_asof,
         "kg_ego_nets": _q_kg_ego_nets,
+        "kg_distant_contexts": _q_kg_distant_contexts,
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
         "kg_negative": _q_kg_negative,
@@ -3553,6 +3635,70 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN prov pr
               ON pr.doc_id = p.doc_id AND pr.src_id = p.src_id
              AND pr.rel_type = e.rel_type AND pr.dst_id = p.dst_id
+        """,
+        # distant-pair context windows: the pairs CTE chain + the
+        # mention_contexts name/doc machinery, strpos run per endpoint
+        "kg_distant_contexts": f"""
+            WITH t AS (
+                SELECT tr.*, sha256(p.text) AS doc_id
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            ), m AS (
+                SELECT DISTINCT doc_id, entity_id FROM (
+                    SELECT doc_id, {_eid_sql(nsub)} AS entity_id FROM t
+                    UNION ALL
+                    SELECT doc_id, {_eid_sql(nobj)} FROM t)
+            ), e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS src_id, rel_type,
+                       {_eid_sql(nobj)} AS dst_id
+                FROM t
+            ), pool AS (
+                SELECT subject AS name, subject_type AS label,
+                       {nsub} AS norm_key
+                FROM read_parquet('{_TRUTH_001}')
+                UNION ALL
+                SELECT object, object_type, {nobj}
+                FROM read_parquet('{_TRUTH_001}')
+            ), nm AS (
+                SELECT {_eid_sql('norm_key')} AS entity_id,
+                       split_part(min(name || chr(31) || label),
+                                  chr(31), 1) AS name
+                FROM pool GROUP BY norm_key
+            ), docs AS (
+                SELECT sha256(text) AS doc_id, min(text) AS text
+                FROM read_parquet('{_PAGES_001}') GROUP BY 1
+            ), pairs AS (
+                SELECT a.doc_id, a.entity_id AS src_id,
+                       b.entity_id AS dst_id
+                FROM m a JOIN m b USING (doc_id)
+                WHERE a.entity_id <> b.entity_id
+            ), j AS (
+                SELECT p.doc_id, p.src_id, e.rel_type, p.dst_id,
+                       ns.name AS s_name, nd.name AS d_name, d.text,
+                       strpos(d.text, ns.name) AS p1,
+                       strpos(d.text, nd.name) AS p2
+                FROM pairs p
+                JOIN e ON e.src_id = p.src_id AND e.dst_id = p.dst_id
+                JOIN nm ns ON ns.entity_id = p.src_id
+                JOIN nm nd ON nd.entity_id = p.dst_id
+                JOIN docs d ON d.doc_id = p.doc_id
+                WHERE ns.name <> '' AND nd.name <> ''
+            ), w AS (
+                SELECT *,
+                       greatest(0, least(p1, p2) - 1 - {_CTX_PAD}) AS lo,
+                       least(len(text),
+                             greatest(p1 - 1 + len(s_name),
+                                      p2 - 1 + len(d_name))
+                             + {_CTX_PAD}) AS hi
+                FROM j
+                WHERE p1 > 0 AND p2 > 0
+                  AND greatest(p1, p2) - least(p1, p2) <= {_DS_SPAN}
+            )
+            SELECT doc_id, src_id, rel_type, dst_id,
+                   CAST(p1 - 1 AS BIGINT) AS src_offset,
+                   CAST(p2 - 1 AS BIGINT) AS dst_offset,
+                   substr(text, lo + 1, hi - lo) AS context
+            FROM w
         """,
         # AMIE fun/ifun over the same edge identity as kg_rel_counts
         "kg_rel_cardinality": f"""
