@@ -1909,6 +1909,21 @@ def _q_pages_crawl_frontier(sf_dir: str):
         page_urls=rd.read_parquet(paths["pages"], columns=["url"]))
 
 
+def _q_pages_inlinks(sf_dir: str):
+    """Top-k in-corpus citation report: per crawled canonical URL the
+    inbound link count and citing-host breadth — the complement of
+    pages_crawl_frontier (extras/urls.py:page_inlinks)."""
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.urls import page_inlinks
+
+    paths = _corpus(sf_dir)
+    return page_inlinks(
+        rd.read_parquet(paths["pages"], columns=["url", "html"]),
+        k=100,
+        page_urls=rd.read_parquet(paths["pages"], columns=["url"]))
+
+
 def _q_pages_anchor_terms(sf_dir: str):
     """Top (dst_url, anchor-text) citation pairs — anchor mining, the
     external naming signal web KGs weight above on-page text
@@ -2107,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_host_rank": _q_pages_host_rank,
         "pages_host_harmonic": _q_pages_host_harmonic,
         "pages_crawl_frontier": _q_pages_crawl_frontier,
+        "pages_inlinks": _q_pages_inlinks,
         "pages_anchor_terms": _q_pages_anchor_terms,
         "kg_label_counts": _q_kg_label_counts,
         "kg_rel_counts": _q_kg_rel_counts,
@@ -3315,6 +3331,7 @@ def oracle_sql() -> dict[str, str]:
         crawl_frontier_sql,
         host_graph_sql,
         links_sql,
+        page_inlinks_sql,
         url_dedup_sql,
     )
     from neo4j_document_pipeline_ray.extras.sampling import (
@@ -4152,6 +4169,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_host_rank": _host_rank_sql(_PAGES_001),
         "pages_host_harmonic": _host_harmonic_sql(_PAGES_001),
         "pages_crawl_frontier": crawl_frontier_sql(_PAGES_001, k=100),
+        "pages_inlinks": page_inlinks_sql(_PAGES_001, k=100),
         "pages_anchor_terms": anchor_terms_sql(_PAGES_001),
         "pages_section_stats": f"""
             WITH b AS (

@@ -391,6 +391,21 @@ def host_rank(pages: "ray.data.Dataset", iters: int = 3,
     return joined.select_columns(["host", "rank_scaled"])
 
 
+def _typed_head(head: "ray.data.Dataset") -> pa.Table:
+    """k-sized driver conversion of a top-k report to a TYPED arrow
+    table: an empty Ray result loses its schema (schema-less blocks),
+    which breaks downstream consumers and the oracle compare on
+    corpora where the report is legitimately empty (e.g. no in-corpus
+    citations)."""
+    rows = head.take_all()
+    return pa.table({
+        "canon_url": pa.array([r["canon_url"] for r in rows],
+                              pa.string()),
+        "n_links": pa.array([r["n_links"] for r in rows], pa.int64()),
+        "n_hosts": pa.array([r["n_hosts"] for r in rows], pa.int64()),
+    })
+
+
 def crawl_frontier(pages: "ray.data.Dataset", k: int = 100,
                    num_partitions: int = 8,
                    page_urls: "ray.data.Dataset | None" = None
@@ -449,8 +464,9 @@ def crawl_frontier(pages: "ray.data.Dataset", k: int = 100,
 
     agg = partitioned_group_map(tagged, "canon_url", subtract,
                                 num_partitions=num_partitions)
-    return agg.sort(["n_hosts", "n_links", "canon_url"],
+    head = agg.sort(["n_hosts", "n_links", "canon_url"],
                     descending=[True, True, False]).limit(k)
+    return _typed_head(head)
 
 
 _SPLIT_SQL = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)([^?#]*)'"
@@ -541,9 +557,13 @@ def host_harmonic(pages: "ray.data.Dataset", hops: int = 3,
             "dst_id": pa.array([ids[h] for h in dh], pa.int64()),
         })
 
-    hc = harmonic_centrality_approx(
-        hg.map_batches(to_ids, batch_format="pyarrow"), hops=hops,
-        num_partitions=num_partitions)
+    # host-graph-sided pin: the coarsened cross-host edge set (the
+    # sketch rounds re-probe it every hop, and an all-intra-host crawl
+    # makes it EMPTY — running `hops` rounds of empty exchanges just
+    # to learn that costs ~30 s of executor fixed time at sf0.1)
+    ids = hg.map_batches(to_ids, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.not_equal(t["src_id"], t["dst_id"])),
+        batch_format="pyarrow").materialize()
 
     def name_rows(t: pa.Table) -> pa.Table:
         hosts = sorted(set(t["src_host"].to_pylist())
@@ -559,17 +579,15 @@ def host_harmonic(pages: "ray.data.Dataset", hops: int = 3,
         ["entity_id", "host"], [(None, "count", "_m")],
         num_partitions=num_partitions).drop_columns(["_m"])
 
-    # node-sided pin: the score table is O(#hosts); an all-intra-host
-    # crawl yields an EMPTY (schema-less) score set, where the join
-    # below would fail — every host then gets the isolated score 0
-    hc = hc.materialize()
-    if hc.count() == 0:
+    if ids.count() == 0:
         return names.map_batches(
             lambda t: pa.table({
                 "host": t["host"],
                 "harmonic_scaled": pa.array([0] * t.num_rows, pa.int64()),
             }), batch_format="pyarrow")
 
+    hc = harmonic_centrality_approx(ids, hops=hops,
+                                    num_partitions=num_partitions)
     joined = broadcast_join(names, hc, on=("entity_id",),
                             join_type="left_outer",
                             num_partitions=num_partitions)
@@ -582,3 +600,87 @@ def host_harmonic(pages: "ray.data.Dataset", hops: int = 3,
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def page_inlinks(pages: "ray.data.Dataset", k: int = 100,
+                 num_partitions: int = 8,
+                 page_urls: "ray.data.Dataset | None" = None
+                 ) -> "ray.data.Dataset":
+    """Top-k IN-corpus citation report — the complement of
+    :func:`crawl_frontier`: per crawled canonical URL, how many links
+    point at it and from how many distinct hosts (the in-corpus
+    authority signal quality weighting uses).  Same tagged-union
+    hash-partition shape, with the subtraction inverted to a
+    semi-join."""
+    import numpy as np
+
+    links = page_links(pages)
+    if page_urls is None:
+        page_urls = pages.select_columns(["url"])
+
+    def cand(t: pa.Table) -> pa.Table:
+        d = canonicalize_urls(t["dst_url"])
+        tb = pa.table({
+            "canon_url": d,
+            "src_host": host_of(t["src_url"]),
+            "is_left": pa.array(np.ones(len(d), dtype=bool)),
+        })
+        return tb.filter(pc.not_equal(d, ""))
+
+    def present(t: pa.Table) -> pa.Table:
+        c = pc.unique(canonicalize_urls(t["url"]))
+        return pa.table({
+            "canon_url": c,
+            "src_host": pa.nulls(len(c), pa.string()),
+            "is_left": pa.array(np.zeros(len(c), dtype=bool)),
+        })
+
+    tagged = links.map_batches(cand, batch_format="pyarrow").union(
+        page_urls.map_batches(present, batch_format="pyarrow"))
+
+    def keep_in_corpus(df):
+        import pandas as pd
+
+        seen = df.loc[~df["is_left"], "canon_url"].unique()
+        keep = df[df["is_left"] & df["canon_url"].isin(seen)]
+        g = keep.groupby("canon_url", sort=False).agg(
+            n_links=("src_host", "size"),
+            n_hosts=("src_host", "nunique"))
+        return pd.DataFrame({
+            "canon_url": g.index.astype(str),
+            "n_links": g["n_links"].astype("int64").values,
+            "n_hosts": g["n_hosts"].astype("int64").values,
+        })
+
+    agg = partitioned_group_map(tagged, "canon_url", keep_in_corpus,
+                                num_partitions=num_partitions)
+    head = agg.sort(["n_hosts", "n_links", "canon_url"],
+                    descending=[True, True, False]).limit(k)
+    return _typed_head(head)
+
+
+def page_inlinks_sql(pages_glob: str, k: int = 100) -> str:
+    """DuckDB mirror of :func:`page_inlinks`."""
+    return f"""
+    WITH links AS ({links_sql(pages_glob)}),
+    cand AS (
+        SELECT {canon_sql('dst_url')} AS canon_url,
+               {host_sql('src_url')} AS src_host
+        FROM links
+    ),
+    corpus AS (
+        SELECT DISTINCT {canon_sql('url')} AS canon_url
+        FROM read_parquet('{pages_glob}')
+    ),
+    f AS (
+        SELECT canon_url,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts
+        FROM cand
+        WHERE canon_url <> ''
+          AND canon_url IN (SELECT canon_url FROM corpus)
+        GROUP BY canon_url
+    )
+    SELECT canon_url, n_links, n_hosts
+    FROM f ORDER BY n_hosts DESC, n_links DESC, canon_url LIMIT {k}
+    """

@@ -83,6 +83,8 @@ ALLOWED = {
     "pipelines/graph_algo.py::ego_net_sample": "iterative",
     # O(k x n_cols x n_batches) sketch partials, corpus-independent
     "extras/profile.py::table_profile": "k-sized",
+    # post-limit(k) head converted to a TYPED arrow table
+    "extras/urls.py::_typed_head": "k-sized",
     "pipelines/graph_algo.py::hits": "iterative",
     "pipelines/graph_algo.py::hits._max_of": "group-sized",  # 1 row
     "pipelines/graph_algo.py::kcore": "iterative",

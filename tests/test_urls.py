@@ -270,7 +270,7 @@ class TestCrawlFrontier:
         from neo4j_document_pipeline_ray.extras.urls import crawl_frontier
 
         pages = ray.data.from_pandas(_multi_host_pages()).repartition(2)
-        rows = crawl_frontier(pages, k=10).take_all()
+        rows = crawl_frontier(pages, k=10).to_pylist()
         by_url = {r["canon_url"]: r for r in rows}
         # crawled pages never appear, even when cited
         assert "a.io/p1" not in by_url and "a.io/p2" not in by_url
@@ -331,5 +331,38 @@ class TestHostHarmonic:
                .sort_values("host").reset_index(drop=True))
         want = duckdb.sql(
             entry._host_harmonic_sql(p) + " ORDER BY host").df()
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False)
+
+
+class TestPageInlinks:
+    def test_in_corpus_citations_only(self, ray_session):
+        from neo4j_document_pipeline_ray.extras.urls import page_inlinks
+
+        pages = ray.data.from_pandas(_multi_host_pages()).repartition(2)
+        rows = page_inlinks(pages, k=10).to_pylist()
+        by_url = {r["canon_url"]: r for r in rows}
+        # the uncrawled new.net/x never appears (that's the frontier's)
+        assert "new.net/x" not in by_url
+        # a.io/p1 cited by a.io (self, from /p2), b.io and c.io
+        assert by_url["a.io/p1"]["n_links"] == 3
+        assert by_url["a.io/p1"]["n_hosts"] == 3
+        # a.io/p2 cited by a.io (self) and b.io (www-normalized)
+        assert by_url["a.io/p2"]["n_links"] == 2
+        assert by_url["a.io/p2"]["n_hosts"] == 2
+        assert rows[0]["canon_url"] in ("a.io/p1", "a.io/p2")
+
+    def test_duckdb_mirror_parity(self, ray_session, tmp_path):
+        import duckdb
+
+        from neo4j_document_pipeline_ray.extras.urls import (
+            page_inlinks,
+            page_inlinks_sql,
+        )
+
+        p = str(tmp_path / "pages.parquet")
+        pq.write_table(pa.Table.from_pandas(_multi_host_pages()), p)
+        got = page_inlinks(ray.data.read_parquet(p), k=5).to_pandas()
+        want = duckdb.sql(page_inlinks_sql(p, k=5)).df()
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want, check_dtype=False)
