@@ -887,6 +887,33 @@ def _q_kg_neighborhood(sf_dir: str):
     return neighborhood_function(_kg(sf_dir)["edges"], hops=3)
 
 
+def _q_kg_conflicts(sf_dir: str):
+    """Constraint-violation audit: subjects asserting 2+ distinct
+    objects under a mostly-functional relation (fun >= 0.8 from the
+    cardinality profile) — the top-100 worst contradictions a KG
+    curation pass reviews first
+    (pipelines/graph_algo.py:functional_conflicts).  Typed k-sized
+    head: the synthetic corpus has NO functional relations (max fun
+    0.22), so the report is legitimately empty here and an untyped
+    empty Dataset would lose its schema."""
+    import pyarrow as pa
+
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        functional_conflicts,
+    )
+
+    head = functional_conflicts(_kg(sf_dir)["edges"]).sort(
+        ["n_objects", "rel_type", "src_id"],
+        descending=[True, False, False]).limit(100)
+    rows = head.take_all()
+    return pa.table({
+        "rel_type": pa.array([r["rel_type"] for r in rows], pa.string()),
+        "src_id": pa.array([r["src_id"] for r in rows], pa.int64()),
+        "n_objects": pa.array([r["n_objects"] for r in rows],
+                              pa.int64()),
+    })
+
+
 def _q_kg_eff_diameter(sf_dir: str):
     """Integer effective diameter (smallest hop covering >=90% of the
     final ANF mass) — the one-row graph-compactness audit derived from
@@ -2142,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighborhood": _q_kg_neighborhood,
         "kg_eff_diameter": _q_kg_eff_diameter,
         "kg_rel_cardinality": _q_kg_rel_cardinality,
+        "kg_conflicts": _q_kg_conflicts,
         "kg_distant_pairs": _q_kg_distant_pairs,
         "kg_verbalized": _q_kg_verbalized,
         "kg_pagerank_asof": _q_kg_pagerank_asof,
@@ -3616,6 +3644,30 @@ def oracle_sql() -> dict[str, str]:
                    subject || ' ' || predicate || ' ' || object || '.'
                        AS sentence
             FROM t GROUP BY 1, 2, 3
+        """,
+        # functional-conflict audit: fun >= 0.8 relations from the same
+        # cardinality profile, then subjects with 2+ distinct objects
+        "kg_conflicts": f"""
+            WITH e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, rel_type,
+                       {_eid_sql(nobj)} AS d,
+                       coalesce(term, '') AS term_key
+                FROM read_parquet('{_TRUTH_001}')
+            ), card AS (
+                SELECT rel_type,
+                       (1000000 * count(DISTINCT s)) // count(*) AS fs
+                FROM e GROUP BY rel_type
+            ), funcs AS (
+                SELECT rel_type FROM card WHERE fs >= 800000
+            ), de AS (
+                SELECT DISTINCT rel_type, s, d FROM e
+                WHERE rel_type IN (SELECT rel_type FROM funcs)
+            )
+            SELECT rel_type, s AS src_id,
+                   CAST(count(*) AS BIGINT) AS n_objects
+            FROM de GROUP BY rel_type, s
+            HAVING count(*) > 1
+            ORDER BY n_objects DESC, rel_type, src_id LIMIT 100
         """,
         # distant supervision: doc-level mentions (the kg_mentions set)
         # self-joined into ordered pairs, filtered to KB edges, gold

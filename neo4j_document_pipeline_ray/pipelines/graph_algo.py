@@ -2556,6 +2556,48 @@ def relation_cardinality(
         "inv_func_scaled", pa.array(scale * nd // ne, pa.int64()))
 
 
+CONFLICT_FUNC_MIN = 800_000  # functionality >= 0.8 => treat as 1:1
+
+
+def functional_conflicts(
+    edges: "ray.data.Dataset",
+    num_partitions: int = 16,
+    func_min: int = CONFLICT_FUNC_MIN,
+    scale: int = RELCARD_SCALE,
+) -> "ray.data.Dataset":
+    """Constraint-violation audit: for relations that are MOSTLY
+    functional (fun(r) >= ``func_min``/``scale``, from
+    :func:`relation_cardinality`), every subject asserting 2+ distinct
+    objects — the contradiction report a KG curation pass reviews
+    ('capital_of' with two capitals is a conflict; 'mentions' with two
+    objects is not, and its low functionality excludes it).
+
+    Shape: the functional-relation set is schema-sized (broadcast as
+    an Arrow filter constant); one distinct + one count exchange over
+    the slim (rel, src) projection.  Returns
+    ``(rel_type, src_id, n_objects)`` for violators only."""
+    card = relation_cardinality(edges, num_partitions=num_partitions,
+                                scale=scale)
+    keep = card.filter(
+        pc.greater_equal(card["func_scaled"], func_min))["rel_type"]
+    func_rels = pa.array(sorted(keep.to_pylist()), pa.string())
+
+    slim = edges.select_columns(["rel_type", "src_id", "dst_id"]) \
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["rel_type"], func_rels)),
+            batch_format="pyarrow")
+    distinct = hash_aggregate(
+        slim, ["rel_type", "src_id", "dst_id"], [(None, "count", "_m")],
+        num_partitions=num_partitions).drop_columns(["_m"])
+    per_subj = hash_aggregate(
+        distinct.select_columns(["rel_type", "src_id"]),
+        ["rel_type", "src_id"], [(None, "count", "n_objects")],
+        num_partitions=num_partitions)
+    return per_subj.map_batches(
+        lambda t: t.filter(pc.greater(t["n_objects"], 1)),
+        batch_format="pyarrow")
+
+
 # --- minimum spanning forest (Boruvka) ------------------------------------------
 
 def minimum_spanning_forest(

@@ -1242,3 +1242,37 @@ class TestEgoNetSample:
                               fanout=8).take_all()
         nodes = {r["dst_id"] for r in rows} | {r["src_id"] for r in rows}
         assert 12 not in nodes and 11 not in nodes
+
+
+class TestFunctionalConflicts:
+    def test_detects_violators_in_functional_rel_only(self, ray_session):
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            functional_conflicts,
+        )
+
+        rows = [
+            # capital_of: 5 subjects, 6 edges -> fun = 5/6 >= 0.8;
+            # subject 1 asserts two capitals (the conflict)
+            (1, "capital_of", 10), (1, "capital_of", 11),
+            (2, "capital_of", 12), (3, "capital_of", 13),
+            (4, "capital_of", 14), (5, "capital_of", 15),
+            # mentions: fan-out (fun = 1/4) -> excluded even though
+            # subject 9 has many objects
+            (9, "mentions", 10), (9, "mentions", 11),
+            (9, "mentions", 12), (9, "mentions", 13),
+        ]
+        got = functional_conflicts(_typed_edges_ds(rows)).take_all()
+        assert got == [
+            {"rel_type": "capital_of", "src_id": 1, "n_objects": 2}]
+
+    def test_no_functional_rels_empty(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            functional_conflicts,
+        )
+
+        rows = [(1, "mentions", 10), (1, "mentions", 11),
+                (1, "mentions", 12)]
+        assert functional_conflicts(
+            _typed_edges_ds(rows)).take_all() == []
