@@ -1136,6 +1136,40 @@ def _q_ann_pq_topk(sf_dir: str):
                    embeddings=rd.read_parquet(emb_path))
 
 
+def _q_ann_ivf_update_topk(sf_dir: str):
+    """IVF index maintenance: build on the first half of the corpus,
+    fold the second half in WITHOUT retraining (frozen centroids,
+    per-partition appends), query through the updated index.
+    APPROXIMATE (k-means) -> rows-only; the pytest oracle pins
+    full-probe-after-update == brute force over the whole corpus."""
+    import os
+
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        query_vector,
+        update_ivf_index,
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    idx = os.path.join(
+        "/tmp/graft_ivf_upd_index",
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{st.st_size}-{int(st.st_mtime)}",
+    )
+    emb = rd.read_parquet(emb_path)
+    n = emb.count()
+    if not os.path.isdir(idx):
+        build_ivf_index(emb.filter(lambda r: r["vec_id"] < n // 2),
+                        idx, n_centroids=16)
+        update_ivf_index(emb.filter(lambda r: r["vec_id"] >= n // 2),
+                         idx)
+    return ivf_index_topk(idx, query_vector(sf_dir), k=10, nprobe=4)
+
+
 def _q_kg_harmonic(sf_dir: str):
     """Approximate harmonic centrality from the HyperBall/KMV sketch
     rounds (Boldi/Vigna 2013) — integer telescoped weighting, one
@@ -2267,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_pq_topk": _q_ann_pq_topk,
+        "ann_ivf_update_topk": _q_ann_ivf_update_topk,
         "emb_near_dup": _q_emb_near_dup,
         "emb_semdedup": _q_emb_semdedup,
         "mm_features": _q_mm_features,

@@ -1242,3 +1242,62 @@ def pq_bytes_per_vector(meta: dict) -> tuple:
     """(pq_bytes, raw_bytes) per vector — the compression the code
     table buys over scanning float32 embeddings."""
     return meta["m"], meta["dim"] * 4
+
+
+def update_ivf_index(
+    embeddings_new: "ray.data.Dataset", index_dir: str,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> dict:
+    """Fold NEW vectors into an existing IVF index WITHOUT retraining:
+    assign against the frozen centroids from ``_meta.json`` and append
+    per-partition parquet files — the standard serving-index
+    maintenance shape (appends keep the layout queryable between the
+    periodic rebuilds that absorb centroid drift; recall degrades only
+    as the data distribution drifts from the frozen codebook).
+
+    Crash behavior: the assignment pass writes to a temp dir, files
+    are then moved per-partition (each move atomic); a crash mid-move
+    leaves a queryable index containing a prefix of the new vectors,
+    and meta's ``n_rows`` is recomputed from footers on the next
+    update.  The probe path lists partition files dynamically, so
+    queries need no meta bump to see appended data."""
+    import json
+    import shutil
+
+    meta = read_index_meta(index_dir)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    pay = tuple(meta.get("payload_cols", ()))
+
+    def with_centroid(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, col=emb_col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        assign = ((m / norms[:, None]) @ cents.T).argmax(axis=1)
+        cols = {"vec_id": t[id_col]}
+        for c in pay:
+            cols[c] = t[c]
+        cols["embedding"] = t[emb_col]
+        return pa.table(cols).append_column(
+            "centroid", pa.array(assign.astype(np.int64), pa.int64()))
+
+    tmp_dir = index_dir.rstrip("/") + ".update.tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    embeddings_new.map_batches(with_centroid, batch_format="pyarrow") \
+        .write_parquet(tmp_dir, partition_cols=["centroid"])
+    for part in sorted(os.listdir(tmp_dir)):
+        src = os.path.join(tmp_dir, part)
+        if not os.path.isdir(src):
+            continue
+        dst = os.path.join(index_dir, part)
+        os.makedirs(dst, exist_ok=True)
+        for f in sorted(os.listdir(src)):
+            os.replace(os.path.join(src, f),
+                       os.path.join(dst, f"upd-{f}"))
+    shutil.rmtree(tmp_dir)
+    meta["n_rows"] = _index_rows(index_dir)
+    tmp_meta = os.path.join(index_dir, "_meta.json.tmp")
+    with open(tmp_meta, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp_meta, os.path.join(index_dir, "_meta.json"))
+    return meta

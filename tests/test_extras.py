@@ -1164,3 +1164,58 @@ class TestPQ:
         for r in pq_topk(idx, q, k=10, rerank=50,
                          embeddings=emb).take_all():
             assert exact[r["vec_id"]] == r["sim"]
+
+
+class TestIVFUpdate:
+    def test_appended_vectors_are_queryable_exactly(self, ray_session,
+                                                    tmp_path):
+        """Build on the first half, fold in the second half: a full
+        probe over the updated index must equal brute force over the
+        WHOLE corpus."""
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            brute_force_topk,
+            build_ivf_index,
+            ivf_index_topk,
+            query_vector,
+            read_index_meta,
+            update_ivf_index,
+        )
+
+        emb = rd.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        first = emb.filter(lambda r: r["vec_id"] < 250)
+        second = emb.filter(lambda r: r["vec_id"] >= 250)
+        idx = str(tmp_path / "ivf_index")
+        build_ivf_index(first, idx, n_centroids=8, train_rows=250)
+        assert read_index_meta(idx)["n_rows"] == 250
+        meta = update_ivf_index(second, idx)
+        assert meta["n_rows"] == 500
+        q = query_vector("/root/testdata/sf0.001")
+        got = ivf_index_topk(idx, q, k=10, nprobe=8).take_all()
+        want = brute_force_topk(emb, q, k=10).take_all()
+        assert [(r["vec_id"], r["sim"]) for r in got] == [
+            (r["vec_id"], r["sim"]) for r in want]
+
+    def test_update_is_rerunnable_after_partial_state(self, ray_session,
+                                                      tmp_path):
+        """Meta n_rows is footer-derived, so a second update over a
+        disjoint slice lands on top of the first cleanly."""
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            build_ivf_index,
+            read_index_meta,
+            update_ivf_index,
+        )
+
+        emb = rd.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        idx = str(tmp_path / "ivf_index")
+        build_ivf_index(emb.filter(lambda r: r["vec_id"] < 200), idx,
+                        n_centroids=8, train_rows=200)
+        update_ivf_index(
+            emb.filter(lambda r: 200 <= r["vec_id"] < 350), idx)
+        update_ivf_index(emb.filter(lambda r: r["vec_id"] >= 350), idx)
+        assert read_index_meta(idx)["n_rows"] == 500
