@@ -2243,6 +2243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_union_distinct": rel.q_nation_region_union,
         "rel_lineitem_rollup": rel.q_lineitem_rollup,
         "rel_events_pivot": rel.q_events_pivot,
+        "rel_events_coverage": rel.q_events_coverage,
         "rel_orders_no_lineitem": rel.q_orders_no_lineitem,
         # --- temporal operators over the event stream (§2.8 class) ---
         "events_sessions": win.q_events_sessions,
@@ -4308,6 +4309,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_union_distinct": rel.Q_NATION_REGION_UNION_SQL,
         "rel_lineitem_rollup": rel.Q_LINEITEM_ROLLUP_SQL,
         "rel_events_pivot": rel.Q_EVENTS_PIVOT_SQL,
+        "rel_events_coverage": rel.Q_EVENTS_COVERAGE_SQL,
         "rel_orders_no_lineitem": rel.Q_ORDERS_NO_LINEITEM_SQL,
         "events_sessions": win.events_sessions_sql(),
         "events_sliding_window": win.events_sliding_window_sql(),

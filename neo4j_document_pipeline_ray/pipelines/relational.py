@@ -422,3 +422,65 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def q_events_coverage(sf_dir: str) -> "ray.data.Dataset":
+    """Per (user, day) view/purchase coverage — a FULL OUTER join
+    whose both sides are genuinely partial (nobody views and buys
+    every day): per-user-day view counts ⟗ purchase counts, absent
+    side filled with 0.  Exercises the engine's full_outer hash join
+    (Ray native, empty-block-sanitized via safe_join) downstream of
+    two pre-combined aggregates."""
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        hash_aggregate,
+        safe_join,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def side(event_type: str, alias: str):
+        def prep(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.equal(t["event_type"], event_type))
+            return pa.table({
+                "user_id": sel["user_id"],
+                "day": pc.strftime(sel["ts"], format="%Y-%m-%d"),
+            })
+
+        return hash_aggregate(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id", "day"], [(None, "count", alias)],
+            num_partitions=8)
+
+    full = safe_join(side("view", "n_views"),
+                     side("purchase", "n_purchases"),
+                     join_type="full_outer", num_partitions=8,
+                     on=("user_id", "day"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": t["day"],
+            "n_views": pc.fill_null(t["n_views"], 0),
+            "n_purchases": pc.fill_null(t["n_purchases"], 0),
+        })
+
+    return full.map_batches(finish, batch_format="pyarrow")
+
+
+Q_EVENTS_COVERAGE_SQL = """
+WITH v AS (
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_views
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), p AS (
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT coalesce(v.user_id, p.user_id) AS user_id,
+       coalesce(v.day, p.day) AS day,
+       coalesce(v.n_views, 0) AS n_views,
+       coalesce(p.n_purchases, 0) AS n_purchases
+FROM v FULL OUTER JOIN p
+  ON v.user_id = p.user_id AND v.day = p.day
+"""
