@@ -1970,6 +1970,40 @@ def _q_pages_crawl_frontier(sf_dir: str):
         page_urls=rd.read_parquet(paths["pages"], columns=["url"]))
 
 
+def _q_pages_url_templates(sf_dir: str):
+    """URL template mining: canonical paths with digit runs collapsed
+    to 'N', counted per (host, template) — the crawl-ops report that
+    surfaces calendar traps / infinite URL spaces before they eat the
+    fetch budget.  Pure map + one pre-combined count exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.urls import (
+        _SPLIT_RE,
+        host_of,
+    )
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    paths = _corpus(sf_dir)
+    pages = rd.read_parquet(paths["pages"], columns=["url"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        host = host_of(t["url"])
+        path = pc.fill_null(pc.struct_field(
+            pc.extract_regex(t["url"], _SPLIT_RE), "path"), "")
+        path = pc.replace_substring_regex(path, r"/+$", "")
+        return pa.table({
+            "host": host,
+            "template": pc.replace_substring_regex(path, r"[0-9]+", "N"),
+        })
+
+    return hash_aggregate(
+        pages.map_batches(prep, batch_format="pyarrow"),
+        ["host", "template"], [(None, "count", "n_pages")],
+        num_partitions=4)
+
+
 def _q_pages_inlinks(sf_dir: str):
     """Top-k in-corpus citation report: per crawled canonical URL the
     inbound link count and citing-host breadth — the complement of
@@ -2184,6 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_host_harmonic": _q_pages_host_harmonic,
         "pages_crawl_frontier": _q_pages_crawl_frontier,
         "pages_inlinks": _q_pages_inlinks,
+        "pages_url_templates": _q_pages_url_templates,
         "pages_anchor_terms": _q_pages_anchor_terms,
         "kg_label_counts": _q_kg_label_counts,
         "kg_rel_counts": _q_kg_rel_counts,
@@ -3391,6 +3426,12 @@ def oracle_sql() -> dict[str, str]:
         table_profile_sql as _profile_sql,
     )
     from neo4j_document_pipeline_ray.extras.urls import (
+        _SPLIT_SQL as _SPLIT_EXPR_SQL,
+    )
+    from neo4j_document_pipeline_ray.extras.urls import (
+        host_sql as _host_expr_sql,
+    )
+    from neo4j_document_pipeline_ray.extras.urls import (
         anchor_terms_sql,
         crawl_frontier_sql,
         host_graph_sql,
@@ -4258,6 +4299,17 @@ def oracle_sql() -> dict[str, str]:
         "pages_host_harmonic": _host_harmonic_sql(_PAGES_001),
         "pages_crawl_frontier": crawl_frontier_sql(_PAGES_001, k=100),
         "pages_inlinks": page_inlinks_sql(_PAGES_001, k=100),
+        "pages_url_templates": f"""
+            SELECT host, template,
+                   CAST(count(*) AS BIGINT) AS n_pages
+            FROM (
+                SELECT {_host_expr_sql('url')} AS host,
+                       regexp_replace(regexp_replace(
+                           regexp_extract(url, {_SPLIT_EXPR_SQL}, 2),
+                           '/+$', ''), '[0-9]+', 'N', 'g') AS template
+                FROM read_parquet('{_PAGES_001}')
+            ) GROUP BY 1, 2
+        """,
         "pages_anchor_terms": anchor_terms_sql(_PAGES_001),
         "pages_section_stats": f"""
             WITH b AS (
