@@ -979,6 +979,64 @@ def _q_kg_ego_nets(sf_dir: str):
     return ego_net_sample(_kg(sf_dir)["edges"], _khop_seeds(), hops=2)
 
 
+def _q_kg_edge_split(sf_dir: str):
+    """Transductive link-prediction eval split: deterministic ~10%
+    test slice of the distinct (s, r, d) identities by stable identity
+    hash, filtered to edges whose BOTH endpoints also appear in the
+    train remainder — the standard leakage rule (a test edge touching
+    an unseen entity can't be scored by an embedding model trained on
+    the rest).  Train-endpoint set is node-sided (ray.put once, read
+    per batch); bucket flag is the same sha256 stable_id the entity
+    ids use, so the DuckDB replay hash-matches.  Returns the surviving
+    test edges."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from neo4j_document_pipeline_ray.functions.textnorm import stable_id
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    ident = hash_aggregate(
+        _kg(sf_dir)["edges"].select_columns(
+            ["src_id", "rel_type", "dst_id"]),
+        ["src_id", "rel_type", "dst_id"], [(None, "count", "_m")],
+        num_partitions=8).drop_columns(["_m"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = [stable_id(f"{s}|{r}|{d}") % 10
+             for s, r, d in zip(t["src_id"].to_pylist(),
+                                t["rel_type"].to_pylist(),
+                                t["dst_id"].to_pylist())]
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    flagged = ident.map_batches(flag, batch_format="pyarrow")
+    train = flagged.map_batches(
+        lambda t: t.filter(pc.not_equal(t["bucket"], 7)),
+        batch_format="pyarrow")
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.concat_arrays([
+            t["src_id"].combine_chunks(),
+            t["dst_id"].combine_chunks()])})
+
+    train_nodes = hash_aggregate(
+        train.map_batches(ends, batch_format="pyarrow"), "n",
+        [(None, "count", "_m")], num_partitions=8).drop_columns(["_m"])
+    nodes_arr = pa.concat_tables(
+        [x for x in ray.get(train_nodes.to_arrow_refs())
+         if x.num_rows])["n"].combine_chunks()
+    ref = ray.put(nodes_arr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        tn = ray.get(ref)
+        sel = t.filter(pc.equal(t["bucket"], 7))
+        ok = pc.and_(pc.is_in(sel["src_id"], tn),
+                     pc.is_in(sel["dst_id"], tn))
+        return sel.filter(ok).select(["src_id", "rel_type", "dst_id"])
+
+    return flagged.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_kg_verbalized(sf_dir: str):
     """KG→text corpus synthesis (KELM / T-REx style): one verbalized
     sentence per distinct surface triple with its corpus support —
@@ -2244,6 +2302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_asof": _q_kg_pagerank_asof,
         "kg_ego_nets": _q_kg_ego_nets,
         "kg_distant_contexts": _q_kg_distant_contexts,
+        "kg_edge_split": _q_kg_edge_split,
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
         "kg_negative": _q_kg_negative,
@@ -3707,6 +3766,30 @@ def oracle_sql() -> dict[str, str]:
                   AND (coalesce("end", '') = '' OR "end" >= '2025')
             )""", 3,
             "SELECT id AS entity_id, r AS rank_scaled FROM i3"),
+        # transductive split: same sha256 stable_id bucket + both-
+        # endpoints-in-train filter
+        "kg_edge_split": f"""
+            WITH e AS (
+                SELECT DISTINCT {_eid_sql(nsub)} AS s, rel_type,
+                       {_eid_sql(nobj)} AS d
+                FROM read_parquet('{_TRUTH_001}')
+            ), k AS (
+                SELECT s, rel_type, d,
+                       {_eid_sql("concat(CAST(s AS VARCHAR), '|',"
+                                 " rel_type, '|',"
+                                 " CAST(d AS VARCHAR))")} % 10
+                           AS bucket
+                FROM e
+            ), tn AS (
+                SELECT s AS n FROM k WHERE bucket <> 7
+                UNION SELECT d FROM k WHERE bucket <> 7
+            )
+            SELECT s AS src_id, rel_type, d AS dst_id
+            FROM k
+            WHERE bucket = 7
+              AND s IN (SELECT n FROM tn)
+              AND d IN (SELECT n FROM tn)
+        """,
         # KELM-style verbalization: distinct-assertion support per
         # surface triple, deterministic sentence concat
         "kg_verbalized": f"""
