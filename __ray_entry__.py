@@ -2339,6 +2339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_pivot": rel.q_events_pivot,
         "rel_events_coverage": rel.q_events_coverage,
         "rel_orders_no_lineitem": rel.q_orders_no_lineitem,
+        "rel_revenue_by_nation": rel.q_revenue_by_nation,
+        "rel_orders_running": rel.q_orders_running,
         # --- temporal operators over the event stream (§2.8 class) ---
         "events_sessions": win.q_events_sessions,
         "events_sliding_window": win.q_events_sliding_window,
@@ -4446,6 +4448,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_pivot": rel.Q_EVENTS_PIVOT_SQL,
         "rel_events_coverage": rel.Q_EVENTS_COVERAGE_SQL,
         "rel_orders_no_lineitem": rel.Q_ORDERS_NO_LINEITEM_SQL,
+        "rel_revenue_by_nation": rel.Q_REVENUE_BY_NATION_SQL,
+        "rel_orders_running": rel.Q_ORDERS_RUNNING_SQL,
         "events_sessions": win.events_sessions_sql(),
         "events_sliding_window": win.events_sliding_window_sql(),
         "events_band_pairs": win.events_band_pairs_sql(),

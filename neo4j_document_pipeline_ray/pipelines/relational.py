@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray.data
 
 import numpy as np
+import pandas as pd
 
 from neo4j_document_pipeline_ray.stages.grouped import (
     broadcast_join,
@@ -483,4 +484,170 @@ SELECT coalesce(v.user_id, p.user_id) AS user_id,
        coalesce(p.n_purchases, 0) AS n_purchases
 FROM v FULL OUTER JOIN p
   ON v.user_id = p.user_id AND v.day = p.day
+"""
+
+
+# --- TPC-H Q5-class multiway join (fact ⋈ fact-map ⋈ dim ⋈ dim) ---
+
+def q_revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """Per-nation revenue over a one-year order window — the TPC-H Q5
+    join shape (lineitem ⋈ orders ⋈ customer ⋈ nation) and the engine's
+    deepest join chain.
+
+    Scale shape: the dimension chain is built smallest-outward —
+    nation (25 rows) broadcast onto customer, producing a
+    ``c_custkey -> n_name`` map; orders is date-filtered AT THE READ
+    side (column-pruned to 3 cols, row filter applied in the first
+    batch pass) before the customer map lands on it; the resulting
+    ``o_orderkey -> n_name`` map then lands on the pre-reduced
+    lineitem side.  Every join rides :func:`broadcast_join`'s size
+    gate: at sandbox scale all three are broadcasts (zero all-to-all
+    before the final 25-row aggregate); at 100 TB the two fact-sized
+    maps exceed the 256 MiB gate and degrade to hash joins on their
+    key — the plan stays correct, only the exchange strategy moves.
+    Revenue is integer cents (`_cents` contract) so the distributed
+    sum is order-independent and hash-checkable.
+    """
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        hash_aggregate,
+    )
+
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_nationkey": pc.cast(t["c_nationkey"], pa.int32()),
+        }),
+        batch_format="pyarrow",
+    )
+    cust_nat = broadcast_join(cust, nat, on=("n_nationkey",)).select_columns(
+        ["c_custkey", "n_name"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi),
+        )).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    order_nat = broadcast_join(
+        orders, cust_nat, on=("o_custkey",), right_on=("c_custkey",)
+    ).select_columns(["o_orderkey", "n_name"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev_cents": pc.cast(
+                _round_half_away(pc.multiply(
+                    pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    100)),
+                pa.int64()),
+        })
+
+    joined = broadcast_join(
+        li.map_batches(rev, batch_format="pyarrow"), order_nat,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    out = hash_aggregate(
+        joined, "n_name",
+        [("rev_cents", "sum", "revenue_cents"),
+         (None, "count", "n_lineitems")])
+    return out.sort(["revenue_cents", "n_name"], descending=[True, False])
+
+
+Q_REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
+# --- window functions: per-group running aggregate + rank ---
+
+def q_orders_running(sf_dir: str) -> "ray.data.Dataset":
+    """Per-customer order history with SQL-window semantics — for each
+    order: its 1-based rank in the customer's date order (``ROW_NUMBER``)
+    and the customer's cumulative spend through it (running ``SUM``).
+    The window-function operator class (running aggregates) that plain
+    groupby cannot express.
+
+    Scale shape: ONE hash exchange on ``o_custkey``
+    (:func:`partitioned_group_map`), then a fully vectorized
+    per-partition pass — lexsort by (custkey, date, orderkey), one
+    ``cumsum`` over cents, and a segment-reset subtraction (cumsum of
+    per-customer offsets) instead of any per-group Python loop.  The
+    partitioning assumption is the standard window one: a single
+    customer's orders fit one partition group (bounded fan-in per key;
+    no customer has unbounded orders), which also holds for the
+    reference's per-user analyses.  Total spend is integer cents.
+    """
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        partitioned_group_map,
+    )
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "date_us": pc.cast(t["o_orderdate"], pa.int64()),
+            "price_cents": _cents(t["o_totalprice"]),
+        })
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype="int64"),
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "order_rank": pd.Series([], dtype="int64"),
+                "running_cents": pd.Series([], dtype="int64"),
+            })
+        df = df.sort_values(
+            ["o_custkey", "date_us", "o_orderkey"], kind="mergesort")
+        cust = df["o_custkey"].to_numpy()
+        cents = df["price_cents"].to_numpy(np.int64)
+        new = np.empty(len(df), dtype=bool)
+        new[0] = True
+        new[1:] = cust[1:] != cust[:-1]
+        seq = np.arange(len(df), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(new, seq, 0))
+        csum = np.cumsum(cents)
+        base = np.where(start > 0, csum[start - 1], 0)
+        return pd.DataFrame({
+            "o_custkey": cust,
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "order_rank": seq - start + 1,
+            "running_cents": csum - base,
+        })
+
+    pre = orders.map_batches(prep, batch_format="pyarrow")
+    return partitioned_group_map(pre, "o_custkey", window, num_partitions=16)
+
+
+Q_ORDERS_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS order_rank,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS running_cents
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """

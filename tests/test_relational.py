@@ -92,3 +92,72 @@ class TestPivot:
         n_events = con.sql("SELECT count(*) FROM events").fetchone()[0]
         wide_cols = [c for c in got.columns if c.startswith("n_")]
         assert int(got[wide_cols].to_numpy().sum()) == n_events
+
+
+class TestRevenueByNation:
+    def test_matches_duckdb_q5_shape(self, ray_session):
+        import duckdb
+
+        from neo4j_document_pipeline_ray.pipelines.relational import (
+            Q_REVENUE_BY_NATION_SQL,
+            q_revenue_by_nation,
+        )
+
+        got = q_revenue_by_nation(SF).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "customer", "nation"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+        want = con.execute(Q_REVENUE_BY_NATION_SQL).df()
+        assert list(got.columns) == list(want.columns)
+        assert got["n_name"].tolist() == want["n_name"].tolist()
+        assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+        assert got["n_lineitems"].tolist() == want["n_lineitems"].tolist()
+        # the date window actually bites: fewer lineitems than the table
+        n_li = pq.read_metadata(f"{SF}/lineitem.parquet").num_rows
+        assert 0 < got["n_lineitems"].sum() < n_li
+
+    def test_sorted_descending(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.relational import (
+            q_revenue_by_nation,
+        )
+
+        rev = [r["revenue_cents"] for r in q_revenue_by_nation(SF).take_all()]
+        assert rev == sorted(rev, reverse=True)
+
+
+class TestOrdersRunning:
+    def test_matches_duckdb_window(self, ray_session):
+        import duckdb
+
+        from neo4j_document_pipeline_ray.pipelines.relational import (
+            Q_ORDERS_RUNNING_SQL,
+            q_orders_running,
+        )
+
+        got = (q_orders_running(SF).to_pandas()
+               .sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')")
+        want = (con.execute(Q_ORDERS_RUNNING_SQL).df()
+                .sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True))
+        assert len(got) == len(want)
+        for c in got.columns:
+            assert got[c].tolist() == want[c].tolist(), c
+
+    def test_window_invariants(self, ray_session):
+        """Ranks are 1..n_orders per customer; running total is
+        monotone within a customer and ends at the customer's exact
+        cents total."""
+        from neo4j_document_pipeline_ray.pipelines.relational import (
+            q_orders_running,
+        )
+
+        df = q_orders_running(SF).to_pandas()
+        assert len(df) == pq.read_metadata(f"{SF}/orders.parquet").num_rows
+        for _, g in df.groupby("o_custkey"):
+            g = g.sort_values("order_rank")
+            assert g["order_rank"].tolist() == list(range(1, len(g) + 1))
+            run = g["running_cents"].to_numpy()
+            assert (run[1:] >= run[:-1]).all()
