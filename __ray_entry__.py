@@ -713,6 +713,18 @@ def _q_docs_unigram_logprob(sf_dir: str):
     return unigram_logprob(sf_dir)
 
 
+def _q_docs_nb_lang(sf_dir: str):
+    """Trained multinomial Naive Bayes classifier (the fastText-style
+    supervised curation stage): one (lang, token) hash aggregate trains
+    the model, broadcast once; scoring is a zero-exchange argmax pass
+    with integer fixed-point log-likelihoods (hash-exact)."""
+    from neo4j_document_pipeline_ray.extras.textstats import (
+        nb_lang_classifier,
+    )
+
+    return nb_lang_classifier(sf_dir)
+
+
 # fixed retrieval inputs for the oracle-checked query-layer entries;
 # tokens chosen to overlap many entity surface forms so the keyword
 # channel's scoring/ranking is exercised on a non-trivial result set
@@ -2386,6 +2398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_scrub": _q_docs_scrub,
         "docs_ppl_bucket": docs_ppl_bucket,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
+        "docs_nb_lang": _q_docs_nb_lang,
         "docs_ngram_jaccard": _q_ngram_jaccard,
         "docs_minhash_pairs": _q_minhash_pairs,
         "docs_minhash_components": _q_minhash_components,
@@ -3518,6 +3531,7 @@ def oracle_sql() -> dict[str, str]:
         REPETITION_SQL,
         PPL_BUCKET_SQL,
         UNIGRAM_LOGPROB_SQL,
+        NB_LANG_SQL,
         distinct_tokens_kmv_sql,
         grouped_distinct_tokens_kmv_sql,
         salient_terms_sql,
@@ -4491,6 +4505,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_curation_filter": CURATION_FILTER_SQL,
         "docs_scrub": scrub_blocklist_sql(),
         "docs_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+        "docs_nb_lang": NB_LANG_SQL,
         "docs_ppl_bucket": PPL_BUCKET_SQL,
         "docs_exact_dedup": EXACT_DEDUP_SQL,
         "docs_segment_dedup": SEGMENT_DEDUP_SQL,

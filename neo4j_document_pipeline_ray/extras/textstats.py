@@ -1599,3 +1599,170 @@ SELECT doc_id, n_tokens, fam,
             ELSE 'tail' END AS bucket
 FROM fam, th
 """
+
+
+# --- trained Naive Bayes language classifier --------------------------------
+
+_NB_SCALE = 10**6
+
+
+def nb_lang_classifier(sf_dir: str) -> "ray.data.Dataset":
+    """Train-and-apply multinomial Naive Bayes over the corpus — the
+    fastText-style supervised classifier stage every curation pipeline
+    runs (CCNet/RefinedWeb use one for language ID and quality): train
+    per-class token log-likelihoods from the corpus's own ``lang``
+    labels (add-1 smoothing), then score every document against every
+    class and emit the argmax.
+
+    Exactness contract: model weights are INTEGER fixed-point
+    ``floor(1e6 * ln((c+1)/(total_l+V)))`` — per-doc class scores are
+    then exact int64 sums (order-independent under any partitioning),
+    and the argmax (ties broken by lang ASC) is hash-checkable against
+    a DuckDB replay.  A float-log model would make near-tie argmaxes
+    partitioning-dependent.
+
+    Distributed shape: pass 1 is ONE (lang, token)-keyed two-phase
+    hash aggregate (per-batch vocabularies ride the exchange, not
+    token instances); the model — one int64 row per (lang, token) plus
+    per-lang priors/defaults — is ``ray.put`` ONCE; pass 2 is a
+    zero-exchange ``map_batches``: per batch, per class, one hash-index
+    lookup + one ``np.bincount`` segment sum (integer-valued float64
+    addends stay exact below 2^53).  Scale assumption: the model must
+    fit a worker heap — at open-web vocabulary sizes pre-prune with a
+    min-df cut (same prescription as :func:`unigram_logprob`); classes
+    are O(100) at most.
+    """
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.stages.grouped import hash_aggregate
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).combine_chunks()
+        keep = pc.not_equal(flat, "")
+        langs = pa.array(
+            np.repeat(t["lang"].to_numpy(zero_copy_only=False), lens)
+        ).filter(keep)
+        sub = pa.table({"lang": langs, "token": flat.filter(keep)})
+        # in-batch partial: collapse to (lang, token, n) before the exchange
+        g = sub.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "token", "n"])
+
+    model = hash_aggregate(
+        ds.map_batches(partial_counts, batch_format="pyarrow"),
+        ["lang", "token"], [("n", "sum", "n")],
+    ).to_pandas()  # small: one row per (class, distinct token)
+
+    # per-class doc counts for the prior (exact, from the label column)
+    prior_counts = hash_aggregate(
+        ds.map_batches(
+            lambda t: t.select(["lang"]), batch_format="pyarrow"),
+        "lang", [(None, "count", "n_docs")],
+    ).to_pandas()
+
+    v = model["token"].nunique()  # shared add-1 vocabulary size
+    n_total = int(prior_counts["n_docs"].sum())
+    langs = sorted(prior_counts["lang"])
+    totals = model.groupby("lang")["n"].sum()
+
+    per_lang = {}
+    for lang in langs:
+        sub = model[model["lang"] == lang]
+        denom = float(int(totals.get(lang, 0)) + v)
+        llk = np.floor(
+            _NB_SCALE * np.log((sub["n"].to_numpy(np.float64) + 1.0) / denom)
+        ).astype(np.int64)
+        default = np.int64(np.floor(_NB_SCALE * np.log(1.0 / denom)))
+        n_docs = int(prior_counts.loc[
+            prior_counts["lang"] == lang, "n_docs"].iloc[0])
+        prior = np.int64(np.floor(_NB_SCALE * np.log(n_docs / n_total)))
+        per_lang[lang] = (pd.Index(sub["token"]), llk, default, prior)
+
+    import ray
+
+    ref = ray.put((langs, per_lang))
+
+    def score(t: pa.Table) -> pa.Table:
+        lang_list, mdl = ray.get(ref)
+        n = t.num_rows
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t["text"])), r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(n, dtype=np.int64), lens)[keep]
+        words = flat.filter(pa.array(keep)).to_pandas()
+        cnts = np.bincount(idx, minlength=n).astype(np.int64)
+
+        best = np.full(n, -(1 << 62), dtype=np.int64)
+        best_lang = np.zeros(n, dtype=np.int64)
+        for li, lang in enumerate(lang_list):
+            v_idx, v_llk, dflt, prior = mdl[lang]
+            pos = v_idx.get_indexer(words)
+            w = np.where(pos >= 0, v_llk[np.maximum(pos, 0)], dflt)
+            # integer-valued addends: float64 bincount sums stay exact
+            s = np.bincount(idx, weights=w.astype(np.float64),
+                            minlength=n).astype(np.int64) + prior
+            better = s > best  # lang ASC order => strict > keeps first
+            best = np.where(better, s, best)
+            best_lang = np.where(better, li, best_lang)
+
+        has = cnts > 0
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(has)),
+            "pred_lang": pa.array(
+                [lang_list[i] for i in best_lang[has]], pa.string()),
+            "score_scaled": pa.array(best[has], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+NB_LANG_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+    FROM documents
+), t2 AS (
+    SELECT doc_id, lang, token FROM toks WHERE token <> ''
+), ct AS (
+    SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+    FROM t2 GROUP BY 1, 2
+), ctot AS (
+    SELECT lang, sum(c) AS total FROM ct GROUP BY 1
+), vocab AS (
+    SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM t2
+), cls AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM cls
+), dt AS (
+    SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM t2 GROUP BY 1, 2
+), scores AS (
+    SELECT dt.doc_id, cls.lang,
+           CAST(CAST(floor(1000000 * ln(cls.n_docs / tot.n)) AS BIGINT)
+           + sum(dt.tf * CAST(floor(1000000 * ln(
+                 (coalesce(ct.c, 0) + 1.0)
+                 / (ctot.total + vocab.v))) AS BIGINT)) AS BIGINT) AS s
+    FROM dt
+    CROSS JOIN cls
+    JOIN ctot ON ctot.lang = cls.lang
+    LEFT JOIN ct ON ct.lang = cls.lang AND ct.token = dt.token
+    CROSS JOIN vocab
+    CROSS JOIN tot
+    GROUP BY dt.doc_id, cls.lang, cls.n_docs, tot.n
+)
+SELECT doc_id, lang AS pred_lang, s AS score_scaled
+FROM (
+    SELECT doc_id, lang, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY s DESC, lang) AS rn
+    FROM scores
+)
+WHERE rn = 1
+"""

@@ -1219,3 +1219,80 @@ class TestIVFUpdate:
             emb.filter(lambda r: 200 <= r["vec_id"] < 350), idx)
         update_ivf_index(emb.filter(lambda r: r["vec_id"] >= 350), idx)
         assert read_index_meta(idx)["n_rows"] == 500
+
+
+class TestNBLangClassifier:
+    SF = "/root/testdata/sf0.001"
+
+    def test_matches_duckdb_replay(self, ray_session):
+        import duckdb
+
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            NB_LANG_SQL,
+            nb_lang_classifier,
+        )
+
+        got = (nb_lang_classifier(self.SF).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{self.SF}/documents.parquet')")
+        want = (con.execute(NB_LANG_SQL).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["pred_lang"].tolist() == want["pred_lang"].tolist()
+        assert (got["score_scaled"].to_numpy(np.int64)
+                == want["score_scaled"].to_numpy(np.int64)).all()
+
+    def test_self_train_beats_majority_baseline(self, ray_session):
+        """The synthetic corpus's lang label is only weakly coupled to
+        its (shared-vocabulary) text, so the contract is: training-set
+        accuracy strictly above the majority-class baseline — i.e. the
+        classifier learned SOMETHING — and no invented classes."""
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            nb_lang_classifier,
+        )
+
+        pred = nb_lang_classifier(self.SF).to_pandas()
+        truth = pq.read_table(
+            f"{self.SF}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        m = pred.merge(truth, on="doc_id")
+        assert len(m) == len(truth)
+        assert set(m["pred_lang"]) <= set(truth["lang"])
+        acc = (m["pred_lang"] == m["lang"]).mean()
+        majority = truth["lang"].value_counts(normalize=True).max()
+        assert acc > majority, (acc, majority)
+
+    def test_separable_corpus_is_perfect(self, ray_session, tmp_path):
+        """Disjoint per-class vocabularies -> NB must recover every
+        label exactly (and ties on the all-unseen doc break to the
+        lexicographically smallest class in BOTH engines)."""
+        import pyarrow.parquet as pq
+
+        from neo4j_document_pipeline_ray.extras.textstats import (
+            nb_lang_classifier,
+        )
+
+        rows = []
+        words = {"aa": "rot blau grun", "bb": "rouge bleu vert",
+                 "cc": "rojo azul verde"}
+        i = 0
+        for lang, vocab in words.items():
+            for _ in range(6):
+                rows.append({"doc_id": i, "lang": lang,
+                             "text": vocab + " " + vocab.split()[i % 3]})
+                i += 1
+        rows.append({"doc_id": i, "lang": "aa", "text": "zzz unseen"})
+        t = pa.Table.from_pylist(rows)
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        pred = (nb_lang_classifier(str(tmp_path)).to_pandas()
+                .sort_values("doc_id"))
+        # all-unseen doc: identical unseen-token mass, prior breaks the
+        # tie toward the (equal-count) lexicographically smallest class
+        assert pred["pred_lang"].tolist()[:-1] == (
+            ["aa"] * 6 + ["bb"] * 6 + ["cc"] * 6)
+        assert pred["pred_lang"].tolist()[-1] == "aa"
