@@ -1262,6 +1262,18 @@ def _q_kg_betweenness(sf_dir: str):
     return betweenness_approx(_kg(sf_dir)["edges"])
 
 
+def _q_kg_wl_roles(sf_dir: str):
+    """Weisfeiler-Leman structural-role histogram over the typed KG
+    edge table (2 refinement rounds): (wl_label, n_nodes), largest
+    roles first — the graph's 1-WL fingerprint and per-node role ids
+    for entity clustering / GNN features."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        wl_roles_histogram,
+    )
+
+    return wl_roles_histogram(_kg(sf_dir)["edges"], rounds=2)
+
+
 def _q_kg_negative(sf_dir: str):
     """Deterministic hash-bucket negative edge samples — the non-edge
     training pairs a KG-embedding trainer consumes next to kg_edges
@@ -2317,6 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_split": _q_kg_edge_split,
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
+        "kg_wl_roles": _q_kg_wl_roles,
         "kg_negative": _q_kg_negative,
         "kg_rules": _q_kg_rules,
         "kg_mention_contexts": _q_kg_mention_contexts,
@@ -2767,6 +2780,103 @@ def _neighborhood_sql(nsub: str, nobj: str, hops: int = 3) -> str:
     union = " UNION ALL ".join(
         f"SELECT hop, nf_est FROM nf{r}" for r in range(0, hops + 1))
     return ("WITH " + ",".join(ctes + nf) + " " + union)
+
+
+def _wl_nf61_sql(col: str) -> str:
+    """Inline DuckDB expression for the splitmix 61-bit hash chain
+    (same constants as graph_algo._nf_hash, HUGEINT mod-2^64
+    emulation).  ``col`` must be a plain column reference — the chain
+    repeats it, so a compound expression would re-evaluate."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        _NF_A, _NF_B, _NF_C1, WL_M61,
+    )
+
+    m64 = 1 << 64
+    z1 = f"CAST((CAST({col} AS HUGEINT) + {_NF_C1}) % {m64} AS UBIGINT)"
+    z3 = (f"CAST((CAST(xor({z1}, {z1} >> 30) AS HUGEINT) * {_NF_A})"
+          f" % {m64} AS UBIGINT)")
+    z5 = (f"CAST((CAST(xor({z3}, {z3} >> 27) AS HUGEINT) * {_NF_B})"
+          f" % {m64} AS UBIGINT)")
+    return (f"CAST(CAST(xor({z5}, {z5} >> 31) AS HUGEINT)"
+            f" % {WL_M61} AS BIGINT)")
+
+
+def _wl_fnv61_sql(col: str) -> str:
+    """Inline DuckDB FNV-1a-64 fold masked to 61 bits — the twin of
+    graph_algo._wl_fnv61 (shared constants with extras/profile.py;
+    ``ascii`` == byte value because rel labels are safe_label ASCII)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import WL_M61
+
+    m64 = 1 << 64
+    return (
+        "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> CAST(ascii(substr({col}, i, 1)) AS HUGEINT))), "
+        "(acc, b) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT)) "
+        f"AS HUGEINT) * 1099511628211) % {m64}) % {WL_M61}")
+
+
+def _wl_sql(nsub: str, nobj: str, rounds: int = 2) -> str:
+    """Unrolled replay of graph_algo.wl_roles over the truth-table
+    typed edge set: per round the two directed message populations,
+    the splitmix-hashed messages, the commutative multiset signature
+    (count, sum mod P1, hashed sum mod P2, min), and the label fold."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        WL_M61, WL_P1, WL_P2,
+    )
+
+    ctes = [f"""
+        e AS MATERIALIZED (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, rel_type,
+                   {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), er AS MATERIALIZED (
+            SELECT s, d, CAST({_wl_fnv61_sql('rel_type')} AS BIGINT) AS hr
+            FROM e
+        ), n0 AS (
+            SELECT DISTINCT node FROM (
+                SELECT s AS node FROM er UNION ALL SELECT d FROM er)
+        ), l0 AS MATERIALIZED (
+            SELECT node, CAST(0 AS BIGINT) AS lbl FROM n0
+        )"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+        pre{r} AS (
+            SELECT er.s AS node,
+                   CAST((1 + 3 * CAST(er.hr AS HUGEINT)
+                           + 5 * CAST(l.lbl AS HUGEINT))
+                        % {WL_M61} AS BIGINT) AS p
+            FROM er JOIN l{r - 1} l ON l.node = er.d
+            UNION ALL
+            SELECT er.d,
+                   CAST((2 + 3 * CAST(er.hr AS HUGEINT)
+                           + 5 * CAST(l.lbl AS HUGEINT))
+                        % {WL_M61} AS BIGINT)
+            FROM er JOIN l{r - 1} l ON l.node = er.s
+        ), msg{r} AS (
+            SELECT node, {_wl_nf61_sql('p')} AS m FROM pre{r}
+        ), agg{r} AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(m % {WL_P1}) % {WL_P1} AS BIGINT) AS s1,
+                   CAST(sum({_wl_nf61_sql('m')} % {WL_P2}) % {WL_P2}
+                        AS BIGINT) AS s2,
+                   min(m) AS mn
+            FROM msg{r} GROUP BY node
+        ), cmb{r} AS (
+            SELECT a.node,
+                   CAST(((7 * CAST(l.lbl AS HUGEINT)) % {WL_M61}
+                       + (3 * CAST(a.s1 AS HUGEINT)) % {WL_M61}
+                       + (5 * CAST(a.s2 AS HUGEINT)) % {WL_M61}
+                       + (11 * CAST(a.mn AS HUGEINT)) % {WL_M61}
+                       + a.n) % {WL_M61} AS BIGINT) AS p
+            FROM agg{r} a JOIN l{r - 1} l ON l.node = a.node
+        ), l{r} AS MATERIALIZED (
+            SELECT node, {_wl_nf61_sql('p')} AS lbl FROM cmb{r}
+        )""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT lbl AS wl_label, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM l{rounds} GROUP BY lbl
+        ORDER BY n_nodes DESC, wl_label""")
 
 
 def _betweenness_sql(nsub: str, nobj: str) -> str:
@@ -3966,6 +4076,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_harmonic": _harmonic_sql(nsub, nobj),
         "kg_path_between": _path_sql(nsub, nobj, *_khop_seeds()[:2]),
         "kg_betweenness": _betweenness_sql(nsub, nobj),
+        "kg_wl_roles": _wl_sql(nsub, nobj),
         "kg_negative": _negative_sql(nsub, nobj),
         "kg_rules": _rules_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),

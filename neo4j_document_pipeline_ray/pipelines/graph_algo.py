@@ -4040,3 +4040,192 @@ def ego_net_reference(edge_pairs, seeds, hops: int = 2,
         if not frontier:
             break
     return rows
+
+
+# --- Weisfeiler-Leman role refinement ---------------------------------------
+
+WL_M61 = 1 << 61          # label/message space (signed-int64 safe)
+WL_P1 = 2147483647        # Mersenne primes for the multiset sums —
+WL_P2 = 2147483629        # per-node partial sums stay far below 2^63
+
+
+def _wl_fnv61(vals) -> "np.ndarray":
+    """FNV-1a 64 of strings masked to 61 bits — shares the kernel (and
+    the DuckDB ``list_reduce`` twin) with extras/profile.py."""
+    import numpy as np
+
+    from neo4j_document_pipeline_ray.extras.profile import _fnv_strings
+
+    return (_fnv_strings(list(vals)) & np.uint64(WL_M61 - 1)).astype(np.int64)
+
+
+def wl_roles(
+    edges: "ray.data.Dataset",
+    rounds: int = 2,
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    rel_col: str = "rel_type",
+) -> "ray.data.Dataset":
+    """Weisfeiler-Leman structural-role refinement over the TYPED edge
+    table — the 1-WL color refinement of graph-isomorphism testing
+    (Weisfeiler & Leman 1968; Shervashidze et al., "Weisfeiler-Lehman
+    Graph Kernels", JMLR 2011), which is also exactly the expressive
+    ceiling of message-passing GNNs (Xu et al., ICLR 2019): after R
+    rounds two nodes share a label iff their depth-R typed neighborhood
+    trees agree, so the label histogram is the graph's WL fingerprint
+    and per-node labels are role ids (entity-role clustering, GNN
+    feature init, schema discovery).
+
+    Determinism contract: the classic WL step hashes the SORTED
+    multiset of neighbor messages — a per-node sequential fold.  This
+    implementation replaces the sort with an ORDER-INDEPENDENT multiset
+    signature, ``(count, Σ m mod P1, Σ h(m) mod P2, min m)``, folded
+    into the node's previous label — every component is a commutative
+    pyarrow aggregate, so the result is bit-identical under ANY
+    partitioning and the whole refinement is DuckDB-replayable
+    (colliding two distinct multisets needs simultaneous 31+31+61-bit
+    coincidences).  All hashes live in [0, 2^61) (signed-int64 safe,
+    HUGEINT-emulable); ``h`` is the splitmix chain shared with the ANF
+    sketches (:func:`_nf_hash`).
+
+    100-TB shape: per round, TWO E-sized streaming probes of the
+    node-sided label table (size-gated broadcast, hash-join fallback)
+    + ONE (node)-keyed aggregate of in-batch-derived message columns +
+    one node-sided combine join.  Rounds are a constant; driver state
+    is zero.  Returns per-node ``(entity_id, wl_label)``.
+    """
+    import numpy as np
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, rel_col, dst_col]),
+        [src_col, rel_col, dst_col], [(None, "count", "_m")],
+    ).drop_columns(["_m"])
+
+    def with_rel_hash(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": t[src_col],
+            "d": t[dst_col],
+            "hr": pa.array(
+                _wl_fnv61(t[rel_col].to_pylist()), pa.int64()),
+        })
+
+    er = e.map_batches(with_rel_hash, batch_format="pyarrow").materialize()
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        return pa.table({"entity_id": pa.concat_arrays([
+            t["s"].combine_chunks(), t["d"].combine_chunks()])})
+
+    nodes = hash_aggregate(
+        er.map_batches(both_ends, batch_format="pyarrow"),
+        "entity_id", [(None, "count", "_m")],
+    ).drop_columns(["_m"]).materialize()
+
+    labels = nodes.map_batches(
+        lambda t: t.append_column(
+            "lbl", pa.array([0] * t.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+
+    m61 = np.uint64(WL_M61)
+
+    def msg_cols(t: pa.Table, direction: int, out_col: str) -> pa.Table:
+        hr = t["hr"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lb = t["lbl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # dir + 3·hr + 5·lbl < 2^64 (all operands < 2^61): no wrap
+        pre = (np.uint64(direction) + np.uint64(3) * hr
+               + np.uint64(5) * lb) % m61
+        m = _nf_hash(pre.astype(np.int64))
+        return pa.table({
+            "node": t[out_col],
+            "m": pa.array(m, pa.int64()),
+            "m1": pa.array(m % WL_P1, pa.int64()),
+            "m2": pa.array(_nf_hash(m) % WL_P2, pa.int64()),
+        })
+
+    for _ in range(rounds):
+        # E-sized probes: neighbor label rides the edge both directions
+        to_src = broadcast_join(er, labels, on=("d",),
+                                right_on=("entity_id",)).map_batches(
+            lambda t: msg_cols(t, 1, "s"), batch_format="pyarrow")
+        to_dst = broadcast_join(er, labels, on=("s",),
+                                right_on=("entity_id",)).map_batches(
+            lambda t: msg_cols(t, 2, "d"), batch_format="pyarrow")
+        agg = hash_aggregate(
+            to_src.union(to_dst), "node",
+            [(None, "count", "n"), ("m1", "sum", "s1"),
+             ("m2", "sum", "s2"), ("m", "min", "mn")],
+        )
+        joined = broadcast_join(agg, labels, on=("node",),
+                                right_on=("entity_id",))
+
+        def combine(t: pa.Table) -> pa.Table:
+            lb = t["lbl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            s1 = t["s1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            s2 = t["s2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            mn = t["mn"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pre = ((np.uint64(7) * lb) % m61
+                   + (np.uint64(3) * (s1 % np.uint64(WL_P1))) % m61
+                   + (np.uint64(5) * (s2 % np.uint64(WL_P2))) % m61
+                   + (np.uint64(11) * mn) % m61
+                   + n) % m61  # 5 addends < 2^61 each: sum < 2^64
+            return pa.table({
+                "entity_id": t["node"],
+                "lbl": pa.array(_nf_hash(pre.astype(np.int64)), pa.int64()),
+            })
+
+        labels = joined.map_batches(
+            combine, batch_format="pyarrow").materialize()
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["entity_id", "wl_label"]),
+        batch_format="pyarrow")
+
+
+def wl_roles_histogram(edges: "ray.data.Dataset",
+                       rounds: int = 2) -> "ray.data.Dataset":
+    """(wl_label, n_nodes) WL fingerprint of the graph, largest roles
+    first — the comparable-across-snapshots summary."""
+    per_node = wl_roles(edges, rounds=rounds)
+    h = hash_aggregate(per_node, "wl_label", [(None, "count", "n_nodes")])
+    return h.sort(["n_nodes", "wl_label"], descending=[True, False])
+
+
+def wl_roles_reference(typed_edges, rounds: int = 2) -> dict:
+    """Pure-Python replay of :func:`wl_roles` over (src, rel, dst)
+    tuples — same hashes, same multiset signature, same fold."""
+    def nf(x: int) -> int:
+        z = (x + 0x9E3779B97F4A7C15) % (1 << 64)
+        z ^= z >> 30
+        z = (z * 0x3C79AC492BA7B653) % (1 << 64)
+        z ^= z >> 27
+        z = (z * 0x1C69B3F74AC4AE35) % (1 << 64)
+        z ^= z >> 31
+        return z % WL_M61
+
+    def fnv61(s: str) -> int:
+        h = 14695981039346656037
+        for b in s.encode("utf-8"):
+            h = ((h ^ b) * 1099511628211) % (1 << 64)
+        return h % WL_M61
+
+    ee = {(s, r, d) for s, r, d in typed_edges}
+    nodes = {s for s, _, _ in ee} | {d for _, _, d in ee}
+    lbl = {v: 0 for v in nodes}
+    for _ in range(rounds):
+        msgs = {v: [] for v in nodes}
+        for s, r, d in ee:
+            hr = fnv61(r)
+            msgs[s].append(nf((1 + 3 * hr + 5 * lbl[d]) % WL_M61))
+            msgs[d].append(nf((2 + 3 * hr + 5 * lbl[s]) % WL_M61))
+        new = {}
+        for v in nodes:
+            ms = msgs[v]
+            s1 = sum(m % WL_P1 for m in ms) % WL_P1
+            s2 = sum(nf(m) % WL_P2 for m in ms) % WL_P2
+            pre = ((7 * lbl[v]) % WL_M61 + (3 * s1) % WL_M61
+                   + (5 * s2) % WL_M61 + (11 * min(ms)) % WL_M61
+                   + len(ms)) % WL_M61
+            new[v] = nf(pre)
+        lbl = new
+    return lbl

@@ -1276,3 +1276,76 @@ class TestFunctionalConflicts:
                 (1, "mentions", 12)]
         assert functional_conflicts(
             _typed_edges_ds(rows)).take_all() == []
+
+
+class TestWLRoles:
+    def test_matches_python_reference(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            wl_roles,
+            wl_roles_reference,
+        )
+
+        rng = random.Random(11)
+        rels = ["mentions", "capital_of", "born_in"]
+        triples = [(rng.randrange(25) + 1, rng.choice(rels),
+                    rng.randrange(25) + 1) for _ in range(80)]
+        got = {r["entity_id"]: r["wl_label"]
+               for r in wl_roles(_typed_edges_ds(triples)).take_all()}
+        assert got == wl_roles_reference(triples)
+
+    def test_partitioning_invariant(self, ray_session):
+        import random
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            wl_roles,
+            wl_roles_reference,
+        )
+
+        rng = random.Random(5)
+        triples = [(rng.randrange(15) + 1, "r", rng.randrange(15) + 1)
+                   for _ in range(40)]
+        ds = _typed_edges_ds(triples).repartition(7)
+        got = {r["entity_id"]: r["wl_label"]
+               for r in wl_roles(ds).take_all()}
+        assert got == wl_roles_reference(triples)
+
+    def test_star_roles_and_isomorphic_twins(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            wl_roles,
+        )
+
+        # two disjoint isomorphic stars: hubs share a label, all 8
+        # leaves share a (different) label
+        triples = ([(1, "r", i) for i in range(2, 6)]
+                   + [(10, "r", i) for i in range(11, 15)])
+        got = {r["entity_id"]: r["wl_label"]
+               for r in wl_roles(_typed_edges_ds(triples)).take_all()}
+        assert got[1] == got[10]
+        leaves = {got[i] for i in [2, 3, 4, 5, 11, 12, 13, 14]}
+        assert len(leaves) == 1
+        assert got[1] != got[2]
+
+    def test_rel_type_distinguishes(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            wl_roles,
+        )
+
+        # same shape, different edge type: endpoints must differ
+        triples = [(1, "a", 2), (3, "b", 4)]
+        got = {r["entity_id"]: r["wl_label"]
+               for r in wl_roles(_typed_edges_ds(triples)).take_all()}
+        assert got[1] != got[3]
+        assert got[2] != got[4]
+
+    def test_histogram_ordering(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            wl_roles_histogram,
+        )
+
+        triples = ([(1, "r", i) for i in range(2, 6)]
+                   + [(10, "r", i) for i in range(11, 15)])
+        rows = wl_roles_histogram(_typed_edges_ds(triples)).take_all()
+        assert [r["n_nodes"] for r in rows] == [8, 2]
+        assert list(rows[0].keys()) == ["wl_label", "n_nodes"]
