@@ -1274,6 +1274,18 @@ def _q_kg_wl_roles(sf_dir: str):
     return wl_roles_histogram(_kg(sf_dir)["edges"], rounds=2)
 
 
+def _q_kg_scc(sf_dir: str):
+    """Strongly connected components over the DIRECTED KG edge set
+    (GDS scc analog; kg_components is the undirected view): per-node
+    (entity_id, scc_id) with scc_id = min entity id of the component —
+    the bowtie decomposition (giant SCC vs in/out DAG tendrils)."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(_kg(sf_dir)["edges"])
+
+
 def _q_kg_negative(sf_dir: str):
     """Deterministic hash-bucket negative edge samples — the non-edge
     training pairs a KG-embedding trainer consumes next to kg_edges
@@ -2330,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_harmonic": _q_kg_harmonic,
         "kg_betweenness": _q_kg_betweenness,
         "kg_wl_roles": _q_kg_wl_roles,
+        "kg_scc": _q_kg_scc,
         "kg_negative": _q_kg_negative,
         "kg_rules": _q_kg_rules,
         "kg_mention_contexts": _q_kg_mention_contexts,
@@ -2877,6 +2890,32 @@ def _wl_sql(nsub: str, nobj: str, rounds: int = 2) -> str:
         SELECT lbl AS wl_label, CAST(count(*) AS BIGINT) AS n_nodes
         FROM l{rounds} GROUP BY lbl
         ORDER BY n_nodes DESC, wl_label""")
+
+
+def _scc_sql(nsub: str, nobj: str) -> str:
+    """Ground-truth SCC over the truth-table directed edge set via
+    mutual reachability: a and b share a component iff reach(a,b) AND
+    reach(b,a); scc_id = min of the mutual set (always includes the
+    node itself).  The closure is independent of graph_algo's
+    label-refinement rounds — it checks the OUTPUT contract, not the
+    algorithm."""
+    return f"""
+        WITH RECURSIVE e0 AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), n AS (
+            SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e0 UNION ALL SELECT d FROM e0)
+        ), e AS (
+            SELECT s, d FROM e0 WHERE s <> d
+        ), reach(a, b) AS (
+            SELECT node, node FROM n
+            UNION
+            SELECT reach.a, e.d FROM reach JOIN e ON e.s = reach.b
+        )
+        SELECT r1.a AS entity_id, min(r1.b) AS scc_id
+        FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+        GROUP BY r1.a"""
 
 
 def _betweenness_sql(nsub: str, nobj: str) -> str:
@@ -4077,6 +4116,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_path_between": _path_sql(nsub, nobj, *_khop_seeds()[:2]),
         "kg_betweenness": _betweenness_sql(nsub, nobj),
         "kg_wl_roles": _wl_sql(nsub, nobj),
+        "kg_scc": _scc_sql(nsub, nobj),
         "kg_negative": _negative_sql(nsub, nobj),
         "kg_rules": _rules_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),

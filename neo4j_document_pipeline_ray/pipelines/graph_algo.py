@@ -4229,3 +4229,246 @@ def wl_roles_reference(typed_edges, rounds: int = 2) -> dict:
             new[v] = nf(pre)
         lbl = new
     return lbl
+
+
+# --- strongly connected components -------------------------------------------
+
+
+def strongly_connected_components(
+    edges: "ray.data.Dataset",
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    max_outer: int = 16,
+    max_prop: int = 48,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Strongly connected components of the DIRECTED distinct edge set
+    (Neo4j GDS ``scc`` analog; :func:`kg components <label_prop_communities>`
+    is the weakly-connected view — this one respects edge direction,
+    the bowtie decomposition a web/citation KG audit needs: the
+    reference's Neo4j store answers it with ``gds.scc``, no pipeline
+    counterpart exists there).
+
+    Label-refinement algorithm (the FW-BW family, Orzan-style, made
+    deterministic): per outer round compute for every active node
+
+    * ``f(v)`` = min id among nodes that REACH v (forward min-label
+      propagation to fixpoint), and
+    * ``b(v)`` = min id REACHABLE from v (backward propagation),
+
+    both seeded ``f = b = v``.  Every node of an SCC shares the same
+    ``(f, b)`` pair (mutual reachability), so the pair partitions
+    nodes without ever splitting an SCC; a class with ``f == b == m``
+    is EXACTLY the SCC of ``m`` (``m`` reaches every member and every
+    member reaches ``m``) and is assigned ``scc_id = m``.  Surviving
+    edges are only those whose endpoints share the full ``(f, b)``
+    pair — cross-class edges can never be intra-SCC, and edges
+    touching an assigned node drop automatically (its pair has
+    ``f == b``).  Every class assigns at least its min node per round,
+    and for hash-distributed ids (``stable_id`` outputs) refinement
+    splits at record positions, so the expected outer-round count is
+    O(log V); ``max_outer`` is a guarded cap, not a truncation — the
+    operator RAISES if the graph hasn't emptied (same contract as a
+    shuffle that runs out of disk, never a silently-wrong answer).
+
+    Scale shape: state is one edge table (only ever shrinks) and one
+    node-sided label table; per propagation round ONE E-sized
+    streaming probe of the node-sided label table (rides
+    :func:`broadcast_join`'s size gate) + one node-keyed min
+    aggregate; fixpoint detected by an unchanged (count, sum) scalar
+    pair (labels only decrease).  No global sort, no driver-side data
+    path, no all-pairs product.  Propagation rounds are bounded by the
+    active subgraph's directed diameter — the same small-world
+    assumption :func:`bfs_distances` and the k-hop layer already make.
+
+    Returns ``(entity_id, scc_id)`` with ``scc_id`` = min entity id of
+    the component — singletons (the DAG part of the bowtie) map to
+    themselves.
+    """
+    def pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"s": t[src_col], "d": t[dst_col]})
+
+    e0 = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(pairs, batch_format="pyarrow"),
+        ["s", "d"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"])
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            t["s"].combine_chunks(), t["d"].combine_chunks()])})
+
+    active = hash_aggregate(
+        e0.map_batches(endpoints, batch_format="pyarrow"),
+        "node", [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"]).materialize()
+
+    # self-loops never change SCC membership; drop them from the
+    # traversal (their nodes stay in the active set via e0 endpoints)
+    e = e0.map_batches(
+        lambda t: t.filter(pc.not_equal(t["s"], t["d"])),
+        batch_format="pyarrow").materialize()
+
+    def _fingerprint(lab: "ray.data.Dataset", col: str) -> tuple:
+        def p(t: pa.Table) -> pa.Table:
+            s = pc.sum(t[col]).as_py()
+            return pa.table({
+                "_k": pa.array([1], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([0 if s is None else s], pa.int64()),
+            })
+
+        r = hash_aggregate(
+            lab.map_batches(p, batch_format="pyarrow"),
+            "_k", [("n", "sum", "n"), ("s", "sum", "s")],
+            num_partitions=1,
+        ).take_all()
+        return (r[0]["n"], r[0]["s"]) if r else (0, 0)
+
+    def _min_prop(edge_ds, key_col: str, out_col: str, lab_col: str):
+        """Propagate min label along ``key_col -> out_col`` edges to
+        the fixpoint: f-mode uses (s -> d), b-mode the reverse."""
+        lab = active.map_batches(
+            lambda t, _c=lab_col: pa.table({
+                "entity_id": t["node"], _c: t["node"]}),
+            batch_format="pyarrow").materialize()
+        fp = _fingerprint(lab, lab_col)
+        for _ in range(max_prop):
+            hop = broadcast_join(
+                edge_ds, lab, on=(key_col,), right_on=("entity_id",),
+                num_partitions=num_partitions)
+            cand = hop.map_batches(
+                lambda t, _o=out_col, _c=lab_col: pa.table({
+                    "entity_id": t[_o], _c: t[_c]}),
+                batch_format="pyarrow")
+            lab = hash_aggregate(
+                lab.union(cand), "entity_id",
+                [(lab_col, "min", lab_col)],
+                num_partitions=num_partitions,
+            ).materialize()
+            nfp = _fingerprint(lab, lab_col)
+            if nfp == fp:
+                return lab
+            fp = nfp
+        raise RuntimeError(
+            f"SCC label propagation did not reach a fixpoint in "
+            f"{max_prop} rounds (directed diameter exceeds the bound)")
+
+    assigned: list = []
+    for _ in range(max_outer):
+        if active.count() == 0:
+            break
+        if e.count() == 0:
+            assigned.append(active.map_batches(
+                lambda t: pa.table({
+                    "entity_id": t["node"], "scc_id": t["node"]}),
+                batch_format="pyarrow").materialize())
+            active = ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64())})).materialize()
+            break
+        f = _min_prop(e, "s", "d", "f")
+        b = _min_prop(e, "d", "s", "b")
+        lab = broadcast_join(
+            f, b, on=("entity_id",), num_partitions=num_partitions,
+        ).materialize()
+        done = lab.map_batches(
+            lambda t: pa.table({
+                "entity_id": t.filter(
+                    pc.equal(t["f"], t["b"]))["entity_id"],
+                "scc_id": t.filter(pc.equal(t["f"], t["b"]))["f"],
+            }),
+            batch_format="pyarrow").materialize()
+        assigned.append(done)
+        rem = lab.map_batches(
+            lambda t: t.filter(pc.not_equal(t["f"], t["b"])),
+            batch_format="pyarrow").materialize()
+        if rem.count() == 0:
+            active = ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64())})).materialize()
+            break
+        active = rem.map_batches(
+            lambda t: pa.table({"node": t["entity_id"]}),
+            batch_format="pyarrow").materialize()
+        # keep only edges whose endpoints share the FULL (f, b) pair;
+        # edges into assigned nodes (f == b) vanish with them
+        es = broadcast_join(
+            e, rem.map_batches(
+                lambda t: pa.table({
+                    "s": t["entity_id"], "sf": t["f"], "sb": t["b"]}),
+                batch_format="pyarrow"),
+            on=("s",), num_partitions=num_partitions)
+        ed = broadcast_join(
+            es, rem.map_batches(
+                lambda t: pa.table({
+                    "d": t["entity_id"], "df": t["f"], "db": t["b"]}),
+                batch_format="pyarrow"),
+            on=("d",), num_partitions=num_partitions)
+        e = ed.map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.equal(t["sf"], t["df"]),
+                pc.equal(t["sb"], t["db"]))).select(["s", "d"]),
+            batch_format="pyarrow").materialize()
+    if active.count() != 0:
+        raise RuntimeError(
+            f"SCC refinement did not converge in {max_outer} outer "
+            f"rounds ({active.count()} nodes unassigned)")
+    if not assigned:
+        return ray.data.from_arrow(pa.table({
+            "entity_id": pa.array([], pa.int64()),
+            "scc_id": pa.array([], pa.int64()),
+        }))
+    out = assigned[0]
+    for a in assigned[1:]:
+        out = out.union(a)
+    return out
+
+
+def scc_reference(edge_pairs) -> dict:
+    """Pure-Python SCC replay (test oracle): iterative Kosaraju;
+    node -> min node id of its strongly connected component."""
+    fwd: dict = {}
+    bwd: dict = {}
+    nodes = set()
+    for a, b in edge_pairs:
+        nodes.add(a)
+        nodes.add(b)
+        if a == b:
+            continue
+        fwd.setdefault(a, []).append(b)
+        bwd.setdefault(b, []).append(a)
+    order: list = []
+    seen: set = set()
+    for root in nodes:
+        if root in seen:
+            continue
+        stack = [(root, iter(fwd.get(root, ())))]
+        seen.add(root)
+        while stack:
+            v, it = stack[-1]
+            nxt = next((w for w in it if w not in seen), None)
+            if nxt is None:
+                order.append(v)
+                stack.pop()
+            else:
+                seen.add(nxt)
+                stack.append((nxt, iter(fwd.get(nxt, ()))))
+    comp: dict = {}
+    for root in reversed(order):
+        if root in comp:
+            continue
+        members = [root]
+        comp[root] = root
+        stack = [root]
+        while stack:
+            v = stack.pop()
+            for w in bwd.get(v, ()):
+                if w not in comp:
+                    comp[w] = root
+                    members.append(w)
+                    stack.append(w)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp

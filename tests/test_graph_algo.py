@@ -1349,3 +1349,56 @@ class TestWLRoles:
         rows = wl_roles_histogram(_typed_edges_ds(triples)).take_all()
         assert [r["n_nodes"] for r in rows] == [8, 2]
         assert list(rows[0].keys()) == ["wl_label", "n_nodes"]
+
+
+class TestSCC:
+    def _run(self, pairs, **kw):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            strongly_connected_components,
+        )
+
+        return {r["entity_id"]: r["scc_id"]
+                for r in strongly_connected_components(
+                    _edges_ds(pairs), **kw).take_all()}
+
+    def test_matches_kosaraju_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            scc_reference,
+        )
+
+        # two cycles joined by a DAG path, a self-loop, a dangling
+        # node, duplicate edges, and a back-edge making a 3-cycle
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6),
+                 (6, 5), (7, 7), (3, 4), (8, 1), (2, 8)]
+        assert self._run(pairs) == scc_reference(pairs)
+
+    def test_direction_matters(self, ray_session):
+        # a -> b -> c with no back edges: all singletons (the
+        # undirected view would be one component)
+        got = self._run([(10, 20), (20, 30)])
+        assert got == {10: 10, 20: 20, 30: 30}
+
+    def test_cycle_collapses_to_min_id(self, ray_session):
+        got = self._run([(5, 9), (9, 2), (2, 5), (9, 14)])
+        assert got == {5: 2, 9: 2, 2: 2, 14: 14}
+
+    def test_two_disjoint_cycles(self, ray_session):
+        got = self._run([(1, 2), (2, 1), (8, 9), (9, 8)])
+        assert got == {1: 1, 2: 1, 8: 8, 9: 8}
+
+    def test_partitioning_invariance(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            scc_reference,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        pairs = [(rng.randrange(40), rng.randrange(40))
+                 for _ in range(120)]
+        want = scc_reference(pairs)
+        assert self._run(pairs, num_partitions=3) == want
+        assert self._run(pairs, num_partitions=16) == want
+
+    def test_empty(self, ray_session):
+        assert self._run([]) == {}
