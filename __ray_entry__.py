@@ -1286,6 +1286,17 @@ def _q_kg_scc(sf_dir: str):
     return strongly_connected_components(_kg(sf_dir)["edges"])
 
 
+def _q_kg_struct_profile(sf_dir: str):
+    """One-row structural audit: reciprocity (directed edges whose
+    reverse exists) + Newman degree assortativity, both exact in
+    integer math — the lead numbers of a graph-shape report."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        structural_profile,
+    )
+
+    return structural_profile(_kg(sf_dir)["edges"])
+
+
 def _q_kg_negative(sf_dir: str):
     """Deterministic hash-bucket negative edge samples — the non-edge
     training pairs a KG-embedding trainer consumes next to kg_edges
@@ -2343,6 +2354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_betweenness": _q_kg_betweenness,
         "kg_wl_roles": _q_kg_wl_roles,
         "kg_scc": _q_kg_scc,
+        "kg_struct_profile": _q_kg_struct_profile,
         "kg_negative": _q_kg_negative,
         "kg_rules": _q_kg_rules,
         "kg_mention_contexts": _q_kg_mention_contexts,
@@ -2916,6 +2928,72 @@ def _scc_sql(nsub: str, nobj: str) -> str:
         SELECT r1.a AS entity_id, min(r1.b) AS scc_id
         FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
         GROUP BY r1.a"""
+
+
+def _struct_profile_sql(nsub: str, nobj: str) -> str:
+    """Mirror of graph_algo.structural_profile: reciprocity from the
+    canonical-pair count (2 == reciprocal on a distinct input) and
+    assortativity as the sqrt-free symmetric Pearson ratio in HUGEINT,
+    sign-magnitude truncated division matching the Python side."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        ASSORT_SCALE,
+    )
+
+    s = ASSORT_SCALE
+    return f"""
+        WITH e0 AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), nn AS (
+            SELECT count(*) AS n_nodes FROM (
+                SELECT DISTINCT node FROM (
+                    SELECT s AS node FROM e0 UNION ALL SELECT d FROM e0))
+        ), dd AS (
+            SELECT s, d FROM e0 WHERE s <> d
+        ), und AS (
+            SELECT least(s, d) AS lo, greatest(s, d) AS hi,
+                   count(*) AS c
+            FROM dd GROUP BY lo, hi
+        ), bo AS (
+            SELECT lo AS node, hi AS peer FROM und
+            UNION ALL SELECT hi, lo FROM und
+        ), deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS deg
+            FROM bo GROUP BY node
+        ), mom AS (
+            SELECT CAST(count(*) AS HUGEINT) AS m,
+                   coalesce(sum(CAST(dx.deg AS HUGEINT)), 0) AS sx,
+                   coalesce(sum(CAST(dx.deg AS HUGEINT) * dx.deg), 0)
+                       AS sxx,
+                   coalesce(sum(CAST(dx.deg AS HUGEINT) * dy.deg), 0)
+                       AS sxy
+            FROM bo JOIN deg dx ON dx.node = bo.node
+                    JOIN deg dy ON dy.node = bo.peer
+        ), cnts AS (
+            SELECT (SELECT count(*) FROM dd) AS n_directed,
+                   (SELECT count(*) FROM und) AS n_undirected,
+                   (SELECT coalesce(
+                        sum(CASE WHEN c = 2 THEN 2 ELSE 0 END), 0)
+                    FROM und) AS n_reciprocal
+        )
+        SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+               CAST(c.n_directed AS BIGINT) AS n_directed,
+               CAST(c.n_undirected AS BIGINT) AS n_undirected,
+               CAST(c.n_reciprocal AS BIGINT) AS n_reciprocal,
+               CAST(CASE WHEN c.n_directed = 0 THEN 0
+                    ELSE (CAST(c.n_reciprocal AS HUGEINT) * {s})
+                         // c.n_directed END AS BIGINT)
+                   AS reciprocity_scaled,
+               CAST(CASE WHEN (mom.m * mom.sxx - mom.sx * mom.sx) = 0
+                         THEN 0
+                    ELSE (CASE WHEN (mom.m * mom.sxy
+                                     - mom.sx * mom.sx) >= 0
+                               THEN 1 ELSE -1 END)
+                         * ((abs(mom.m * mom.sxy - mom.sx * mom.sx)
+                             * {s})
+                            // (mom.m * mom.sxx - mom.sx * mom.sx))
+                    END AS BIGINT) AS assortativity_scaled
+        FROM nn, cnts c, mom"""
 
 
 def _betweenness_sql(nsub: str, nobj: str) -> str:
@@ -4117,6 +4195,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_betweenness": _betweenness_sql(nsub, nobj),
         "kg_wl_roles": _wl_sql(nsub, nobj),
         "kg_scc": _scc_sql(nsub, nobj),
+        "kg_struct_profile": _struct_profile_sql(nsub, nobj),
         "kg_negative": _negative_sql(nsub, nobj),
         "kg_rules": _rules_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),

@@ -4472,3 +4472,206 @@ def scc_reference(edge_pairs) -> dict:
         for v in members:
             comp[v] = m
     return comp
+
+
+# --- structural profile (reciprocity + assortativity) -------------------------
+
+ASSORT_SCALE = 10**6
+
+
+def structural_profile(
+    edges: "ray.data.Dataset",
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    scale: int = ASSORT_SCALE,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """One-row structural audit of the KG: reciprocity and degree
+    assortativity (the two numbers a graph-shape report leads with —
+    Neo4j answers them with ad-hoc Cypher over the store; here they
+    are one streaming pass each).
+
+    * ``n_reciprocal`` / ``reciprocity_scaled`` — directed distinct
+      edges whose reverse also exists (A cites B and B cites A), as a
+      count and a scaled fraction of the distinct directed edge set.
+      Computed WITHOUT a self-join: the canonical ``(lo, hi)``
+      aggregate's count is 2 exactly for reciprocal pairs (the input
+      is distinct), so one exchange answers it.
+    * ``assortativity_scaled`` — Newman's degree assortativity over
+      the undirected distinct graph, exact in integer math: summing
+      over BOTH orientations of every edge makes the two marginal
+      moment sets identical (``Sx == Sy``, ``Sxx == Syy``), so
+      Pearson's r collapses to ``(M*Sxy - Sx^2) / (M*Sxx - Sx^2)`` —
+      rational, no square root, bit-stable under any partitioning.
+      Scaled by ``scale`` with sign-magnitude truncation (mirrors
+      DuckDB's ``//``).  0 when the variance term is 0 (regular
+      graph).
+
+    Scale shape: degree table node-sided; moments are per-batch int64
+    partials over the E-sized ordered-pair stream (two size-gated
+    broadcast joins of the degree table) folded into ONE row; the
+    final division runs driver-side on six scalars in arbitrary-
+    precision Python ints.  Int64 partial-sum bound: requires
+    ``sum(deg_i^2) < 2^63`` over the corpus (RMS degree ~3e4 at 1e10
+    edges) — beyond that, promote the moment columns to per-batch
+    Python-int folds.
+    """
+    def pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"s": t[src_col], "d": t[dst_col]})
+
+    e0 = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(pairs, batch_format="pyarrow"),
+        ["s", "d"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"]).materialize()
+
+    def nn_part(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            t["s"].combine_chunks(), t["d"].combine_chunks()])})
+
+    n_nodes = hash_aggregate(
+        e0.map_batches(nn_part, batch_format="pyarrow"),
+        "node", [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).count()
+
+    dd = e0.map_batches(
+        lambda t: t.filter(pc.not_equal(t["s"], t["d"])),
+        batch_format="pyarrow").materialize()
+    n_directed = dd.count()
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lo": pc.min_element_wise(t["s"], t["d"]),
+            "hi": pc.max_element_wise(t["s"], t["d"]),
+        })
+
+    und = hash_aggregate(
+        dd.map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [(None, "count", "c")],
+        num_partitions=num_partitions,
+    ).materialize()
+    n_undirected = und.count()
+
+    def rec_part(t: pa.Table) -> pa.Table:
+        r = pc.sum(pc.if_else(pc.equal(t["c"], 2), 2, 0)).as_py()
+        return pa.table({
+            "_k": pa.array([1], pa.int64()),
+            "r": pa.array([0 if r is None else r], pa.int64()),
+        })
+
+    rr = hash_aggregate(
+        und.map_batches(rec_part, batch_format="pyarrow"),
+        "_k", [("r", "sum", "r")], num_partitions=1,
+    ).take_all()
+    n_reciprocal = int(rr[0]["r"]) if rr else 0
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays([
+                t["lo"].combine_chunks(), t["hi"].combine_chunks()]),
+            "peer": pa.concat_arrays([
+                t["hi"].combine_chunks(), t["lo"].combine_chunks()]),
+        })
+
+    bo = und.map_batches(
+        lambda t: both_dirs(t.select(["lo", "hi"])),
+        batch_format="pyarrow").materialize()
+
+    deg = hash_aggregate(
+        bo.select_columns(["node"]), "node", [(None, "count", "deg")],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    m, sx, sxx, sxy = 0, 0, 0, 0
+    if n_undirected:
+        j1 = broadcast_join(bo, deg, on=("node",),
+                            num_partitions=num_partitions)
+        j2 = broadcast_join(
+            j1, deg.map_batches(
+                lambda t: pa.table({
+                    "peer": t["node"], "pdeg": t["deg"]}),
+                batch_format="pyarrow"),
+            on=("peer",), num_partitions=num_partitions)
+
+        def mom_part(t: pa.Table) -> pa.Table:
+            x = t["deg"]
+            y = t["pdeg"]
+            return pa.table({
+                "_k": pa.array([1], pa.int64()),
+                "m": pa.array([t.num_rows], pa.int64()),
+                "sx": pa.array([pc.sum(x).as_py() or 0], pa.int64()),
+                "sxx": pa.array(
+                    [pc.sum(pc.multiply(x, x)).as_py() or 0],
+                    pa.int64()),
+                "sxy": pa.array(
+                    [pc.sum(pc.multiply(x, y)).as_py() or 0],
+                    pa.int64()),
+            })
+
+        mm = hash_aggregate(
+            j2.map_batches(mom_part, batch_format="pyarrow"),
+            "_k", [("m", "sum", "m"), ("sx", "sum", "sx"),
+                   ("sxx", "sum", "sxx"), ("sxy", "sum", "sxy")],
+            num_partitions=1,
+        ).take_all()
+        if mm:
+            m, sx = int(mm[0]["m"]), int(mm[0]["sx"])
+            sxx, sxy = int(mm[0]["sxx"]), int(mm[0]["sxy"])
+
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    if den == 0:
+        assort = 0
+    else:
+        sign = 1 if num >= 0 else -1
+        assort = sign * ((abs(num) * scale) // den)
+    recip = (n_reciprocal * scale) // n_directed if n_directed else 0
+
+    return ray.data.from_arrow(pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_directed": pa.array([n_directed], pa.int64()),
+        "n_undirected": pa.array([n_undirected], pa.int64()),
+        "n_reciprocal": pa.array([n_reciprocal], pa.int64()),
+        "reciprocity_scaled": pa.array([recip], pa.int64()),
+        "assortativity_scaled": pa.array([assort], pa.int64()),
+    }))
+
+
+def structural_profile_reference(edge_pairs,
+                                 scale: int = ASSORT_SCALE) -> dict:
+    """Pure-Python replay of :func:`structural_profile`."""
+    e0 = {(a, b) for a, b in edge_pairs}
+    nodes = {a for a, _ in e0} | {b for _, b in e0}
+    dd = {(a, b) for a, b in e0 if a != b}
+    und: dict = {}
+    for a, b in dd:
+        und[(min(a, b), max(a, b))] = und.get((min(a, b), max(a, b)), 0) + 1
+    n_rec = sum(2 for c in und.values() if c == 2)
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = sx = sxx = sxy = 0
+    for a, b in und:
+        for x, y in ((deg[a], deg[b]), (deg[b], deg[a])):
+            m += 1
+            sx += x
+            sxx += x * x
+            sxy += x * y
+    num, den = m * sxy - sx * sx, m * sxx - sx * sx
+    if den == 0:
+        assort = 0
+    else:
+        sign = 1 if num >= 0 else -1
+        assort = sign * ((abs(num) * scale) // den)
+    return {
+        "n_nodes": len(nodes),
+        "n_directed": len(dd),
+        "n_undirected": len(und),
+        "n_reciprocal": n_rec,
+        "reciprocity_scaled":
+            (n_rec * scale) // len(dd) if dd else 0,
+        "assortativity_scaled": assort,
+    }

@@ -1402,3 +1402,47 @@ class TestSCC:
 
     def test_empty(self, ray_session):
         assert self._run([]) == {}
+
+
+class TestStructuralProfile:
+    def _run(self, pairs):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            structural_profile,
+        )
+
+        rows = structural_profile(_edges_ds(pairs)).take_all()
+        assert len(rows) == 1
+        return dict(rows[0])
+
+    def test_matches_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            structural_profile_reference,
+        )
+
+        # hub + reciprocal pair + self-loop + duplicates
+        pairs = [(1, 2), (2, 1), (1, 3), (1, 4), (1, 5), (5, 5),
+                 (3, 4), (1, 2), (6, 1)]
+        assert self._run(pairs) == structural_profile_reference(pairs)
+
+    def test_reciprocity_counts(self, ray_session):
+        got = self._run([(1, 2), (2, 1), (3, 4)])
+        assert got["n_directed"] == 3
+        assert got["n_reciprocal"] == 2
+        assert got["reciprocity_scaled"] == 2 * 10**6 // 3
+
+    def test_star_is_disassortative(self, ray_session):
+        # star: hubs (high deg) only connect to leaves (deg 1)
+        got = self._run([(0, i) for i in range(1, 9)])
+        assert got["assortativity_scaled"] < 0
+
+    def test_regular_graph_zero_variance(self, ray_session):
+        # 4-cycle: every degree 2 -> variance 0 -> defined as 0
+        got = self._run([(1, 2), (2, 3), (3, 4), (4, 1)])
+        assert got["assortativity_scaled"] == 0
+
+    def test_empty(self, ray_session):
+        got = self._run([])
+        assert got == {"n_nodes": 0, "n_directed": 0,
+                       "n_undirected": 0, "n_reciprocal": 0,
+                       "reciprocity_scaled": 0,
+                       "assortativity_scaled": 0}
