@@ -1297,6 +1297,18 @@ def _q_kg_struct_profile(sf_dir: str):
     return structural_profile(_kg(sf_dir)["edges"])
 
 
+def _q_kg_truss(sf_dir: str):
+    """4-truss of the KG edge set: edges kept only while they sit in
+    >= 2 triangles of OTHER kept edges (iterative peeling to the
+    fixpoint) — the community-corroborated relation subgraph, with
+    within-truss support per edge."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        ktruss,
+    )
+
+    return ktruss(_kg(sf_dir)["edges"], k=4)
+
+
 def _q_kg_negative(sf_dir: str):
     """Deterministic hash-bucket negative edge samples — the non-edge
     training pairs a KG-embedding trainer consumes next to kg_edges
@@ -2355,6 +2367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_wl_roles": _q_kg_wl_roles,
         "kg_scc": _q_kg_scc,
         "kg_struct_profile": _q_kg_struct_profile,
+        "kg_truss": _q_kg_truss,
         "kg_negative": _q_kg_negative,
         "kg_rules": _q_kg_rules,
         "kg_mention_contexts": _q_kg_mention_contexts,
@@ -2928,6 +2941,63 @@ def _scc_sql(nsub: str, nobj: str) -> str:
         SELECT r1.a AS entity_id, min(r1.b) AS scc_id
         FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
         GROUP BY r1.a"""
+
+
+def _ktruss_sql(nsub: str, nobj: str) -> str:
+    """Recursive peeling replay of graph_algo.ktruss: each iteration
+    recomputes within-set triangle support from the previous round's
+    working table (three recursive references — the same DuckDB
+    multi-reference the kg_kcore oracle relies on; adjacency is
+    derived in-iteration via UNION ALL so every join stays an
+    equi-join), emitting rows only while the set strictly shrinks;
+    the final support is recomputed over the fixpoint set."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        TRUSS_K,
+    )
+
+    k = TRUSS_K
+    return f"""
+        WITH RECURSIVE e0 AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), ee AS (
+            SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+            FROM e0 WHERE s <> d
+        ), keep(round, a, b, cnt) AS (
+            SELECT 0, a, b, CAST(count(*) OVER () AS BIGINT) FROM ee
+            UNION ALL
+            SELECT round, a, b, csize FROM (
+                SELECT round, a, b, prev_cnt,
+                       CAST(count(*) OVER () AS BIGINT) AS csize
+                FROM (
+                    SELECT min(t.round) + 1 AS round, t.a, t.b,
+                           min(t.cnt) AS prev_cnt
+                    FROM keep t
+                    JOIN (SELECT a AS node, b AS peer FROM keep
+                          UNION ALL SELECT b, a FROM keep) n1
+                      ON n1.node = t.a
+                    JOIN (SELECT a AS node, b AS peer FROM keep
+                          UNION ALL SELECT b, a FROM keep) n2
+                      ON n2.node = t.b AND n2.peer = n1.peer
+                    GROUP BY t.a, t.b
+                    HAVING count(*) >= {k} - 2
+                ) s
+            ) s2 WHERE csize < prev_cnt
+        ), fin AS (
+            SELECT a, b FROM keep
+            WHERE round = (SELECT max(round) FROM keep)
+        )
+        SELECT t.a AS entity_a, t.b AS entity_b,
+               CAST(count(*) AS BIGINT) AS support
+        FROM fin t
+        JOIN (SELECT a AS node, b AS peer FROM fin
+              UNION ALL SELECT b, a FROM fin) n1
+          ON n1.node = t.a
+        JOIN (SELECT a AS node, b AS peer FROM fin
+              UNION ALL SELECT b, a FROM fin) n2
+          ON n2.node = t.b AND n2.peer = n1.peer
+        GROUP BY t.a, t.b
+        HAVING count(*) >= {k} - 2"""
 
 
 def _struct_profile_sql(nsub: str, nobj: str) -> str:
@@ -4196,6 +4266,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_wl_roles": _wl_sql(nsub, nobj),
         "kg_scc": _scc_sql(nsub, nobj),
         "kg_struct_profile": _struct_profile_sql(nsub, nobj),
+        "kg_truss": _ktruss_sql(nsub, nobj),
         "kg_negative": _negative_sql(nsub, nobj),
         "kg_rules": _rules_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),

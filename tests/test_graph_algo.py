@@ -1446,3 +1446,51 @@ class TestStructuralProfile:
                        "n_undirected": 0, "n_reciprocal": 0,
                        "reciprocity_scaled": 0,
                        "assortativity_scaled": 0}
+
+
+class TestKTruss:
+    def _run(self, pairs, k=4):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            ktruss,
+        )
+
+        return {(r["entity_a"], r["entity_b"]): r["support"]
+                for r in ktruss(_edges_ds(pairs), k=k).take_all()}
+
+    def test_matches_peeling_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            ktruss_reference,
+        )
+
+        import random
+
+        rng = random.Random(11)
+        pairs = [(rng.randrange(25), rng.randrange(25))
+                 for _ in range(140)]
+        assert self._run(pairs) == ktruss_reference(pairs)
+
+    def test_clique_survives_pendant_peels(self, ray_session):
+        # 4-clique survives a 4-truss; the triangle hanging off it
+        # peels (its edges have support 1 after the bridge goes)
+        clique = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13),
+                  (12, 13)]
+        tri = [(1, 2), (1, 3), (2, 3), (3, 10)]
+        got = self._run(clique + tri)
+        assert set(got) == {(10, 11), (10, 12), (10, 13), (11, 12),
+                            (11, 13), (12, 13)}
+        assert all(v == 2 for v in got.values())
+
+    def test_cascade_peel(self, ray_session):
+        # two triangles sharing an edge: each edge has support >= 1
+        # but a 4-truss needs 2 -> everything peels in cascade
+        assert self._run([(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]) == {}
+
+    def test_triangle_free(self, ray_session):
+        assert self._run([(1, 2), (2, 3), (3, 4)]) == {}
+
+    def test_k3_keeps_triangles(self, ray_session):
+        got = self._run([(1, 2), (1, 3), (2, 3), (4, 5)], k=3)
+        assert set(got) == {(1, 2), (1, 3), (2, 3)}
+
+    def test_empty(self, ray_session):
+        assert self._run([]) == {}
