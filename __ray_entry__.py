@@ -1083,6 +1083,61 @@ def _q_kg_verbalized(sf_dir: str):
     return agg.map_batches(verbalize, batch_format="pyarrow")
 
 
+_CARD_FACTS = 8
+
+
+def _q_kg_entity_cards(sf_dir: str):
+    """Per-entity "card": canonical name + the first 8 distinct
+    (predicate, object) facts in deterministic order + the total fact
+    count — entity-LEVEL KG→text corpus synthesis (the entity-card
+    twin of kg_verbalized's per-triple sentences: KELM-style corpus
+    construction aggregates a subject's facts into one passage).
+    Shape: one distinct exchange + one entity-keyed partitioned group
+    map; group size is bounded by entity out-degree."""
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        hash_aggregate,
+        partitioned_group_map,
+    )
+
+    t = _kg(sf_dir)["triples"].select_columns(
+        ["src_id", "subject", "predicate", "object"])
+    d = hash_aggregate(
+        t, ["src_id", "subject", "predicate", "object"],
+        [(None, "count", "_m")], num_partitions=8,
+    ).drop_columns(["_m"])
+
+    cap = _CARD_FACTS
+
+    def cards(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return pd.DataFrame({
+                "entity_id": pd.Series([], dtype="int64"),
+                "name": pd.Series([], dtype=object),
+                "n_facts": pd.Series([], dtype="int64"),
+                "card": pd.Series([], dtype=object),
+            })
+        rep = df.groupby("src_id")["subject"].min()
+        f = df[["src_id", "predicate", "object"]].drop_duplicates()
+        f = f.sort_values(["src_id", "predicate", "object"],
+                          kind="mergesort")
+        f["fact"] = f["predicate"] + " " + f["object"]
+        g = f.groupby("src_id")["fact"]
+        n = g.size()
+        head = g.apply(lambda s: "; ".join(s.iloc[:cap]))
+        out = pd.DataFrame({
+            "entity_id": n.index.to_numpy().astype("int64"),
+            "name": rep.reindex(n.index).to_numpy(),
+            "n_facts": n.to_numpy().astype("int64"),
+        })
+        out["card"] = (out["name"] + ": "
+                       + head.reindex(n.index).to_numpy() + ".")
+        return out
+
+    return partitioned_group_map(d, "src_id", cards, num_partitions=8)
+
+
 def _q_kg_distant_pairs(sf_dir: str):
     """Distant-supervision RE training pairs (Mintz et al.): every
     (KB edge, co-mentioning document) with a gold/silver provenance
@@ -2368,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": _q_kg_scc,
         "kg_struct_profile": _q_kg_struct_profile,
         "kg_truss": _q_kg_truss,
+        "kg_entity_cards": _q_kg_entity_cards,
         "kg_negative": _q_kg_negative,
         "kg_rules": _q_kg_rules,
         "kg_mention_contexts": _q_kg_mention_contexts,
@@ -2941,6 +2997,40 @@ def _scc_sql(nsub: str, nobj: str) -> str:
         SELECT r1.a AS entity_id, min(r1.b) AS scc_id
         FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
         GROUP BY r1.a"""
+
+
+def _entity_cards_sql(nsub: str) -> str:
+    """Mirror of _q_kg_entity_cards: distinct per-subject facts,
+    row_number cap inside an ordered string_agg (NULLs from the CASE
+    are skipped, which IS the cap), min(subject) as the canonical
+    name."""
+    return f"""
+        WITH d AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS entity_id,
+                   subject, predicate, object
+            FROM read_parquet('{_TRUTH_001}')
+        ), rep AS (
+            SELECT entity_id, min(subject) AS name
+            FROM d GROUP BY entity_id
+        ), f AS (
+            SELECT DISTINCT entity_id, predicate, object FROM d
+        ), o AS (
+            SELECT entity_id, predicate, object,
+                   row_number() OVER (
+                       PARTITION BY entity_id
+                       ORDER BY predicate, object) AS rn
+            FROM f
+        ), agg AS (
+            SELECT entity_id, CAST(count(*) AS BIGINT) AS n_facts,
+                   string_agg(
+                       CASE WHEN rn <= {_CARD_FACTS}
+                            THEN predicate || ' ' || object END,
+                       '; ' ORDER BY rn) AS facts
+            FROM o GROUP BY entity_id
+        )
+        SELECT a.entity_id, r.name, a.n_facts,
+               r.name || ': ' || a.facts || '.' AS card
+        FROM agg a JOIN rep r ON r.entity_id = a.entity_id"""
 
 
 def _ktruss_sql(nsub: str, nobj: str) -> str:
@@ -4267,6 +4357,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_scc": _scc_sql(nsub, nobj),
         "kg_struct_profile": _struct_profile_sql(nsub, nobj),
         "kg_truss": _ktruss_sql(nsub, nobj),
+        "kg_entity_cards": _entity_cards_sql(nsub),
         "kg_negative": _negative_sql(nsub, nobj),
         "kg_rules": _rules_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),
