@@ -1341,6 +1341,18 @@ def _q_kg_scc(sf_dir: str):
     return strongly_connected_components(_kg(sf_dir)["edges"])
 
 
+def _q_kg_bowtie(sf_dir: str):
+    """Broder bowtie decomposition: per node SCC / IN / OUT / OTHER
+    relative to the largest strongly connected component — the
+    web-graph structure report, composed from the SCC pass + two
+    directed multi-seed BFS sweeps."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        bowtie_classes,
+    )
+
+    return bowtie_classes(_kg(sf_dir)["edges"])
+
+
 def _q_kg_struct_profile(sf_dir: str):
     """One-row structural audit: reciprocity (directed edges whose
     reverse exists) + Newman degree assortativity, both exact in
@@ -2424,6 +2436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_struct_profile": _q_kg_struct_profile,
         "kg_truss": _q_kg_truss,
         "kg_entity_cards": _q_kg_entity_cards,
+        "kg_bowtie": _q_kg_bowtie,
         "kg_negative": _q_kg_negative,
         "kg_rules": _q_kg_rules,
         "kg_mention_contexts": _q_kg_mention_contexts,
@@ -3154,6 +3167,53 @@ def _struct_profile_sql(nsub: str, nobj: str) -> str:
                             // (mom.m * mom.sxx - mom.sx * mom.sx))
                     END AS BIGINT) AS assortativity_scaled
         FROM nn, cnts c, mom"""
+
+
+def _bowtie_sql(nsub: str, nobj: str) -> str:
+    """Bowtie mirror: the same mutual-reachability closure as
+    _scc_sql, then the giant component (max size, ties min id) and
+    the forward/backward reach sets read DIRECTLY off the closure
+    (reach(a, b) already holds every directed reachability pair)."""
+    return f"""
+        WITH RECURSIVE e0 AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), n AS (
+            SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e0 UNION ALL SELECT d FROM e0)
+        ), e AS (
+            SELECT s, d FROM e0 WHERE s <> d
+        ), reach(a, b) AS (
+            SELECT node, node FROM n
+            UNION
+            SELECT reach.a, e.d FROM reach JOIN e ON e.s = reach.b
+        ), scc AS (
+            SELECT r1.a AS entity_id, min(r1.b) AS scc_id
+            FROM reach r1 JOIN reach r2
+              ON r2.a = r1.b AND r2.b = r1.a
+            GROUP BY r1.a
+        ), giant AS (
+            SELECT scc_id FROM scc GROUP BY scc_id
+            ORDER BY count(*) DESC, scc_id LIMIT 1
+        ), core AS (
+            SELECT entity_id FROM scc
+            WHERE scc_id = (SELECT scc_id FROM giant)
+        ), fset AS (
+            SELECT DISTINCT r.b AS entity_id
+            FROM reach r JOIN core c ON r.a = c.entity_id
+        ), bset AS (
+            SELECT DISTINCT r.a AS entity_id
+            FROM reach r JOIN core c ON r.b = c.entity_id
+        )
+        SELECT s.entity_id,
+               CASE WHEN s.scc_id = (SELECT scc_id FROM giant)
+                    THEN 'SCC'
+                    WHEN f.entity_id IS NOT NULL THEN 'OUT'
+                    WHEN b.entity_id IS NOT NULL THEN 'IN'
+                    ELSE 'OTHER' END AS bowtie
+        FROM scc s
+        LEFT JOIN fset f ON f.entity_id = s.entity_id
+        LEFT JOIN bset b ON b.entity_id = s.entity_id"""
 
 
 def _betweenness_sql(nsub: str, nobj: str) -> str:
@@ -4358,6 +4418,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_struct_profile": _struct_profile_sql(nsub, nobj),
         "kg_truss": _ktruss_sql(nsub, nobj),
         "kg_entity_cards": _entity_cards_sql(nsub),
+        "kg_bowtie": _bowtie_sql(nsub, nobj),
         "kg_negative": _negative_sql(nsub, nobj),
         "kg_rules": _rules_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),

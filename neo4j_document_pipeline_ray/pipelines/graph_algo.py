@@ -4787,3 +4787,174 @@ def ktruss_reference(edge_pairs, k: int = TRUSS_K) -> dict:
         if not drop:
             return sup
         es -= drop
+
+
+# --- bowtie decomposition -------------------------------------------------------
+
+
+def bowtie_classes(
+    edges: "ray.data.Dataset",
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    max_rounds: int = 64,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Broder bowtie decomposition of the directed KG (the web-graph
+    structure report: giant SCC core, IN pages that reach it, OUT
+    pages it reaches, everything else): per node one of ``SCC`` /
+    ``IN`` / ``OUT`` / ``OTHER``.  ``OTHER`` folds tendrils, tubes and
+    disconnected components (the standard coarse cut).  Deterministic:
+    the core is the largest SCC (ties: min scc_id).
+
+    Composition, not new machinery: one
+    :func:`strongly_connected_components` pass, then two multi-seed
+    directed frontier BFS sweeps from the core (forward = OUT,
+    backward = IN), each round ONE E-sized streaming probe of the
+    node-sided frontier + a visited anti-join — the
+    :func:`bfs_distances` shape with direction respected.  A node both
+    reaching and reached by the core would be IN the core (SCC
+    maximality), so the classes are disjoint by construction.
+
+    Returns ``(entity_id, bowtie)``.
+    """
+    scc = strongly_connected_components(
+        edges, src_col=src_col, dst_col=dst_col,
+        num_partitions=num_partitions).materialize()
+    sizes = hash_aggregate(
+        scc, "scc_id", [(None, "count", "n")],
+        num_partitions=num_partitions)
+    top = sizes.sort(["n", "scc_id"], descending=[True, False]).take(1)
+    if not top:
+        return ray.data.from_arrow(pa.table({
+            "entity_id": pa.array([], pa.int64()),
+            "bowtie": pa.array([], pa.string()),
+        }))
+    giant = int(top[0]["scc_id"])
+
+    core = scc.map_batches(
+        lambda t, _g=giant: pa.table({"entity_id": t.filter(
+            pc.equal(t["scc_id"], _g))["entity_id"]}),
+        batch_format="pyarrow").materialize()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t[src_col], t[dst_col])
+        return pa.table({"s": t[src_col].filter(keep),
+                         "d": t[dst_col].filter(keep)})
+
+    e = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(pairs, batch_format="pyarrow"),
+        ["s", "d"], [(None, "count", "_m")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_m"]).materialize()
+
+    import numpy as np
+
+    def _reach(in_col: str, out_col: str) -> "ray.data.Dataset":
+        """Nodes reachable from the core along in_col -> out_col
+        (excluding nodes only in the core), as (entity_id,)."""
+        visited = core
+        frontier = core
+        for _ in range(max_rounds):
+            if frontier.count() == 0 or e.count() == 0:
+                break
+            hop = broadcast_join(
+                e, frontier, on=(in_col,), right_on=("entity_id",),
+                num_partitions=num_partitions)
+            cand = hash_aggregate(
+                hop.map_batches(
+                    lambda t, _o=out_col: pa.table(
+                        {"entity_id": t[_o]}),
+                    batch_format="pyarrow"),
+                "entity_id", [(None, "count", "_m")],
+                num_partitions=num_partitions,
+            ).drop_columns(["_m"])
+            seen = visited.map_batches(
+                lambda t: t.append_column("_seen", pa.array(
+                    np.ones(t.num_rows, dtype=np.int8))),
+                batch_format="pyarrow")
+            new = broadcast_join(
+                cand, seen, on=("entity_id",),
+                join_type="left_outer",
+                num_partitions=num_partitions,
+            ).map_batches(
+                lambda t: pa.table({"entity_id": t.filter(
+                    pc.is_null(t["_seen"]))["entity_id"]}),
+                batch_format="pyarrow").materialize()
+            if new.count() == 0:
+                break
+            visited = visited.union(new).materialize()
+            frontier = new
+        return visited
+
+    fwd = _reach("s", "d")
+    bwd = _reach("d", "s")
+
+    def flag(ds, name):
+        return ds.map_batches(
+            lambda t, _n=name: t.append_column(_n, pa.array(
+                np.ones(t.num_rows, dtype=np.int8))),
+            batch_format="pyarrow")
+
+    lab = broadcast_join(
+        scc, flag(fwd, "_f"), on=("entity_id",),
+        join_type="left_outer", num_partitions=num_partitions)
+    lab = broadcast_join(
+        lab, flag(bwd, "_b"), on=("entity_id",),
+        join_type="left_outer", num_partitions=num_partitions)
+
+    def classify(t: pa.Table) -> pa.Table:
+        is_core = pc.equal(t["scc_id"], giant)
+        cat = pc.if_else(
+            is_core, pa.scalar("SCC"),
+            pc.if_else(
+                pc.is_valid(t["_f"]), pa.scalar("OUT"),
+                pc.if_else(pc.is_valid(t["_b"]), pa.scalar("IN"),
+                           pa.scalar("OTHER"))))
+        return pa.table({"entity_id": t["entity_id"], "bowtie": cat})
+
+    return lab.map_batches(classify, batch_format="pyarrow")
+
+
+def bowtie_reference(edge_pairs) -> dict:
+    """Pure-Python bowtie replay over :func:`scc_reference`."""
+    comp = scc_reference(edge_pairs)
+    if not comp:
+        return {}
+    from collections import Counter, deque
+
+    sizes = Counter(comp.values())
+    giant = min(c for c in sizes
+                if sizes[c] == max(sizes.values()))
+    fwd: dict = {}
+    bwd: dict = {}
+    for a, b in edge_pairs:
+        if a == b:
+            continue
+        fwd.setdefault(a, set()).add(b)
+        bwd.setdefault(b, set()).add(a)
+    core = {v for v, c in comp.items() if c == giant}
+
+    def reach(adj):
+        seen = set(core)
+        q = deque(core)
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in seen:
+                    seen.add(w)
+                    q.append(w)
+        return seen
+
+    fset, bset = reach(fwd), reach(bwd)
+    out = {}
+    for v in comp:
+        if comp[v] == giant:
+            out[v] = "SCC"
+        elif v in fset:
+            out[v] = "OUT"
+        elif v in bset:
+            out[v] = "IN"
+        else:
+            out[v] = "OTHER"
+    return out

@@ -1494,3 +1494,40 @@ class TestKTruss:
 
     def test_empty(self, ray_session):
         assert self._run([]) == {}
+
+
+class TestBowtie:
+    def _run(self, pairs):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            bowtie_classes,
+        )
+
+        return {r["entity_id"]: r["bowtie"]
+                for r in bowtie_classes(_edges_ds(pairs)).take_all()}
+
+    def test_matches_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            bowtie_reference,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        pairs = [(rng.randrange(30), rng.randrange(30))
+                 for _ in range(90)]
+        assert self._run(pairs) == bowtie_reference(pairs)
+
+    def test_textbook_bowtie(self, ray_session):
+        # IN (1) -> core cycle (2,3,4) -> OUT (5); disconnected (8,9)
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 2), (4, 5), (8, 9)]
+        got = self._run(pairs)
+        assert got == {1: "IN", 2: "SCC", 3: "SCC", 4: "SCC",
+                       5: "OUT", 8: "OTHER", 9: "OTHER"}
+
+    def test_all_singletons_giant_is_min(self, ray_session):
+        # DAG only: giant SCC = singleton with min id; its reach = OUT
+        got = self._run([(7, 3), (3, 9)])
+        assert got == {3: "SCC", 7: "IN", 9: "OUT"}
+
+    def test_empty(self, ray_session):
+        assert self._run([]) == {}
