@@ -1083,6 +1083,99 @@ def _q_kg_verbalized(sf_dir: str):
     return agg.map_batches(verbalize, batch_format="pyarrow")
 
 
+_SALIENCE_K = 5
+_SALIENCE_SCALE = 10**6
+
+
+def _q_kg_entity_salience(sf_dir: str):
+    """Per-document salient entities (Gamon et al.'s entity-salience
+    task, the doc→entity ranking an entity-centric index serves):
+    top-5 entities per doc by the repo's integer TF-IDF surrogate
+    ``tf * N * scale // (doc_len * df)`` over DISTINCT per-doc triple
+    endpoint occurrences.  Shape: one distinct exchange, one
+    (doc, entity) count aggregate, two node/doc-sided broadcast
+    joins, and a doc-keyed partitioned group head (per-doc rank runs
+    AFTER repartitioning by doc — a plain map_batches head would
+    break on split blocks)."""
+    import numpy as np
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        broadcast_join,
+        distinct_by,
+        hash_aggregate,
+        partitioned_group_map,
+    )
+
+    ident = ["subject", "predicate", "rel_type", "object",
+             "subject_type", "object_type", "object_kind",
+             "start", "end", "term", "count"]
+    t = _kg(sf_dir)["triples"].select_columns(
+        ["doc_id", "src_id", "dst_id"] + ident)
+    d = distinct_by(t, "doc_id",
+                    subset=["doc_id", "src_id", "dst_id"] + ident,
+                    num_partitions=8)
+
+    def unpivot(tb: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        dc = tb["doc_id"].combine_chunks()
+        return pa.table({
+            "doc_id": pa.concat_arrays([dc, dc]),
+            "entity_id": pa.concat_arrays([
+                tb["src_id"].combine_chunks(),
+                tb["dst_id"].combine_chunks()]),
+        })
+
+    tf = hash_aggregate(
+        d.map_batches(unpivot, batch_format="pyarrow"),
+        ["doc_id", "entity_id"], [(None, "count", "tf")],
+        num_partitions=8,
+    ).materialize()
+    dl = hash_aggregate(
+        tf.select_columns(["doc_id", "tf"]), "doc_id",
+        [("tf", "sum", "dlen")], num_partitions=8)
+    df_t = hash_aggregate(
+        tf.select_columns(["entity_id"]), "entity_id",
+        [(None, "count", "df")], num_partitions=8)
+    n_docs = dl.count()
+
+    j = broadcast_join(tf, dl, on=("doc_id",), num_partitions=8)
+    j = broadcast_join(j, df_t, on=("entity_id",), num_partitions=8)
+
+    def score(tb: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        tfv = tb["tf"].to_numpy(zero_copy_only=False)
+        dlen = tb["dlen"].to_numpy(zero_copy_only=False)
+        dfv = tb["df"].to_numpy(zero_copy_only=False)
+        sal = (tfv * n_docs * _SALIENCE_SCALE) // (dlen * dfv)
+        return pa.table({
+            "doc_id": tb["doc_id"], "entity_id": tb["entity_id"],
+            "salience_scaled": pa.array(sal, pa.int64()),
+        })
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+
+    def head(g: "pd.DataFrame") -> "pd.DataFrame":
+        if g.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=object),
+                "entity_id": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "salience_scaled": pd.Series([], dtype="int64"),
+            })
+        g = g.sort_values(
+            ["doc_id", "salience_scaled", "entity_id"],
+            ascending=[True, False, True], kind="mergesort")
+        g["rank"] = (g.groupby("doc_id").cumcount() + 1).astype("int64")
+        out = g[g["rank"] <= _SALIENCE_K]
+        return out[["doc_id", "entity_id", "rank", "salience_scaled"]]
+
+    return partitioned_group_map(scored, "doc_id", head,
+                                 num_partitions=8)
+
+
 _CARD_FACTS = 8
 
 
@@ -2437,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_truss": _q_kg_truss,
         "kg_entity_cards": _q_kg_entity_cards,
         "kg_bowtie": _q_kg_bowtie,
+        "kg_entity_salience": _q_kg_entity_salience,
         "kg_negative": _q_kg_negative,
         "kg_rules": _q_kg_rules,
         "kg_mention_contexts": _q_kg_mention_contexts,
@@ -3010,6 +3104,61 @@ def _scc_sql(nsub: str, nobj: str) -> str:
         SELECT r1.a AS entity_id, min(r1.b) AS scc_id
         FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
         GROUP BY r1.a"""
+
+
+def _entity_salience_sql(nsub: str, nobj: str) -> str:
+    """Mirror of _q_kg_entity_salience: one representative url per
+    doc (min url — duplicate pages yield identical truth triples),
+    distinct per-doc triples, endpoint unpivot, the integer TF-IDF
+    surrogate, and a row_number head per doc."""
+    k, s = _SALIENCE_K, _SALIENCE_SCALE
+    return f"""
+        WITH p AS (
+            SELECT url, sha256(text) AS doc_id
+            FROM read_parquet('{_PAGES_001}')
+        ), rep AS (
+            SELECT doc_id, min(url) AS url FROM p GROUP BY doc_id
+        ), t AS (
+            SELECT DISTINCT rep.doc_id, tr.subject, tr.predicate,
+                   tr.rel_type, tr.object, tr.subject_type,
+                   tr.object_type, tr.object_kind, tr."start",
+                   tr."end", tr.term, tr."count",
+                   {_eid_sql(nsub)} AS src_id,
+                   {_eid_sql(nobj)} AS dst_id
+            FROM read_parquet('{_TRUTH_001}') tr
+            JOIN rep ON tr.url = rep.url
+        ), m AS (
+            SELECT doc_id, src_id AS entity_id FROM t
+            UNION ALL SELECT doc_id, dst_id FROM t
+        ), tf AS (
+            SELECT doc_id, entity_id, CAST(count(*) AS BIGINT) AS tf
+            FROM m GROUP BY doc_id, entity_id
+        ), dl AS (
+            SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id
+        ), dfx AS (
+            SELECT entity_id, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY entity_id
+        ), nd AS (
+            SELECT count(*) AS n FROM dl
+        ), sc AS (
+            SELECT tf.doc_id, tf.entity_id,
+                   CAST((CAST(tf.tf AS HUGEINT) * nd.n * {s})
+                        // (dl.dlen * dfx.df) AS BIGINT)
+                       AS salience_scaled
+            FROM tf
+            JOIN dl ON dl.doc_id = tf.doc_id
+            JOIN dfx ON dfx.entity_id = tf.entity_id
+            CROSS JOIN nd
+        ), r AS (
+            SELECT doc_id, entity_id, salience_scaled,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY salience_scaled DESC, entity_id)
+                       AS BIGINT) AS rank
+            FROM sc
+        )
+        SELECT doc_id, entity_id, rank, salience_scaled
+        FROM r WHERE rank <= {k}"""
 
 
 def _entity_cards_sql(nsub: str) -> str:
@@ -4419,6 +4568,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_truss": _ktruss_sql(nsub, nobj),
         "kg_entity_cards": _entity_cards_sql(nsub),
         "kg_bowtie": _bowtie_sql(nsub, nobj),
+        "kg_entity_salience": _entity_salience_sql(nsub, nobj),
         "kg_negative": _negative_sql(nsub, nobj),
         "kg_rules": _rules_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),
