@@ -120,6 +120,27 @@ ALLOWED = {
     "serve.py::GraphRAGService.graph_stats.compute.counts": "group-sized",
     "serve.py::GraphRAGService.search": "k-sized",
     "serve.py::_load_tables": "serving",
+    # (lang, token) fixed-point model table, vocab-sized like
+    # unigram_logprob's; min-df prune prescribed at open-web scale
+    "extras/textstats.py::nb_lang_classifier": "k-sized",
+    "extras/textstats.py::nb_lang_classifier.score": "batch-local",
+    # WL refinement: node-sided label table re-materialized per round
+    "pipelines/graph_algo.py::wl_roles": "iterative",
+    # SCC label refinement: shrinking edge set + node-sided (f, b)
+    # labels per outer round; fingerprint is one scalar row
+    "pipelines/graph_algo.py::strongly_connected_components": "iterative",
+    "pipelines/graph_algo.py::strongly_connected_components._fingerprint":
+        "group-sized",
+    "pipelines/graph_algo.py::strongly_connected_components._min_prop":
+        "iterative",
+    # k-truss peeling: shrinking edge set re-materialized per round
+    "pipelines/graph_algo.py::ktruss": "iterative",
+    # bowtie: SCC output + frontier BFS over edge/node-sided tables
+    "pipelines/graph_algo.py::bowtie_classes": "iterative",
+    "pipelines/graph_algo.py::bowtie_classes._reach": "iterative",
+    # edge-sided distinct pair/degree tables, each reused by several
+    # consumers; moments fold to ONE row (re-derived, never the corpus)
+    "pipelines/graph_algo.py::structural_profile": "iterative",
     "stages/grouped.py::broadcast_join": "node-sided",  # size-gated right
     "stages/grouped.py::drop_empty_blocks": "group-sized",  # Ray 2.49 bug tax
     "stages/grouped.py::partitioned_group_map.add_pk": "batch-local",
