@@ -403,6 +403,40 @@ def _q_ann_ivf_topk(sf_dir: str):
     return ivf_index_topk(idx, query_vector(sf_dir), k=10, nprobe=4)
 
 
+def _q_ann_recall(sf_dir: str):
+    """Recall@10 of both approximate index tiers (LSH multiprobe=2,
+    IVF nprobe=4) against the exact scan, for a 4-query batch — the
+    per-round index-quality artifact.  rows-only by design (k-means /
+    bucket probing are not SQL-expressible); determinism and the
+    full-probe==exact bound are pinned in pytest."""
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        ann_recall_report,
+        build_ann_index,
+        build_ivf_index,
+        query_matrix,
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(emb_path)
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"-{st.st_size}-{int(st.st_mtime)}")
+    lsh = os.path.join("/tmp/graft_ann_index", tag)
+    ivf = os.path.join("/tmp/graft_ivf_index", tag)
+    if not os.path.isdir(lsh):
+        build_ann_index(rd.read_parquet(emb_path), lsh)
+    if not os.path.isdir(ivf):
+        build_ivf_index(rd.read_parquet(emb_path), ivf, n_centroids=16)
+    qids, qmat = query_matrix(sf_dir, [0, 1, 2, 3])
+    return ann_recall_report(
+        rd.read_parquet(emb_path), lsh, ivf,
+        np.asarray(qids), qmat, k=10, multiprobe=2, nprobe=4)
+
+
 def _q_minhash_pairs(sf_dir: str):
     import os
 
@@ -2531,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_cards": _q_kg_entity_cards,
         "kg_bowtie": _q_kg_bowtie,
         "kg_entity_salience": _q_kg_entity_salience,
+        "ann_recall": _q_ann_recall,
         "kg_negative": _q_kg_negative,
         "kg_rules": _q_kg_rules,
         "kg_mention_contexts": _q_kg_mention_contexts,

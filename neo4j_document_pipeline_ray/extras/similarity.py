@@ -1301,3 +1301,69 @@ def update_ivf_index(
         json.dump(meta, f)
     os.replace(tmp_meta, os.path.join(index_dir, "_meta.json"))
     return meta
+
+
+# --- ANN recall eval --------------------------------------------------------
+
+
+def ann_recall_report(
+    embeddings: "ray.data.Dataset",
+    lsh_dir: str,
+    ivf_dir: str,
+    query_ids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    multiprobe: int = 2,
+    nprobe: int = 4,
+) -> "ray.data.Dataset":
+    """Recall@k of the approximate serving tiers against the exact
+    scan, per query — the "measure, don't guess" audit an index owner
+    runs after every (re)build: LSH (``multiprobe`` buckets) and IVF
+    (``nprobe`` centroid partitions) results intersected with the
+    brute-force truth set.
+
+    Cost shape: ONE full corpus pass for the whole query batch (the
+    :func:`multi_query_topk` matmul path), then per query two pruned
+    index reads (a few percent of rows each).  Everything the driver
+    touches is k-sized.  Deterministic end to end (deterministic
+    indexes, rounded-float64 kernels, fixed tie-breaks), so the milli
+    recalls are stable artifacts, not noisy estimates.
+
+    Returns ``(method, query_id, n_hit, recall_milli)``, one row per
+    (index tier, query).
+    """
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        ivf_index_topk,
+        lsh_index_topk,
+        multi_query_topk,
+    )
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+    truth = multi_query_topk(embeddings, qids, queries, k=k).take_all()
+    truth_sets: dict = {}
+    for r in truth:
+        truth_sets.setdefault(int(r["query_id"]), set()).add(
+            int(r["vec_id"]))
+
+    methods, out_q, hits, recall = [], [], [], []
+    for name, fn in (
+        ("lsh", lambda q: lsh_index_topk(
+            lsh_dir, q, k=k, multiprobe=multiprobe)),
+        ("ivf", lambda q: ivf_index_topk(
+            ivf_dir, q, k=k, nprobe=nprobe)),
+    ):
+        for j, qid in enumerate(qids):
+            got = {int(r["vec_id"]) for r in fn(queries[j]).take_all()}
+            want = truth_sets.get(int(qid), set())
+            n_hit = len(got & want)
+            methods.append(name)
+            out_q.append(int(qid))
+            hits.append(n_hit)
+            recall.append(n_hit * 1000 // max(len(want), 1))
+
+    return ray.data.from_arrow(pa.table({
+        "method": pa.array(methods, pa.string()),
+        "query_id": pa.array(out_q, pa.int64()),
+        "n_hit": pa.array(hits, pa.int64()),
+        "recall_milli": pa.array(recall, pa.int64()),
+    }))

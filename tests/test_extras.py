@@ -1296,3 +1296,67 @@ class TestNBLangClassifier:
         assert pred["pred_lang"].tolist()[:-1] == (
             ["aa"] * 6 + ["bb"] * 6 + ["cc"] * 6)
         assert pred["pred_lang"].tolist()[-1] == "aa"
+
+
+class TestAnnRecall:
+    @pytest.fixture()
+    def emb(self, ray_session):
+        import ray.data as rd
+
+        return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def _indexes(self, emb, tmp_path):
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            build_ann_index,
+            build_ivf_index,
+        )
+
+        lsh = str(tmp_path / "lsh")
+        ivf = str(tmp_path / "ivf")
+        build_ann_index(emb, lsh)
+        build_ivf_index(emb, ivf, n_centroids=16)
+        return lsh, ivf
+
+    def test_full_probe_recall_is_one(self, ray_session, emb, tmp_path):
+        """IVF with nprobe = n_centroids reads everything -> 1000
+        milli-recall for every query, by the exactness pin."""
+        import numpy as np
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            ann_recall_report,
+            query_matrix,
+        )
+
+        lsh, ivf = self._indexes(emb, tmp_path)
+        qids, qmat = query_matrix("/root/testdata/sf0.001", [0, 1])
+        rows = ann_recall_report(
+            emb, lsh, ivf, np.asarray(qids), qmat,
+            k=10, multiprobe=2, nprobe=16).take_all()
+        assert len(rows) == 4  # 2 methods x 2 queries
+        ivf_rows = [r for r in rows if r["method"] == "ivf"]
+        assert all(r["recall_milli"] == 1000 and r["n_hit"] == 10
+                   for r in ivf_rows)
+        for r in rows:
+            assert 0 <= r["recall_milli"] <= 1000
+            assert r["n_hit"] <= 10
+
+    def test_deterministic(self, ray_session, emb, tmp_path):
+        import numpy as np
+
+        from neo4j_document_pipeline_ray.extras.similarity import (
+            ann_recall_report,
+            query_matrix,
+        )
+
+        lsh, ivf = self._indexes(emb, tmp_path)
+        qids, qmat = query_matrix("/root/testdata/sf0.001", [0, 1, 2])
+
+        def run():
+            return sorted(
+                (r["method"], r["query_id"], r["n_hit"],
+                 r["recall_milli"])
+                for r in ann_recall_report(
+                    emb, lsh, ivf, np.asarray(qids), qmat,
+                    k=10, multiprobe=2, nprobe=4).take_all())
+
+        assert run() == run()

@@ -120,6 +120,8 @@ ALLOWED = {
     "serve.py::GraphRAGService.graph_stats.compute.counts": "group-sized",
     "serve.py::GraphRAGService.search": "k-sized",
     "serve.py::_load_tables": "serving",
+    # per-query k-sized heads only (truth + two pruned index probes)
+    "extras/similarity.py::ann_recall_report": "k-sized",
     # (lang, token) fixed-point model table, vocab-sized like
     # unigram_logprob's; min-df prune prescribed at open-web scale
     "extras/textstats.py::nb_lang_classifier": "k-sized",
