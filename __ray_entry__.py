@@ -1480,6 +1480,17 @@ def _q_kg_bowtie(sf_dir: str):
     return bowtie_classes(_kg(sf_dir)["edges"])
 
 
+def _q_kg_triads(sf_dir: str):
+    """Directed triad census over closed triads — the motif profile
+    (feed-forward vs cycle vs mutual-core triangle mass) that
+    separates citation-like from social-like graph shapes."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        triad_census,
+    )
+
+    return triad_census(_kg(sf_dir)["edges"])
+
+
 def _q_kg_struct_profile(sf_dir: str):
     """One-row structural audit: reciprocity (directed edges whose
     reverse exists) + Newman degree assortativity, both exact in
@@ -2566,6 +2577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bowtie": _q_kg_bowtie,
         "kg_entity_salience": _q_kg_entity_salience,
         "ann_recall": _q_ann_recall,
+        "kg_triads": _q_kg_triads,
         "kg_negative": _q_kg_negative,
         "kg_rules": _q_kg_rules,
         "kg_mention_contexts": _q_kg_mention_contexts,
@@ -3139,6 +3151,42 @@ def _scc_sql(nsub: str, nobj: str) -> str:
         SELECT r1.a AS entity_id, min(r1.b) AS scc_id
         FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
         GROUP BY r1.a"""
+
+
+def _triads_sql(nsub: str, nobj: str) -> str:
+    """Mirror of graph_algo.triad_census: dyad-state table, the
+    standard ordered 3-join triangle enumeration (n1<n2<n3), and a
+    27-entry CASE GENERATED from the same TRIAD_LABELS dict the Ray
+    kernel indexes — label parity is by construction."""
+    from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+        TRIAD_LABELS,
+    )
+
+    case = " ".join(
+        f"WHEN {c} THEN '{TRIAD_LABELS[c]}'" for c in range(27))
+    return f"""
+        WITH e0 AS (
+            SELECT DISTINCT {_eid_sql(nsub)} AS s, {_eid_sql(nobj)} AS d
+            FROM read_parquet('{_TRUTH_001}')
+        ), dd AS (
+            SELECT s, d FROM e0 WHERE s <> d
+        ), est AS (
+            SELECT least(s, d) AS lo, greatest(s, d) AS hi,
+                   CAST(max(CASE WHEN s < d THEN 1 ELSE 0 END)
+                        + 2 * max(CASE WHEN s > d THEN 1 ELSE 0 END)
+                        AS BIGINT) AS st
+            FROM dd GROUP BY lo, hi
+        ), tri AS (
+            SELECT e1.st AS s12, e2.st AS s13, e3.st AS s23
+            FROM est e1
+            JOIN est e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+            JOIN est e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+        )
+        SELECT CASE (s12 - 1) * 9 + (s13 - 1) * 3 + (s23 - 1)
+               {case} END AS triad,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tri GROUP BY triad
+        ORDER BY n DESC, triad"""
 
 
 def _entity_salience_sql(nsub: str, nobj: str) -> str:
@@ -4604,6 +4652,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_cards": _entity_cards_sql(nsub),
         "kg_bowtie": _bowtie_sql(nsub, nobj),
         "kg_entity_salience": _entity_salience_sql(nsub, nobj),
+        "kg_triads": _triads_sql(nsub, nobj),
         "kg_negative": _negative_sql(nsub, nobj),
         "kg_rules": _rules_sql(nsub, nobj),
         "kg_msf": _msf_sql(nsub, nobj),

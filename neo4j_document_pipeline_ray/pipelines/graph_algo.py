@@ -4958,3 +4958,163 @@ def bowtie_reference(edge_pairs) -> dict:
         else:
             out[v] = "OTHER"
     return out
+
+
+# --- directed triad census ------------------------------------------------------
+
+
+def _triad_label(s12: int, s13: int, s23: int) -> str:
+    """Isomorphism class of a CLOSED directed triad from its three
+    dyad states on sorted nodes 1<2<3 (state: 1 = lo→hi, 2 = hi→lo,
+    3 = mutual).  Self-describing labels (m = mutual dyads, a =
+    asymmetric dyads); Holland-Leinhardt equivalents: m3=300,
+    m2a1=210, m1-out=120D, m1-in=120U, m1-thru=120C, a3-cycle=030C,
+    a3-trans=030T."""
+    pairs = {(1, 2): s12, (1, 3): s13, (2, 3): s23}
+    m = sum(1 for s in pairs.values() if s == 3)
+    if m == 3:
+        return "m3"
+    if m == 2:
+        return "m2a1"
+    if m == 1:
+        mut = next(p for p, s in pairs.items() if s == 3)
+        t = ({1, 2, 3} - set(mut)).pop()
+        outs = sum(
+            1 for (p, q), s in pairs.items() if s != 3
+            and (p if s == 1 else q) == t)
+        return {2: "m1-out", 0: "m1-in"}.get(outs, "m1-thru")
+    outdeg = {1: 0, 2: 0, 3: 0}
+    for (p, q), s in pairs.items():
+        outdeg[p if s == 1 else q] += 1
+    return ("a3-cycle" if all(v == 1 for v in outdeg.values())
+            else "a3-trans")
+
+
+#: code = (s12-1)*9 + (s13-1)*3 + (s23-1) -> label, shared by the Ray
+#: kernel and the generated SQL CASE (automatic parity)
+TRIAD_LABELS = {
+    (a - 1) * 9 + (b - 1) * 3 + (c - 1): _triad_label(a, b, c)
+    for a in (1, 2, 3) for b in (1, 2, 3) for c in (1, 2, 3)
+}
+
+
+def triad_census(
+    edges: "ray.data.Dataset",
+    src_col: str = "src_id",
+    dst_col: str = "dst_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Directed triad census over CLOSED triads (all three dyads
+    connected) — the Holland-Leinhardt motif profile: how much of the
+    graph's triangle mass is feed-forward (``a3-trans``, the motif
+    enriched in hierarchies/citation), cyclic (``a3-cycle``), or
+    mutual-core (``m*``).  The shape signature that separates a
+    citation-like KG from a social-like one; Neo4j answers it with
+    ad-hoc Cypher per type.
+
+    Shape: one canonical-pair aggregate carrying the dyad state
+    (``lo→hi`` / ``hi→lo`` / mutual), ONE degree-ordered triangle pass
+    (shared :func:`_triangle_hits`), three size-gated broadcast joins
+    stamping the per-pair states onto each triangle, a 27-entry code
+    lookup, and a (label, count) aggregate.  Returns ``(triad, n)``
+    sorted by count desc.
+    """
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        fwd = pc.cast(pc.less(s, d), pa.int64())
+        return pa.table({
+            "lo": pc.min_element_wise(s, d),
+            "hi": pc.max_element_wise(s, d),
+            "f": fwd,
+            "b": pc.subtract(1, fwd),
+        })
+
+    est = hash_aggregate(
+        edges.select_columns([src_col, dst_col])
+             .map_batches(canon, batch_format="pyarrow"),
+        ["lo", "hi"], [("f", "max", "f"), ("b", "max", "b")],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({
+            "lo": t["lo"], "hi": t["hi"],
+            "st": pc.add(t["f"], pc.multiply(t["b"], 2)),
+        }),
+        batch_format="pyarrow").materialize()
+
+    hits = _triangle_hits(est, "lo", "hi", num_partitions)
+
+    import numpy as np
+
+    def sort_nodes(t: pa.Table) -> pa.Table:
+        ap = t["apex"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        m = np.sort(np.stack([ap, a, b], axis=1), axis=1)
+        return pa.table({
+            "n1": pa.array(m[:, 0], pa.int64()),
+            "n2": pa.array(m[:, 1], pa.int64()),
+            "n3": pa.array(m[:, 2], pa.int64()),
+        })
+
+    tri = hits.map_batches(sort_nodes, batch_format="pyarrow")
+
+    def stamp(name, lo_col, hi_col):
+        def rn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                lo_col: t["lo"], hi_col: t["hi"], name: t["st"]})
+
+        return est.map_batches(rn, batch_format="pyarrow")
+
+    tri = broadcast_join(tri, stamp("s12", "n1", "n2"),
+                         on=("n1", "n2"), num_partitions=num_partitions)
+    tri = broadcast_join(tri, stamp("s13", "n1", "n3"),
+                         on=("n1", "n3"), num_partitions=num_partitions)
+    tri = broadcast_join(tri, stamp("s23", "n2", "n3"),
+                         on=("n2", "n3"), num_partitions=num_partitions)
+
+    labels = [TRIAD_LABELS[c] for c in range(27)]
+
+    def classify(t: pa.Table) -> pa.Table:
+        code = ((t["s12"].to_numpy(zero_copy_only=False) - 1) * 9
+                + (t["s13"].to_numpy(zero_copy_only=False) - 1) * 3
+                + (t["s23"].to_numpy(zero_copy_only=False) - 1))
+        lab = np.array(labels, dtype=object)[code]
+        import pandas as pd
+
+        vc = pd.Series(lab).value_counts()
+        return pa.table({
+            "triad": pa.array(vc.index.to_numpy(), pa.string()),
+            "n": pa.array(vc.to_numpy(), pa.int64()),
+        })
+
+    agg = hash_aggregate(
+        tri.map_batches(classify, batch_format="pyarrow"),
+        "triad", [("n", "sum", "n")], num_partitions=num_partitions)
+    return agg.sort(["n", "triad"], descending=[True, False])
+
+
+def triad_census_reference(edge_pairs) -> dict:
+    """Pure-Python closed-triad census replay."""
+    from itertools import combinations
+
+    dd = {(a, b) for a, b in edge_pairs if a != b}
+    adj: dict = {}
+    for a, b in dd:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def state(p, q):
+        f = (p, q) in dd
+        b = (q, p) in dd
+        return (3 if f and b else (1 if f else (2 if b else 0)))
+
+    out: dict = {}
+    for n1, n2, n3 in combinations(sorted(adj), 3):
+        s12, s13, s23 = state(n1, n2), state(n1, n3), state(n2, n3)
+        if 0 in (s12, s13, s23):
+            continue
+        lab = _triad_label(s12, s13, s23)
+        out[lab] = out.get(lab, 0) + 1
+    return out

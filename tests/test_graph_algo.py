@@ -1531,3 +1531,50 @@ class TestBowtie:
 
     def test_empty(self, ray_session):
         assert self._run([]) == {}
+
+
+class TestTriadCensus:
+    def _run(self, pairs):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            triad_census,
+        )
+
+        return {r["triad"]: r["n"]
+                for r in triad_census(_edges_ds(pairs)).take_all()}
+
+    def test_matches_reference(self, ray_session):
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            triad_census_reference,
+        )
+
+        import random
+
+        rng = random.Random(17)
+        pairs = [(rng.randrange(18), rng.randrange(18))
+                 for _ in range(110)]
+        assert self._run(pairs) == triad_census_reference(pairs)
+
+    def test_named_motifs(self, ray_session):
+        # feed-forward loop
+        assert self._run([(1, 2), (1, 3), (2, 3)]) == {"a3-trans": 1}
+        # 3-cycle
+        assert self._run([(1, 2), (2, 3), (3, 1)]) == {"a3-cycle": 1}
+        # fully mutual triangle
+        assert self._run([(1, 2), (2, 1), (1, 3), (3, 1),
+                          (2, 3), (3, 2)]) == {"m3": 1}
+        # mutual dyad + outsider pointing at both
+        assert self._run([(1, 2), (2, 1), (3, 1), (3, 2)]) == {
+            "m1-out": 1}
+        # mutual dyad + both pointing at outsider
+        assert self._run([(1, 2), (2, 1), (1, 3), (2, 3)]) == {
+            "m1-in": 1}
+        # mutual dyad + a path through the outsider
+        assert self._run([(1, 2), (2, 1), (1, 3), (3, 2)]) == {
+            "m1-thru": 1}
+
+    def test_open_triads_excluded(self, ray_session):
+        # wedge only (no closing edge): census is empty
+        assert self._run([(1, 2), (2, 3)]) == {}
+
+    def test_empty(self, ray_session):
+        assert self._run([]) == {}

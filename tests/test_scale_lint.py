@@ -140,6 +140,9 @@ ALLOWED = {
     # bowtie: SCC output + frontier BFS over edge/node-sided tables
     "pipelines/graph_algo.py::bowtie_classes": "iterative",
     "pipelines/graph_algo.py::bowtie_classes._reach": "iterative",
+    # dyad-state table: one row per undirected edge, stamped onto the
+    # streaming triangle pass by three size-gated joins
+    "pipelines/graph_algo.py::triad_census": "iterative",
     # edge-sided distinct pair/degree tables, each reused by several
     # consumers; moments fold to ONE row (re-derived, never the corpus)
     "pipelines/graph_algo.py::structural_profile": "iterative",
