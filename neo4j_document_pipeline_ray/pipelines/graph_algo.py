@@ -36,11 +36,24 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from functools import partial as _fn_partial
+
 from neo4j_document_pipeline_ray.stages.grouped import (
     broadcast_join,
-    hash_aggregate,
     partitioned_group_map,
 )
+from neo4j_document_pipeline_ray.stages.grouped import (
+    hash_aggregate as _hash_aggregate,
+)
+
+# Every aggregate in this module exchanges node-, edge- or schema-sided
+# PARTIALS (never raw corpus rows), and the module's iterative ops
+# already pin tables of that size — so the adaptive small-exchange fast
+# path (stages/grouped.py: one merge task instead of an all-to-all sort
+# when the partials fit 64 MB) is on module-wide.  Measured: the Ray
+# 2.49 sort-based exchange costs 2-7 s of fixed overhead per call at 32
+# CPUs, which dominated every per-round aggregate here at sandbox scale.
+hash_aggregate = _fn_partial(_hash_aggregate, adaptive=True)
 
 PR_SCALE = 10**9  # keeps 85 * V * scale far inside int64 up to V ~ 1e8
 
@@ -2042,7 +2055,7 @@ def random_walks(
                               num_partitions=num_partitions)
         nxt = partitioned_group_map(
             cand.map_batches(scored(s), batch_format="pyarrow"),
-            ["seed", "walk"], pick, num_partitions)
+            ["seed", "walk"], pick, num_partitions, adaptive=True)
         frontier = nxt.materialize()  # iterative: walk-frontier-sided
         out_steps.append(frontier.map_batches(
             lambda t, _s=s: pa.table({
@@ -2354,7 +2367,7 @@ def neighborhood_function(
             topk_partial, batch_format="pyarrow")
         sketch = partitioned_group_map(
             partial, "node", merge_part,
-            num_partitions=num_partitions).materialize()
+            num_partitions=num_partitions, adaptive=True).materialize()
         out_hops.append(hop)
         out_nf.append(nf_estimate(sketch))
 
@@ -2912,7 +2925,7 @@ def harmonic_centrality_approx(
             topk_partial, batch_format="pyarrow")
         sketch = partitioned_group_map(
             partial, "node", merge_part,
-            num_partitions=num_partitions).materialize()
+            num_partitions=num_partitions, adaptive=True).materialize()
         contribs = contribs.union(per_node(sketch, hop))
 
     out = hash_aggregate(contribs, "node",
@@ -3419,7 +3432,7 @@ def rule_mining(
 
     raw = hash_aggregate(
         partitioned_group_map(tagged, "b", cross_per_mid,
-                              num_partitions),
+                              num_partitions, adaptive=True),
         ["r1", "r2"], [("n", "sum", "n_raw")],
         num_partitions=num_partitions)
 
@@ -3470,51 +3483,99 @@ def rule_mining(
     r2set = {r["r2"] for r in rules}
     support = {(r["r1"], r["r2"]): r["n_paths"] for r in rules}
 
-    # wedges ONLY for top-k chain types (typed prefilter), then close
+    # FUSED closure: wedge join + a!=c filter + closure join + partial
+    # counts all inside ONE map stage per left block — the hub-
+    # quadratic wedge set (1e8 typed rows from 8e4 edges at sf0.1)
+    # lives only inside each task's Acero pipeline and never crosses
+    # an operator boundary.  Relation types are dictionary-encoded to
+    # ONE int64 code per (r1, r2, r3) triple so the per-task fold is a
+    # single ``np.bincount`` and the exchange carries (code, n) int
+    # partials instead of 3 string columns (measured ~4x vs the staged
+    # string-keyed joins at sf0.1).
+    import numpy as np
+
+    rvoc = sorted(r["r"] for r in hash_aggregate(
+        e.select_columns(["r"]), "r", [(None, "count", "_m")],
+        num_partitions=num_partitions).take_all())
+    nrel = len(rvoc)
+    voc_arr = pa.array(rvoc, pa.string())
+    if nrel ** 3 > (1 << 26):
+        raise RuntimeError(
+            f"rule_mining closure code space {nrel}^3 exceeds the "
+            "bincount bound — shard the relation vocabulary first")
+
+    def enc(col):
+        return pc.cast(pc.index_in(col, value_set=voc_arr), pa.int64())
+
     left = e.map_batches(
         lambda t, _s=sorted(r1set): pa.table(
-            {"b": t["c"], "aa": t["a"], "r1": t["r"]}).filter(
+            {"b": t["c"], "aa": t["a"], "i1": enc(t["r"])}).filter(
             pc.is_in(t["r"], pa.array(_s, pa.string()))),
         batch_format="pyarrow")
-    right = e.map_batches(
+
+    def _pin(ds, names):
+        # empty Ray blocks carry an EMPTY schema; drop them before the
+        # concat (broadcast_join's _concat does the same)
+        tbls = [t for t in ray.get(ds.materialize().to_arrow_refs())
+                if t.num_rows and t.schema.names]
+        if not tbls:
+            return pa.table({n: pa.array([], pa.int64())
+                             for n in names})
+        return pa.concat_tables(tbls).select(
+            list(names)).combine_chunks()
+
+    right_ref = ray.put(_pin(e.map_batches(
         lambda t, _s=sorted(r2set): pa.table(
-            {"b": t["a"], "cc": t["c"], "r2": t["r"]}).filter(
+            {"b": t["a"], "cc": t["c"], "i2": enc(t["r"])}).filter(
             pc.is_in(t["r"], pa.array(_s, pa.string()))),
-        batch_format="pyarrow")
-    wedges = broadcast_join(left, right, on=("b",),
-                            num_partitions=num_partitions)
-    wedges = wedges.map_batches(
-        lambda t: t.filter(pc.not_equal(t["aa"], t["cc"])),
-        batch_format="pyarrow")
-    closed = broadcast_join(
-        wedges, e.map_batches(
-            lambda t: pa.table({"aa": t["a"], "cc": t["c"],
-                                "r3": t["r"]}),
-            batch_format="pyarrow"),
-        on=("aa", "cc"), num_partitions=num_partitions)
-    cagg = hash_aggregate(closed.select_columns(["r1", "r2", "r3"]),
-                          ["r1", "r2", "r3"],
-                          [(None, "count", "n_closed")],
-                          num_partitions=num_partitions)
+        batch_format="pyarrow"), ("b", "cc", "i2")))
+    e3_ref = ray.put(_pin(e.map_batches(
+        lambda t: pa.table(
+            {"aa": t["a"], "cc": t["c"], "i3": enc(t["r"])}),
+        batch_format="pyarrow"), ("aa", "cc", "i3")))
+
+    def close_batch(t: pa.Table) -> pa.Table:
+        r = ray.get(right_ref)
+        e3 = ray.get(e3_ref)
+        w = t.join(r, keys=["b"])
+        w = w.filter(pc.not_equal(w["aa"], w["cc"]))
+        c = w.select(["i1", "i2", "aa", "cc"]).join(
+            e3, keys=["aa", "cc"], join_type="inner")
+        code = ((c["i1"].to_numpy(zero_copy_only=False) * nrel
+                 + c["i2"].to_numpy(zero_copy_only=False)) * nrel
+                + c["i3"].to_numpy(zero_copy_only=False))
+        cnt = np.bincount(code, minlength=nrel ** 3)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "code": pa.array(nz.astype(np.int64), pa.int64()),
+            "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+        })
+
+    cagg = hash_aggregate(
+        left.map_batches(close_batch, batch_format="pyarrow",
+                         batch_size=None),
+        "code", [("n", "sum", "n_closed")],
+        num_partitions=num_partitions)
 
     def finish(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        r1 = t["r1"].to_pylist()
-        r2 = t["r2"].to_pylist()
+        code = t["code"].to_numpy(zero_copy_only=False)
+        i3 = code % nrel
+        i2 = (code // nrel) % nrel
+        i1 = code // (nrel * nrel)
+        r1 = [rvoc[i] for i in i1]
+        r2 = [rvoc[i] for i in i2]
         keep = [i for i, (x, y) in enumerate(zip(r1, r2))
                 if (x, y) in support]
-        # keep may be empty on a small partition: pa.array([]) is
-        # null-typed and Table.take has no (string, null) kernel
-        sub = t.take(pa.array(keep, type=pa.int64()))
-        paths = np.array([support[(x, y)] for x, y in
-                          zip(sub["r1"].to_pylist(),
-                              sub["r2"].to_pylist())], dtype=np.int64)
-        ncl = sub["n_closed"].to_numpy(zero_copy_only=False)
+        idx = pa.array(keep, type=pa.int64())
+        paths = np.array([support[(r1[i], r2[i])] for i in keep],
+                         dtype=np.int64)
+        ncl = t["n_closed"].take(idx).to_numpy(zero_copy_only=False)
         return pa.table({
-            "r1": sub["r1"], "r2": sub["r2"], "r3": sub["r3"],
+            "r1": pa.array([r1[i] for i in keep], pa.string()),
+            "r2": pa.array([r2[i] for i in keep], pa.string()),
+            "r3": pa.array([rvoc[i3[i]] for i in keep], pa.string()),
             "n_paths": pa.array(paths, pa.int64()),
-            "n_closed": sub["n_closed"],
+            "n_closed": pa.array(ncl, pa.int64()),
             "conf_scaled": pa.array(
                 ncl * scale // np.maximum(paths, 1), pa.int64()),
         })

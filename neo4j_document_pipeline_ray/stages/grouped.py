@@ -27,13 +27,29 @@ import pyarrow.compute as pc
 import ray.data
 
 
+#: adaptive fast-path ceiling: exchanges whose WHOLE input fits under
+#: this run as ONE merge task instead of an all-to-all sort (Ray 2.49's
+#: sort-based groupby costs seconds of fixed overhead per exchange at
+#: 32 CPUs — measured 7.4 s for a 4.5k-row group map).  64 MB keeps the
+#: single task trivially cheap while any real corpus-scale exchange
+#: falls through to the sort path.
+SMALL_EXCHANGE_BYTES = 64 << 20
+
+
 def partitioned_group_map(
     ds: "ray.data.Dataset",
     key_col: str,
     partition_fn: Callable,
     num_partitions: int = 16,
     batch_format: str = "pandas",
+    adaptive: bool = False,
 ) -> "ray.data.Dataset":
+    """``adaptive=True`` opts into the small-exchange fast path: the
+    input is MATERIALIZED (the caller accepts a pin of the exchange
+    input — the contract graph-analytics call sites already live
+    under) and, when it fits ``SMALL_EXCHANGE_BYTES``, the whole map
+    runs as one task with no all-to-all.  Callers whose exchange input
+    is corpus-sized (doc- or token-keyed) must keep the default."""
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
 
     def add_pk(t: pa.Table) -> pa.Table:
@@ -55,6 +71,27 @@ def partitioned_group_map(
     else:
         def run_partition(t: pa.Table) -> pa.Table:
             return partition_fn(t.drop_columns(["_pk"]))
+
+    if adaptive:
+        import ray
+
+        mat = ds.map_batches(lambda t: t,
+                             batch_format="pyarrow").materialize()
+        if (mat.size_bytes() or 0) <= SMALL_EXCHANGE_BYTES:
+            tbls = [t for t in ray.get(mat.to_arrow_refs())
+                    if t.num_rows and t.schema.names]
+            if not tbls:
+                return mat
+            one = ray.data.from_arrow(
+                pa.concat_tables(tbls).combine_chunks())
+            if batch_format == "pandas":
+                return one.map_batches(
+                    lambda df: partition_fn(df),
+                    batch_format="pandas", batch_size=None)
+            return one.map_batches(
+                lambda t: partition_fn(t),
+                batch_format="pyarrow", batch_size=None)
+        ds = mat  # big after all: fall through to the sorted exchange
 
     with_pk = ds.map_batches(add_pk, batch_format="pyarrow")
     return with_pk.groupby("_pk").map_groups(run_partition, batch_format=batch_format)
@@ -165,6 +202,7 @@ def hash_aggregate(
     keys: "str | list[str]",
     specs: "list[tuple]",
     num_partitions: int = 16,
+    adaptive: bool = False,
 ) -> "ray.data.Dataset":
     """Two-phase grouped aggregation in Arrow: an in-batch partial
     ``group_by`` collapses every batch to one row per key (so the
@@ -208,7 +246,7 @@ def hash_aggregate(
                              batch_format="pyarrow")
     return partitioned_group_map(
         partial, key_cols, lambda t: _run(t, "merge"), num_partitions,
-        batch_format="pyarrow",
+        batch_format="pyarrow", adaptive=adaptive,
     )
 
 

@@ -149,6 +149,13 @@ ALLOWED = {
     "stages/grouped.py::broadcast_join": "node-sided",  # size-gated right
     "stages/grouped.py::drop_empty_blocks": "group-sized",  # Ray 2.49 bug tax
     "stages/grouped.py::partitioned_group_map.add_pk": "batch-local",
+    # adaptive=True fast path only: callers opt into pinning their
+    # exchange INPUT (node/edge/schema-sided partials per the doc);
+    # corpus-keyed callers keep the default streaming sort path
+    "stages/grouped.py::partitioned_group_map": "group-sized",
+    # typed distinct edge set pinned for the fused in-task closure
+    # (edge-sided, same class as the module's other edge pins)
+    "pipelines/graph_algo.py::rule_mining._pin": "iterative",
 }
 
 
