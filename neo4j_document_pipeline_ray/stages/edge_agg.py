@@ -307,7 +307,7 @@ def build_edges(
     merged = partitioned_group_map(
         partial, "edge_key",
         functools.partial(_merge_edges_partition_arrow, keep_ord=keep_ord),
-        cfg.shuffle_partitions, batch_format="pyarrow",
+        cfg.shuffle_partitions, batch_format="pyarrow", adaptive=True,
     )
     if not use_ref:
         return merged
@@ -318,7 +318,7 @@ def build_edges(
             batch_size=cfg.agg_batch_size,
         ),
         "src_ref",
-        num_partitions=cfg.join_partitions,
+        num_partitions=cfg.join_partitions, adaptive=True,
     )
     joined = broadcast_join(
         merged, prov, on=("src_ref",), join_type="left_outer",

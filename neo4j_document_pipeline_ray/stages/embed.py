@@ -338,7 +338,9 @@ def build_embeddings(
     keys = triples.select_columns(["sub_key", "obj_key", "rel_key"]).map_batches(
         _keys_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
     )
-    distinct = distinct_by(keys, "text_key", num_partitions=cfg.shuffle_partitions)
+    distinct = distinct_by(keys, "text_key",
+                           num_partitions=cfg.shuffle_partitions,
+                           adaptive=True)
     if backend is None:
         # stateless hash backend: plain tasks on the warm worker pool
         # (no actor-process spawn per run); real model/HTTP backends

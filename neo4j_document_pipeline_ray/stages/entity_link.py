@@ -106,7 +106,8 @@ def finalize_nodes(
     from neo4j_document_pipeline_ray.stages.grouped import min_by_key
 
     cfg = cfg or PipelineConfig()
-    agg = min_by_key(cands, "entity_id", num_partitions=cfg.shuffle_partitions)
+    agg = min_by_key(cands, "entity_id",
+                     num_partitions=cfg.shuffle_partitions, adaptive=True)
     return agg.map_batches(_finish_batch, batch_format="pyarrow")
 
 
@@ -152,7 +153,7 @@ def finalize_mentions(
     cfg = cfg or PipelineConfig()
     # partitioned by entity_id; every (doc, entity) pair lands whole
     return distinct_by(pairs, "entity_id", subset=["doc_id", "entity_id"],
-                       num_partitions=cfg.shuffle_partitions)
+                       num_partitions=cfg.shuffle_partitions, adaptive=True)
 
 
 def build_mentions(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":

@@ -139,6 +139,7 @@ def distinct_by(
     key_col: str,
     subset: "list[str] | None" = None,
     num_partitions: int = 16,
+    adaptive: bool = False,
 ) -> "ray.data.Dataset":
     """Global DISTINCT on ``subset`` (default ``[key_col]``), hash-
     partitioned by ``key_col`` — every column in ``subset`` must be a
@@ -169,12 +170,14 @@ def distinct_by(
         return pa.table(out)
 
     return partitioned_group_map(
-        ds, key_col, fn, num_partitions, batch_format="pyarrow"
+        ds, key_col, fn, num_partitions, batch_format="pyarrow",
+        adaptive=adaptive,
     )
 
 
 def min_by_key(
-    ds: "ray.data.Dataset", key_col: str, num_partitions: int = 16
+    ds: "ray.data.Dataset", key_col: str, num_partitions: int = 16,
+    adaptive: bool = False,
 ) -> "ray.data.Dataset":
     """Per-key minimum of every other column (vectorized replacement
     for ``groupby(key).aggregate(Min(...), ...)``).  String minima are
@@ -191,7 +194,8 @@ def min_by_key(
         })
 
     return partitioned_group_map(ds, key_col, fn, num_partitions,
-                                 batch_format="pyarrow")
+                                 batch_format="pyarrow",
+                                 adaptive=adaptive)
 
 
 _MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
