@@ -332,7 +332,7 @@ def connected_components(
 
     from neo4j_document_pipeline_ray.stages.grouped import min_by_key
 
-    labels = min_by_key(both, "node", num_partitions=8)
+    labels = min_by_key(both, "node", num_partitions=8, adaptive=True)
     labels = labels.map_batches(
         lambda t: pa.table({
             "node": t["node"],
@@ -381,8 +381,10 @@ def connected_components(
             batch_format="pyarrow",
         )
         msgs = label_msgs.union(edge_msgs).union(jump_msgs)
-        prop = partitioned_group_map(msgs, "id", propagate, 8)
-        labels = min_by_key(prop, "node", num_partitions=8).materialize()
+        prop = partitioned_group_map(msgs, "id", propagate, 8,
+                                     adaptive=True)
+        labels = min_by_key(prop, "node", num_partitions=8,
+                            adaptive=True).materialize()
         sig = labels.map_batches(
             lambda t: pa.table({"s": pa.array([int(pc.sum(t["label"]).as_py() or 0)], pa.int64())}),
             batch_format="pyarrow",

@@ -345,7 +345,7 @@ def host_graph(pages: "ray.data.Dataset",
     return hash_aggregate(
         links.map_batches(to_hosts, batch_format="pyarrow"),
         ["src_host", "dst_host"], [(None, "count", "n_links")],
-        num_partitions=num_partitions)
+        num_partitions=num_partitions, adaptive=True)
 
 
 def host_rank(pages: "ray.data.Dataset", iters: int = 3,
@@ -385,7 +385,8 @@ def host_rank(pages: "ray.data.Dataset", iters: int = 3,
     names = hash_aggregate(
         hg.map_batches(name_rows, batch_format="pyarrow"),
         ["entity_id", "host"], [(None, "count", "_m")],
-        num_partitions=num_partitions).drop_columns(["_m"])
+        num_partitions=num_partitions,
+        adaptive=True).drop_columns(["_m"])
     joined = broadcast_join(pr, names, on=("entity_id",),
                             num_partitions=num_partitions)
     return joined.select_columns(["host", "rank_scaled"])
@@ -577,7 +578,8 @@ def host_harmonic(pages: "ray.data.Dataset", hops: int = 3,
     names = hash_aggregate(
         hg.map_batches(name_rows, batch_format="pyarrow"),
         ["entity_id", "host"], [(None, "count", "_m")],
-        num_partitions=num_partitions).drop_columns(["_m"])
+        num_partitions=num_partitions,
+        adaptive=True).drop_columns(["_m"])
 
     if ids.count() == 0:
         return names.map_batches(

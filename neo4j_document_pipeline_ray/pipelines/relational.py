@@ -80,7 +80,8 @@ def q_lineitem_agg(sf_dir: str) -> "ray.data.Dataset":
 
     return hash_aggregate(
         ds.map_batches(prep, batch_format="pyarrow"),
-        ["l_returnflag", "l_linestatus"],
+        ["l_returnflag", "l_linestatus"], adaptive=True,
+        specs=
         [("qty", "sum", "sum_qty"),
          ("price_cents", "sum", "sum_price_cents"),
          ("disc_cents", "sum", "sum_disc_cents"),
@@ -167,7 +168,8 @@ def q_brand_supplier_stats(sf_dir: str) -> "ray.data.Dataset":
     j = broadcast_join(j, supp, on=("l_suppkey",), right_on=("s_suppkey",),
                        num_partitions=8)
     return hash_aggregate(
-        j, ["p_brand", "s_name"],
+        j, ["p_brand", "s_name"], adaptive=True,
+        specs=
         [("qty", "sum", "sum_qty"), (None, "count", "n_lines")],
     )
 
@@ -199,7 +201,8 @@ def q_events_hourly(sf_dir: str) -> "ray.data.Dataset":
 
     return hash_aggregate(
         ev.map_batches(prep, batch_format="pyarrow"),
-        ["event_type", "win"],
+        ["event_type", "win"], adaptive=True,
+        specs=
         [(None, "count", "n"),
          ("value_milli", "sum", "sum_value_milli"),
          ("value_milli", "min", "min_value_milli"),
@@ -308,7 +311,8 @@ def q_nation_region_union(sf_dir: str) -> "ray.data.Dataset":
         lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow"
     )
     u = nation.union(region)
-    return hash_aggregate(u, "name", [(None, "count", "n")])
+    return hash_aggregate(u, "name", [(None, "count", "n")],
+                          adaptive=True)
 
 
 Q_NATION_REGION_UNION_SQL = """
@@ -346,7 +350,8 @@ def q_lineitem_rollup(sf_dir: str) -> "ray.data.Dataset":
 
     fine = hash_aggregate(
         ds.map_batches(prep, batch_format="pyarrow"),
-        ["l_returnflag", "l_linestatus"],
+        ["l_returnflag", "l_linestatus"], adaptive=True,
+        specs=
         [("qty", "sum", "sum_qty"), (None, "count", "n_rows")],
     )
 
@@ -364,7 +369,8 @@ def q_lineitem_rollup(sf_dir: str) -> "ray.data.Dataset":
 
     return hash_aggregate(
         fine.map_batches(expand, batch_format="pyarrow"),
-        ["l_returnflag", "l_linestatus"],
+        ["l_returnflag", "l_linestatus"], adaptive=True,
+        specs=
         [("sum_qty", "sum", "sum_qty"), ("n_rows", "sum", "n_rows")],
         num_partitions=1,
     )
@@ -557,7 +563,8 @@ def q_revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
         li.map_batches(rev, batch_format="pyarrow"), order_nat,
         on=("l_orderkey",), right_on=("o_orderkey",))
     out = hash_aggregate(
-        joined, "n_name",
+        joined, "n_name", adaptive=True,
+        specs=
         [("rev_cents", "sum", "revenue_cents"),
          (None, "count", "n_lineitems")])
     return out.sort(["revenue_cents", "n_name"], descending=[True, False])
