@@ -648,6 +648,48 @@ def _q_docs_prefix_jaccard(sf_dir: str):
     return prefix_jaccard_pairs(docs)
 
 
+def _q_docs_dedup_eval(sf_dir: str):
+    """One-row dedup-quality audit — precision/recall of the MinHash
+    near-dup detector against the EXACT Jaccard >= 0.8 pair set (the
+    prefix-filtered SSJoin kernel): the "measure, don't guess" twin of
+    ann_recall for the dedup tier.  Deterministic minhash seeds +
+    exact truth make the milli scores stable artifacts; everything
+    after the two pair kernels is k-sized."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_document_pipeline_ray.extras.dedup import (
+        minhash_dedup_pairs,
+        prefix_jaccard_pairs,
+    )
+    from neo4j_document_pipeline_ray.stages.grouped import broadcast_join
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    truth = prefix_jaccard_pairs(docs).select_columns(
+        ["doc_a", "doc_b"]).map_batches(
+        lambda t: pa.table({"a": t["doc_a"], "b": t["doc_b"]}),
+        batch_format="pyarrow").materialize()
+    found = minhash_dedup_pairs(docs, threshold=0.8).select_columns(
+        ["a", "b"]).materialize()
+    n_truth, n_found = truth.count(), found.count()
+    n_hit = 0
+    if n_truth and n_found:
+        n_hit = broadcast_join(found, truth, on=("a", "b")).count()
+    return rd.from_arrow(pa.table({
+        "method": pa.array(["minhash"], pa.string()),
+        "n_truth": pa.array([n_truth], pa.int64()),
+        "n_found": pa.array([n_found], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "precision_milli": pa.array(
+            [n_hit * 1000 // n_found if n_found else 0], pa.int64()),
+        "recall_milli": pa.array(
+            [n_hit * 1000 // n_truth if n_truth else 0], pa.int64()),
+    }))
+
+
 def _q_docs_domain_reputation(sf_dir: str):
     """Per-source reputation rollup: doc count, exact-dup count, and
     integer-scaled quality means — the per-domain table RefinedWeb/C4
@@ -2651,6 +2693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_bpe_train": _q_docs_bpe_train,
         "docs_prefix_jaccard": _q_docs_prefix_jaccard,
+        "docs_dedup_eval": _q_docs_dedup_eval,
         "docs_kmv_by_lang": _q_docs_kmv_by_lang,
         "docs_domain_reputation": _q_docs_domain_reputation,
         "emb_bitext": _q_emb_bitext,
@@ -5188,6 +5231,29 @@ def oracle_sql() -> dict[str, str]:
                        "o_orderstatus", "o_orderpriority"]),
         "docs_bpe_train": _bpe_train_sql(3),
         "docs_prefix_jaccard": PREFIX_JACCARD_SQL,
+        "docs_dedup_eval": f"""
+            WITH truth AS ({PREFIX_JACCARD_SQL}),
+            found AS ({MINHASH_PAIRS_SQL}),
+            hit AS (
+                SELECT count(*) AS h FROM truth t
+                JOIN found f ON f.a = t.doc_a AND f.b = t.doc_b
+            ), c AS (
+                SELECT (SELECT count(*) FROM truth) AS nt,
+                       (SELECT count(*) FROM found) AS nf,
+                       (SELECT h FROM hit) AS nh
+            )
+            SELECT 'minhash' AS method,
+                   CAST(nt AS BIGINT) AS n_truth,
+                   CAST(nf AS BIGINT) AS n_found,
+                   CAST(nh AS BIGINT) AS n_hit,
+                   CAST(CASE WHEN nf = 0 THEN 0
+                        ELSE nh * 1000 // nf END AS BIGINT)
+                       AS precision_milli,
+                   CAST(CASE WHEN nt = 0 THEN 0
+                        ELSE nh * 1000 // nt END AS BIGINT)
+                       AS recall_milli
+            FROM c
+        """,
         "docs_salient_terms": salient_terms_sql(3),
         "docs_curation_filter": CURATION_FILTER_SQL,
         "docs_scrub": scrub_blocklist_sql(),
