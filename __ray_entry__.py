@@ -67,6 +67,35 @@ def _qvec_sql() -> str:
     return "[" + ", ".join(repr(float(x)) for x in q) + "]"
 
 
+def _lsh_bucket_sql(emb_expr: str = "e", n_planes: int = 8) -> str:
+    """DuckDB expression for the LSH hyperplane-sign bucket of an
+    embedding column — bit i set iff dot(e, plane_i) > 0, replaying
+    extras.similarity._bucket_of with the plane matrix (a pure
+    function of the fixed seed) baked in as DOUBLE[] literals."""
+    from neo4j_document_pipeline_ray.extras.similarity import _planes
+
+    pl = _planes(_EMB_DIM, n_planes)
+    terms = []
+    for i, row in enumerate(pl):
+        lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_inner_product({emb_expr}, {lit}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _probed_buckets_sql(multiprobe: int = 2, n_planes: int = 8) -> str:
+    """The multiprobe bucket set for the fixed question vector — a pure
+    function of (question, seed, multiprobe), independent of any
+    pipeline output, so baking it into the oracle is not circular."""
+    from neo4j_document_pipeline_ray.extras.similarity import _probe_buckets
+    from neo4j_document_pipeline_ray.pipelines.graphrag import embed_question
+
+    probe = _probe_buckets(embed_question(_QUESTION), multiprobe, n_planes)
+    return ", ".join(str(b) for b in probe)
+
+
 def _corpus(sf_dir: str):
     from neo4j_document_pipeline_ray.sources.corpus import ensure_corpus
 
@@ -2505,6 +2534,35 @@ def _q_mm_resize(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def _q_mm_resize_png(sf_dir: str):
+    """Image resize over REAL PNG payloads through the production
+    decode seam (stdlib PNG codec, extras/png.py — no PIL in this
+    sandbox): bytes -> pixels -> nearest-neighbor resize.  Pixel-exact
+    oracle lives in pytest (tests/test_png.py); rows-only here (SQL
+    cannot decode PNG)."""
+    import pyarrow as pa
+
+    from neo4j_document_pipeline_ray.extras.multimodal import (
+        RealImageDecoder,
+        resize_images,
+        synthesize_media,
+    )
+
+    out = resize_images(synthesize_media(n=96, real_png=True),
+                        target=(32, 24), decoder=RealImageDecoder())
+
+    def summarize(t: pa.Table) -> pa.Table:
+        n_bytes = [len(p) if p is not None else 0
+                   for p in t["payload"].to_pylist()]
+        return pa.table({
+            "media_id": t["media_id"], "kind": t["kind"],
+            "width": t["width"], "height": t["height"],
+            "n_bytes": pa.array(n_bytes, pa.int64()),
+        })
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def _q_mm_frames(sf_dir: str):
     """Video frame sampling: row-expanding actor stage; payload dropped."""
     import pyarrow as pa
@@ -2720,6 +2778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semdedup": _q_emb_semdedup,
         "mm_features": _q_mm_features,
         "mm_resize": _q_mm_resize,
+        "mm_resize_png": _q_mm_resize_png,
         "mm_frames": _q_mm_frames,
     }
 
@@ -5398,9 +5457,50 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, entity_id
             LIMIT 10
         """,
-        # kg_vector_index_topk: multiprobe LSH is approximate by
-        # design -> rows-only (pinned == vector_topk where guaranteed
-        # in pytest).  lsh / mm_features: seeded-rng hyperplanes or
-        # stubbed codecs -> rows-only, verified against exact oracles
-        # in pytest instead.
+        # kg_vector_index_topk: the probed-bucket restriction is itself
+        # deterministic (hyperplane signs over the exact hash-embedding
+        # twin + a query bucket set that is a pure function of the
+        # question), so the "approximate" index query has an EXACT SQL
+        # twin: cosine top-k restricted to the probed buckets.
+        "kg_vector_index_topk": f"""
+            WITH m AS (
+                SELECT subject AS name, subject_type AS label
+                FROM read_parquet('{_TRUTH_001}')
+                UNION ALL
+                SELECT object, object_type FROM read_parquet('{_TRUTH_001}')
+            ), k AS (
+                SELECT name, label, {nname} AS norm_key FROM m
+            ), g AS (
+                SELECT norm_key, min(name || chr(31) || label) AS rep
+                FROM k GROUP BY norm_key
+            ), nodes_t AS (
+                SELECT {_eid_sql('norm_key')} AS entity_id,
+                       split_part(rep, chr(31), 2) AS label,
+                       split_part(rep, chr(31), 1) AS name
+                FROM g
+            ), emb AS (
+                SELECT entity_id, label, name,
+                       {_hash_emb_sql("(label || ':' || name)")} AS e
+                FROM nodes_t
+            ), bucketed AS (
+                SELECT entity_id, label, name, e,
+                       {_lsh_bucket_sql("e")} AS bucket
+                FROM emb
+            ), scored AS (
+                SELECT entity_id, label, name,
+                       round(list_inner_product(e, {_qvec_sql()}) /
+                             (CASE WHEN sqrt(list_inner_product(e, e)) = 0
+                                   THEN 1.0
+                                   ELSE sqrt(list_inner_product(e, e))
+                              END), 6) AS score
+                FROM bucketed
+                WHERE bucket IN ({_probed_buckets_sql(2)})
+            )
+            SELECT entity_id, label, name, score FROM scored
+            ORDER BY score DESC, entity_id
+            LIMIT 10
+        """,
+        # lsh / mm_features: seeded-rng hyperplanes or stubbed codecs
+        # -> rows-only, verified against exact oracles in pytest
+        # instead.
     }

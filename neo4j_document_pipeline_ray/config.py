@@ -42,14 +42,31 @@ class PipelineConfig:
     #                                      going 4096 -> 65536
 
     # --- shuffles / joins ---
-    join_partitions: int = 8             # hash partitions for Dataset.join
-    shuffle_partitions: int = 8          # groupby output parallelism hint
+    # These are FLOORS, not fixed counts: every corpus-keyed exchange
+    # derives its partition count from the input's byte size
+    # (stages.grouped.derive_partitions — one partition per ~256 MB,
+    # from parquet-footer / plan metadata, no execution), so a 100 TB
+    # exchange gets ~400k partitions while sandbox-scale runs keep
+    # these measured values.
+    join_partitions: int = 8             # floor for Dataset.join exchanges
+    shuffle_partitions: int = 8          # floor for groupby exchanges
 
     # --- snapshot layout ---
     entity_buckets: int = 16             # entity-id range partitions of nodes/edges
     input_shards: int = 4                # url-hash shards for resumable extraction
     shard_parallelism: int = 4           # concurrent shard pipelines in stage A
     read_blocks_per_file: int = 8        # block-split hint per input file
+
+    # --- entity identity scope ---
+    # "norm" (default): label-BLIND canonicalization — the cluster key
+    #   is normalize_name_for_key(name) alone, promoting the
+    #   reference's read-time alias dedup (graphutil.py:653-674) to
+    #   construction time (SURVEY §2.5 A3/A4 divergence note).
+    # "label": strict reference parity with MERGE (n:Label {name})
+    #   (ingestMD.py:505-511) — the key is scoped by the sanitized
+    #   label, so "Paris" the City and "Paris" the Person stay
+    #   distinct entities.
+    entity_scope: str = "norm"
 
     # --- extraction dedup strategy ---
     # Extract once per DISTINCT chunk (shuffle + join-back, the

@@ -60,7 +60,7 @@ def pair_counts_batch(t: pa.Table) -> pa.Table:
 
 
 def bpe_top_pairs(docs: "ray.data.Dataset", k: int = 50,
-                  num_partitions: int = 4) -> "ray.data.Dataset":
+                  num_partitions: "int | None" = None) -> "ray.data.Dataset":
     agg = hash_aggregate(
         docs.select_columns(["text"]).map_batches(
             pair_counts_batch, batch_format="pyarrow"),
@@ -116,7 +116,7 @@ def _merge_word(syms: str, left: str, right: str) -> str:
 def bpe_train(
     docs: "ray.data.Dataset",
     iters: int = 3,
-    num_partitions: int = 4,
+    num_partitions: "int | None" = None,
 ) -> pa.Table:
     """FULL BPE vocabulary-induction loop (Sennrich et al. 2016): k
     rounds of count-argmax-merge, returning one row per learned merge

@@ -256,10 +256,10 @@ def minhash_candidate_pairs(
     sigs = ray.data.read_parquet(sig_dir)
     bands = sigs.map_batches(_bands_batch, batch_format="pyarrow")
     pairs = partitioned_group_map(
-        bands, "bucket", _make_pairs_partition(bucket_cap), 16
+        bands, "bucket", _make_pairs_partition(bucket_cap), None
     )
     # (a, b) pairs are complete within a's hash partition
-    uniq = distinct_by(pairs, "a", subset=["a", "b"], num_partitions=16)
+    uniq = distinct_by(pairs, "a", subset=["a", "b"], num_partitions=None)
     return sigs, uniq
 
 
@@ -276,10 +276,10 @@ def minhash_dedup_pairs(
     # table fits, hash join otherwise — no emptiness probe (an empty
     # candidate set streams through as empty blocks)
     j = broadcast_join(pairs, sigs, on=("a",), right_on=("doc_id",),
-                       num_partitions=8)
+                       num_partitions=None)
     j = j.rename_columns({"sig": "siga"})
     j = broadcast_join(j, sigs, on=("b",), right_on=("doc_id",),
-                       num_partitions=8)
+                       num_partitions=None)
 
     def verify(t: pa.Table) -> pa.Table:
         names = t.schema.names
@@ -332,7 +332,7 @@ def connected_components(
 
     from neo4j_document_pipeline_ray.stages.grouped import min_by_key
 
-    labels = min_by_key(both, "node", num_partitions=8, adaptive=True)
+    labels = min_by_key(both, "node", num_partitions=None, adaptive=True)
     labels = labels.map_batches(
         lambda t: pa.table({
             "node": t["node"],
@@ -381,9 +381,9 @@ def connected_components(
             batch_format="pyarrow",
         )
         msgs = label_msgs.union(edge_msgs).union(jump_msgs)
-        prop = partitioned_group_map(msgs, "id", propagate, 8,
+        prop = partitioned_group_map(msgs, "id", propagate, None,
                                      adaptive=True)
-        labels = min_by_key(prop, "node", num_partitions=8,
+        labels = min_by_key(prop, "node", num_partitions=None,
                             adaptive=True).materialize()
         sig = labels.map_batches(
             lambda t: pa.table({"s": pa.array([int(pc.sum(t["label"]).as_py() or 0)], pa.int64())}),
@@ -518,7 +518,7 @@ def simhash_near_pairs(
         return pairs
     from neo4j_document_pipeline_ray.stages.grouped import distinct_by
 
-    return distinct_by(pairs, "a", subset=["a", "b"], num_partitions=16)
+    return distinct_by(pairs, "a", subset=["a", "b"], num_partitions=None)
 
 
 # Shared DuckDB CTE text: per-doc word list (Python `text.lower()
@@ -734,7 +734,7 @@ def near_dedup_keep(
         pairs.select_columns(["a", "b"])).materialize()
     sizes = hash_aggregate(
         comp, "component", [("node", "count", "cluster_size")],
-        num_partitions=8,
+        num_partitions=None,
     )
     drops = comp.map_batches(
         lambda t: pa.table({
@@ -750,14 +750,14 @@ def near_dedup_keep(
     )
     # anti-join: stream ids past the broadcast drop set
     kept = broadcast_join(ids, drops, on=("doc_id",),
-                          join_type="left_outer", num_partitions=8)
+                          join_type="left_outer", num_partitions=None)
     kept = kept.map_batches(
         lambda t: t.filter(pc.is_null(t["_dup"])).select(["doc_id"]),
         batch_format="pyarrow",
     )
     kept = broadcast_join(kept, sizes, on=("doc_id",),
                           right_on=("component",),
-                          join_type="left_outer", num_partitions=8)
+                          join_type="left_outer", num_partitions=None)
     return kept.map_batches(
         lambda t: pa.table({
             "doc_id": t["doc_id"],
@@ -907,10 +907,10 @@ def ngram_jaccard_pairs(
     if pair_rows.count() == 0:
         return pair_rows
     inter = hash_aggregate(pair_rows, ["a", "b"], [(None, "count", "i")])
-    j = safe_join(inter, sizes, join_type="inner", num_partitions=8,
+    j = safe_join(inter, sizes, join_type="inner", num_partitions=None,
                    on=("a",), right_on=("doc_id",))
     j = j.rename_columns({"n_grams": "na"})
-    j = safe_join(j, sizes, join_type="inner", num_partitions=8,
+    j = safe_join(j, sizes, join_type="inner", num_partitions=None,
                on=("b",), right_on=("doc_id",))
     j = j.rename_columns({"n_grams": "nb"})
 
@@ -1005,7 +1005,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     t_num: int = 4,
     t_den: int = 5,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """EXACT word-n-gram Jaccard pairs (a < b, J >= t_num/t_den) via
     PREFIX FILTERING (SSJoin, Chaudhuri et al. 2006; PPJoin, Xiao et

@@ -137,7 +137,7 @@ def _doc_partition(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def dup_ngram_stats(
-    docs: "ray.data.Dataset", num_partitions: int = 16
+    docs: "ray.data.Dataset", num_partitions: "int | None" = None
 ) -> "ray.data.Dataset":
     """Per-document duplicated-gram stats over a Dataset with
     ``doc_id`` + ``text`` columns.  See module docstring for shape."""

@@ -40,17 +40,64 @@ MEDIA_SCHEMA = pa.schema([
 FEATURE_DIM = 16
 
 
+def _pixel_features(px: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic feature vector from REAL pixels (HxWx3 uint8):
+    per-channel mean/std, an 8-bin luminance histogram, and log-dims —
+    unit-normalized float32.  Not a learned embedding (no model in this
+    sandbox), but a pure function of the decoded image, so tests can
+    assert bytes -> pixels -> features end-to-end."""
+    f = px.reshape(-1, 3).astype(np.float64)
+    lum = f @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    v = np.concatenate([
+        f.mean(axis=0) / 255.0,
+        f.std(axis=0) / 255.0,
+        hist / max(1, lum.size),
+        [np.log1p(px.shape[0]) / 16.0, np.log1p(px.shape[1]) / 16.0],
+    ])
+    if v.size < dim:
+        v = np.pad(v, (0, dim - v.size))
+    v = v[:dim]
+    n = np.linalg.norm(v)
+    return (v / n if n else v).astype(np.float32)
+
+
 class RealDecoder:
-    """The production decode seam — requires codec libraries."""
+    """The production decode seam.
+
+    Decode order: PIL when importable (any format it supports), else
+    the pure-stdlib PNG codec (``extras/png.py``) for PNG payloads;
+    anything else raises ``NotImplementedError`` naming the missing
+    dependency — the seam a deployment fills with its codec stack."""
 
     def __init__(self, kind: str = "image"):
         self.kind = kind
+        try:  # lazy, optional: the sandbox has no PIL
+            from PIL import Image  # type: ignore
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def _pixels(self, payload: bytes) -> np.ndarray:
+        from neo4j_document_pipeline_ray.extras.png import decode_png, is_png
+
+        if self.kind == "image":
+            if self._pil is not None:
+                import io
+
+                im = self._pil.open(io.BytesIO(payload)).convert("RGB")
+                return np.asarray(im, dtype=np.uint8)
+            if is_png(payload):
+                return decode_png(payload)
+        raise NotImplementedError(
+            f"decoding {self.kind} payloads of this format requires "
+            "PIL/ffmpeg, not available in this environment; PNG images "
+            "decode via the stdlib codec, use FakeDecoder otherwise"
+        )
 
     def decode(self, payload: bytes) -> np.ndarray:
-        raise NotImplementedError(
-            f"decoding {self.kind} requires PIL/ffmpeg, not available in "
-            "this environment; use FakeDecoder for plumbing tests"
-        )
+        return _pixel_features(self._pixels(payload))
 
 
 class FakeDecoder:
@@ -112,12 +159,32 @@ def extract_media_features(
 
 
 class RealImageDecoder:
-    """Production pixel-decode seam — requires PIL/libjpeg."""
+    """Production pixel-decode seam: PIL when importable, stdlib PNG
+    codec for PNG payloads otherwise; other formats raise with the
+    missing dependency named."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # type: ignore
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
 
     def decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        from neo4j_document_pipeline_ray.extras.png import decode_png, is_png
+
+        if self._pil is not None:
+            import io
+
+            im = self._pil.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(im, dtype=np.uint8)
+        if is_png(payload):
+            return decode_png(payload)
         raise NotImplementedError(
-            "pixel decoding requires PIL, not available in this "
-            "environment; use FakeImageDecoder for plumbing tests"
+            "pixel decoding of non-PNG payloads requires PIL, not "
+            "available in this environment; PNG decodes via the stdlib "
+            "codec, use FakeImageDecoder for plumbing tests"
         )
 
 
@@ -259,20 +326,35 @@ def sample_frames(
     )
 
 
-def synthesize_media(n: int = 64, seed: int = 7) -> "ray.data.Dataset":
-    """Deterministic fake media table (documents' bytes as payloads)."""
+def synthesize_media(
+    n: int = 64, seed: int = 7, real_png: bool = False
+) -> "ray.data.Dataset":
+    """Deterministic fake media table (documents' bytes as payloads).
+
+    ``real_png=True`` makes every image row's payload an actual PNG
+    (stdlib-encoded random pixels) so the REAL decode path — not the
+    hash-fake — runs end-to-end in this sandbox."""
+    from neo4j_document_pipeline_ray.extras.png import encode_png
+
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(256 + int(rng.integers(0, 512)))
+        if kind == "image" and real_png:
+            w = 8 + int(rng.integers(0, 25))
+            h = 8 + int(rng.integers(0, 25))
+            payload = encode_png(
+                rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        else:
+            w, h = 640, 480
+            payload = rng.bytes(256 + int(rng.integers(0, 512)))
         rows.append({
             "media_id": i,
             "kind": kind,
             "payload": payload,
-            "width": 640 if kind == "image" else None,
-            "height": 480 if kind == "image" else None,
+            "width": w if kind == "image" else None,
+            "height": h if kind == "image" else None,
             "duration_ms": int(rng.integers(1000, 60000)) if kind != "image" else None,
         })
     return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))

@@ -43,7 +43,7 @@ def stratified_sample(
     stratum_col: str,
     id_col: str,
     per_stratum: int = 20,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Up to ``per_stratum`` rows per stratum, chosen by hash order of
     ``id_col`` (ties impossible: the final tie-break is the unique id).
@@ -88,7 +88,7 @@ def domain_budget_sample(
     id_col: str,
     weight_col: str,
     budget: int,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Per-domain QUOTA sampling: walk each domain's rows in hash order
     and keep rows while the cumulative weight consumed BEFORE the row is
@@ -224,7 +224,7 @@ LIMIT {k}
 
 def docs_split(sf_dir: str, train_pct: int = 80,
                val_pct: int = 10,
-               num_partitions: int = 4) -> "ray.data.Dataset":
+               num_partitions: "int | None" = None) -> "ray.data.Dataset":
     """Deterministic corpus split report: assign every document to
     train/val/test by the same Knuth hash the sampler ranks with
     (``(doc_id * K) mod 2^32 mod 100`` against the percentage cut

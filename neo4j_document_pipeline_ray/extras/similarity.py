@@ -562,7 +562,7 @@ def semdedup(
     train_rows: int = 4096,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication = k-means over the embedding space, then
@@ -686,7 +686,7 @@ def multi_query_topk(
     query_ids: np.ndarray,
     queries: np.ndarray,
     k: int = 10,
-    num_partitions: int = 8,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Exact cosine top-k for a BATCH of queries in one corpus pass —
     the production shape of brute-force ANN (a retrieval job scores a
@@ -845,7 +845,7 @@ def doc_hybrid_topk(
     bm = docs.map_batches(bm25_batch, batch_format="pyarrow")
     cs = emb.map_batches(cos_batch, batch_format="pyarrow")
     joined = broadcast_join(bm, cs, on=("doc_id",), right_on=("vec_id",),
-                            join_type="inner", num_partitions=8)
+                            join_type="inner", num_partitions=None)
 
     def blend_batch(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
@@ -932,7 +932,7 @@ def bitext_mine(
     embeddings: "ray.data.Dataset",
     src_label: int = 0,
     dst_label: int = 1,
-    num_partitions: int = 8,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Cross-label translation-pair mining (the LASER/CCMatrix shape,
     Artetxe & Schwenk 2019): for every vector of ``src_label``, the

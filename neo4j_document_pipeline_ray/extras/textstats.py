@@ -214,7 +214,7 @@ FROM (
 """
 
 
-def lang_confusion(sf_dir: str, num_partitions: int = 4) -> "ray.data.Dataset":
+def lang_confusion(sf_dir: str, num_partitions: "int | None" = None) -> "ray.data.Dataset":
     """Language-ID confusion matrix: (true lang, predicted lang, n) —
     the accuracy audit a curation pass runs before trusting the
     heuristic classifier for filtering.  Prediction happens in-batch
@@ -548,7 +548,7 @@ def grouped_length_quantiles(
     sf_dir: str,
     group_col: str = "lang",
     col: str = "n_chars",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ):
     """EXACT per-group quantiles of an integer column — the grouped
     generalization of :func:`length_quantiles` (per-language length
@@ -1149,7 +1149,7 @@ def distinct_tokens_kmv_sql(k: int = 8) -> str:
 
 def grouped_distinct_tokens_kmv(
     sf_dir: str, group_col: str = "lang", k: int = 8,
-    num_partitions: int = 4,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Per-GROUP KMV distinct-token sketch — the mergeable-sketch-as-
     grouped-aggregate shape (one sketch per language / domain is how a
@@ -1255,7 +1255,7 @@ DOMAIN_REP_SCALE = 1_000_000
 
 
 def domain_reputation(sf_dir: str,
-                      num_partitions: int = 4) -> "ray.data.Dataset":
+                      num_partitions: "int | None" = None) -> "ray.data.Dataset":
     """Per-source reputation table — the per-domain quality/dup rollup
     a web-curation pipeline maintains (RefinedWeb blocklists, C4's
     domain filters, CCNet's per-domain stats are all consumers of this

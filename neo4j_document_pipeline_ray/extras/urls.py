@@ -70,7 +70,7 @@ def _canon_batch(t: pa.Table) -> pa.Table:
 
 
 def url_dedup(pages: "ray.data.Dataset",
-              num_partitions: int = 4) -> "ray.data.Dataset":
+              num_partitions: "int | None" = None) -> "ray.data.Dataset":
     """Per canonical URL: page count and the kept (earliest) crawl.
     ``pages`` needs only ``url`` + ``warc_ts`` columns."""
     base = pages.map_batches(_canon_batch, batch_format="pyarrow")
@@ -233,7 +233,7 @@ def extract_anchors_batch(t: pa.Table) -> pa.Table:
 
 
 def anchor_terms(pages: "ray.data.Dataset", k: int = 100,
-                 num_partitions: int = 4) -> "ray.data.Dataset":
+                 num_partitions: "int | None" = None) -> "ray.data.Dataset":
     """Global top-k (dst_url, anchor) pairs by citation count.  The
     per-batch dict collapse makes the exchange carry (pair, count)
     partials, not individual links."""
@@ -320,7 +320,7 @@ def host_of(urls: "pa.ChunkedArray | pa.Array") -> "pa.Array":
 
 
 def host_graph(pages: "ray.data.Dataset",
-               num_partitions: int = 8,
+               num_partitions: "int | None" = None,
                drop_self: bool = False) -> "ray.data.Dataset":
     """Host-level link graph of the crawl: ``(src_host, dst_host,
     n_links)`` over normalized hosts, non-absolute endpoints dropped —
@@ -349,7 +349,7 @@ def host_graph(pages: "ray.data.Dataset",
 
 
 def host_rank(pages: "ray.data.Dataset", iters: int = 3,
-              num_partitions: int = 8) -> "ray.data.Dataset":
+              num_partitions: "int | None" = None) -> "ray.data.Dataset":
     """Integer PageRank over the host graph — the host-authority
     signal crawl schedulers and corpus-quality weights use (cf.
     Common Crawl's harmonic-centrality host ranking).  Hosts get the
@@ -408,7 +408,7 @@ def _typed_head(head: "ray.data.Dataset") -> pa.Table:
 
 
 def crawl_frontier(pages: "ray.data.Dataset", k: int = 100,
-                   num_partitions: int = 8,
+                   num_partitions: "int | None" = None,
                    page_urls: "ray.data.Dataset | None" = None
                    ) -> "ray.data.Dataset":
     """Top-k out-linked canonical URLs NOT already in the crawl,
@@ -535,7 +535,7 @@ def crawl_frontier_sql(pages_glob: str, k: int = 100) -> str:
 
 
 def host_harmonic(pages: "ray.data.Dataset", hops: int = 3,
-                  num_partitions: int = 8) -> "ray.data.Dataset":
+                  num_partitions: "int | None" = None) -> "ray.data.Dataset":
     """Approximate harmonic centrality per host — the metric Common
     Crawl's public host ranking actually uses (Boldi/Vigna HyperBall;
     here the engine's KMV-sketch variant, bit-replayable in DuckDB).
@@ -605,7 +605,7 @@ def host_harmonic(pages: "ray.data.Dataset", hops: int = 3,
 
 
 def page_inlinks(pages: "ray.data.Dataset", k: int = 100,
-                 num_partitions: int = 8,
+                 num_partitions: "int | None" = None,
                  page_urls: "ray.data.Dataset | None" = None
                  ) -> "ray.data.Dataset":
     """Top-k IN-corpus citation report — the complement of

@@ -206,7 +206,7 @@ def _triangle_hits(
     edges: "ray.data.Dataset",
     src_col: str,
     dst_col: str,
-    num_partitions: int,
+    num_partitions: "int | None",
 ) -> "ray.data.Dataset":
     """One row per triangle ``(apex, a, b)`` (a < b), found exactly
     once at its minimum-(degree, id) apex — the degree-ordered
@@ -319,7 +319,7 @@ def triangle_counts(
     edges: "ray.data.Dataset",
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Per-node triangle participation counts over the UNDIRECTED
     distinct edge set (self-loops dropped) — the standard KG-audit
@@ -395,7 +395,7 @@ def cooccurrence_topk(
     k: int = 50,
     min_count: int = 2,
     scale: int = COOC_SCALE,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
     max_doc_entities: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Top-k entity pairs by co-occurrence lift over the mentions table
@@ -568,7 +568,7 @@ def kcore(
     src_col: str = "src_id",
     dst_col: str = "dst_id",
     max_rounds: int = 64,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """``(entity_id, deg)`` for every node of the graph's k-core — the
     maximal subgraph where every node keeps degree >= ``k`` (Neo4j GDS
@@ -803,7 +803,7 @@ def label_prop_communities(
     rounds: int = 4,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Community detection by SYNCHRONOUS label propagation over the
     undirected distinct graph (self-loops dropped) — the Neo4j GDS
@@ -917,7 +917,7 @@ def bfs_distances(
     src_col: str = "src_id",
     dst_col: str = "dst_id",
     max_rounds: int = 32,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Single-source shortest-path (hop) distances over the undirected
     distinct graph, from the highest-degree node (ties: min
@@ -1042,7 +1042,7 @@ def hits(
     scale: int = HITS_SCALE,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Integer HITS (Kleinberg 1999) over DISTINCT directed pairs —
     the mutual-recursion centrality PageRank can't express: a HUB
@@ -1186,7 +1186,7 @@ def related_docs_topk(
     min_shared: int = 2,
     max_entity_docs: int = 50,
     scale: int = RELDOC_SCALE,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Top-k RELATED DOCUMENT pairs by shared entities — the doc-side
     projection of the doc×entity bipartite mentions graph (the
@@ -1353,7 +1353,7 @@ def sssp_weighted(
     weight_mod: int = SSSP_WEIGHT_MOD,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Weighted single-source shortest paths over the undirected
     distinct graph — integer Bellman-Ford, the weighted generalization
@@ -1521,7 +1521,7 @@ def link_prediction_ra_topk(
     scale: int = RA_SCALE,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
     max_neighbors: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Top-k non-adjacent pairs by the RESOURCE-ALLOCATION index
@@ -1658,7 +1658,7 @@ def node_similarity_topk(
     scale: int = JACCARD_SCALE,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
     max_neighbors: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Top-k node pairs by NEIGHBOR-SET JACCARD over the undirected
@@ -1835,7 +1835,7 @@ def link_prediction_topk(
     k: int = 20,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
     max_neighbors: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Top-k NON-adjacent node pairs by common-neighbor count — the
@@ -1973,7 +1973,7 @@ def random_walks(
     steps: int = 3,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Deterministic random-walk corpus over the directed KG — the
     DeepWalk / node2vec DATA-GENERATION stage (Perozzi et al. 2014):
@@ -2106,7 +2106,7 @@ def clustering_coefficient(
     edges: "ray.data.Dataset",
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Per-node LOCAL clustering coefficient over the undirected
     distinct edge set: ``cc = 2*triangles / (deg*(deg-1))`` — the
@@ -2175,7 +2175,7 @@ def walk_skipgram_pairs(
     walks_per_node: int = 2,
     steps: int = 3,
     window: int = 2,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """(center, context) skip-gram pairs from the deterministic walk
     corpus — the word2vec-style training-pair extraction DeepWalk
@@ -2245,7 +2245,7 @@ def neighborhood_function(
     k: int = NF_K,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "pa.Table":
     """Approximate neighborhood function N(h) = Σ_v |ball(v, h)| over
     the undirected distinct graph — the ANF of Palmer/Gibbons/Faloutsos
@@ -2418,7 +2418,7 @@ def effective_diameter(
     coverage_den: int = 10,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> pa.Table:
     """Integer effective diameter from the ANF profile: the smallest
     hop h with coverage_den * N(h) >= coverage_num * N(hops) (default
@@ -2456,7 +2456,7 @@ def degree_histogram(
     edges: "ray.data.Dataset",
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Log2-bucket histogram of total degree over DISTINCT ``(src,
     dst)`` pairs — the power-law-tail audit of the extracted graph
@@ -2512,7 +2512,7 @@ RELCARD_SCALE = 10**6
 
 def relation_cardinality(
     edges: "ray.data.Dataset",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
     scale: int = RELCARD_SCALE,
 ) -> pa.Table:
     """Per-relation cardinality profile: edge count, distinct-subject
@@ -2574,7 +2574,7 @@ CONFLICT_FUNC_MIN = 800_000  # functionality >= 0.8 => treat as 1:1
 
 def functional_conflicts(
     edges: "ray.data.Dataset",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
     func_min: int = CONFLICT_FUNC_MIN,
     scale: int = RELCARD_SCALE,
 ) -> "ray.data.Dataset":
@@ -2619,7 +2619,7 @@ def minimum_spanning_forest(
     max_rounds: int = 32,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Minimum spanning forest over the undirected distinct graph —
     distributed Boruvka, the bulk-graph MST pass (Neo4j GDS
@@ -2803,7 +2803,7 @@ def harmonic_centrality_approx(
     scale: int = HARMONIC_SCALE,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Approximate harmonic centrality H(v) = Σ_h (1/h)·|sphere(v, h)|
     truncated at ``hops`` — the per-node application HyperBall was
@@ -2992,7 +2992,7 @@ def betweenness_approx(
     scale: int = BC_SCALE,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Pivot-sampled betweenness centrality (Brandes 2001 dependency
     accumulation; Brandes/Pich 2007 pivot sampling) over the undirected
@@ -3217,7 +3217,7 @@ def negative_samples(
     buckets: int = NEG_BUCKETS,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Deterministic negative edge samples — the non-edge pairs a KG
     embedding trainer (TransE-class) consumes alongside the positive
@@ -3359,7 +3359,7 @@ def rule_mining(
     src_col: str = "src_id",
     rel_col: str = "rel_type",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Path-rule mining over the typed edge table (AMIE's 2-atom chain
     rules, Galarraga et al. 2013): for the top-``k`` relation chains
@@ -3618,7 +3618,7 @@ def community_supergraph(
     rounds: int = 4,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Coarsen the entity graph to its label-propagation communities:
     one row per (community_a ≤ community_b) pair with the number of
@@ -3679,7 +3679,7 @@ def edge_triangle_support(
     edges: "ray.data.Dataset",
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Per-EDGE triangle support over the undirected distinct graph —
     the quantity k-truss peels on and the strongest simple signal for
@@ -3747,7 +3747,7 @@ def shortest_path_between(
     max_rounds: int = 8,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "pa.Table":
     """One shortest path from ``source`` to ``target`` over the
     undirected distinct graph — the "how are X and Y related" query a
@@ -3898,11 +3898,56 @@ def shortest_path_reference(edge_pairs, source: int, target: int,
 
 # --- distant supervision ----------------------------------------------------------
 
+#: per-document distinct-entity ceiling for pair generation: a
+#: pathological page mentioning 10k entities would otherwise emit 10^8
+#: ordered pairs inside one partition.  Real documents are bounded by
+#: length (sf-corpus max is ~2 orders of magnitude below this), so the
+#: cap never fires on normal data; when it does, the doc's entity list
+#: is truncated to the ``DS_DOC_ENTITY_CAP`` lowest entity_ids
+#: (deterministic) and the drop is LOGGED (no silent cap — the
+#: ``_make_pairs_partition`` pattern, extras/dedup.py:163-204).
+DS_DOC_ENTITY_CAP = 2000
+
+
+def _ds_pairgen_partition(doc_entity_cap: int):
+    """Doc-keyed partition body: ordered mention pairs per doc, with
+    the per-doc distinct-entity cap applied BEFORE the self-merge so a
+    pathological doc never materializes its quadratic pair set."""
+
+    def pairgen(df):
+        import logging
+
+        import pandas as pd
+
+        uniq = df.drop_duplicates(["doc_id", "entity_id"])
+        sizes = uniq.groupby("doc_id", sort=False)["entity_id"].transform(
+            "size")
+        if (sizes > doc_entity_cap).any():
+            over = uniq.loc[sizes > doc_entity_cap, "doc_id"].nunique()
+            logging.getLogger(__name__).warning(
+                "distant_supervision: %d doc(s) exceeded "
+                "doc_entity_cap=%d; pair generation truncated to the "
+                "cap lowest entity_ids per doc", over, doc_entity_cap,
+            )
+            uniq = (uniq.sort_values(["doc_id", "entity_id"])
+                    .groupby("doc_id", sort=False).head(doc_entity_cap))
+        m = uniq.merge(uniq, on="doc_id")
+        m = m[m["entity_id_x"] != m["entity_id_y"]]
+        return pd.DataFrame({
+            "doc_id": m["doc_id"].astype(str),
+            "src_id": m["entity_id_x"].astype("int64"),
+            "dst_id": m["entity_id_y"].astype("int64"),
+        })
+
+    return pairgen
+
+
 def distant_supervision(
     mentions: "ray.data.Dataset",
     edges: "ray.data.Dataset",
     triples: "ray.data.Dataset",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
+    doc_entity_cap: int = DS_DOC_ENTITY_CAP,
 ) -> "ray.data.Dataset":
     """Distant-supervision examples for relation-extraction training
     (Mintz et al., ACL'09): for every KB edge ``(s, r, d)`` and every
@@ -3921,19 +3966,10 @@ def distant_supervision(
     """
     import pandas as pd  # noqa: F401  (partition body runs remote)
 
-    def pairgen(df):
-        m = df.drop_duplicates(["doc_id", "entity_id"]).merge(
-            df.drop_duplicates(["doc_id", "entity_id"]), on="doc_id")
-        m = m[m["entity_id_x"] != m["entity_id_y"]]
-        return pd.DataFrame({
-            "doc_id": m["doc_id"].astype(str),
-            "src_id": m["entity_id_x"].astype("int64"),
-            "dst_id": m["entity_id_y"].astype("int64"),
-        })
-
     pairs = partitioned_group_map(
         mentions.select_columns(["doc_id", "entity_id"]), "doc_id",
-        pairgen, num_partitions=num_partitions)
+        _ds_pairgen_partition(doc_entity_cap),
+        num_partitions=num_partitions)
 
     kb = hash_aggregate(
         edges.select_columns(["src_id", "rel_type", "dst_id"]),
@@ -3974,7 +4010,7 @@ def ego_net_sample(
     fanout: int = EGO_FANOUT,
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """GNN training-data generation: per-seed bounded-fanout ego-net
     edge lists (the GraphSAGE neighborhood-sampling shape, Hamilton et
@@ -4301,7 +4337,7 @@ def strongly_connected_components(
     dst_col: str = "dst_id",
     max_outer: int = 16,
     max_prop: int = 48,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Strongly connected components of the DIRECTED distinct edge set
     (Neo4j GDS ``scc`` analog; :func:`kg components <label_prop_communities>`
@@ -4545,7 +4581,7 @@ def structural_profile(
     src_col: str = "src_id",
     dst_col: str = "dst_id",
     scale: int = ASSORT_SCALE,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """One-row structural audit of the KG: reciprocity and degree
     assortativity (the two numbers a graph-shape report leads with —
@@ -4749,7 +4785,7 @@ def ktruss(
     src_col: str = "src_id",
     dst_col: str = "dst_id",
     max_rounds: int = 32,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Edges of the K-truss of the undirected distinct graph (GDS
     ``kTruss`` analog, the edge-side twin of :func:`kcore <kcore>`):
@@ -4858,7 +4894,7 @@ def bowtie_classes(
     src_col: str = "src_id",
     dst_col: str = "dst_id",
     max_rounds: int = 64,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Broder bowtie decomposition of the directed KG (the web-graph
     structure report: giant SCC core, IN pages that reach it, OUT
@@ -5063,7 +5099,7 @@ def triad_census(
     edges: "ray.data.Dataset",
     src_col: str = "src_id",
     dst_col: str = "dst_id",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Directed triad census over CLOSED triads (all three dyads
     connected) — the Holland-Leinhardt motif profile: how much of the

@@ -128,10 +128,10 @@ def q_segment_revenue_topk(sf_dir: str) -> "ray.data.Dataset":
     # both right sides are small (filtered segment keys) -> broadcast
     # semi-joins: no all-to-all until the final aggregate
     o_b = broadcast_join(orders, cust, on=("o_custkey",),
-                         right_on=("c_custkey",), num_partitions=8)
+                         right_on=("c_custkey",), num_partitions=None)
     joined = broadcast_join(li_rev, o_b.select_columns(["o_orderkey"]),
                             on=("l_orderkey",), right_on=("o_orderkey",),
-                            num_partitions=8)
+                            num_partitions=None)
     agg = hash_aggregate(joined, "l_orderkey",
                          [("rev_cents", "sum", "revenue_cents")])
     return agg.sort(["revenue_cents", "l_orderkey"], descending=[True, False]).limit(10)
@@ -164,9 +164,9 @@ def q_brand_supplier_stats(sf_dir: str) -> "ray.data.Dataset":
     # part/supplier are dimension tables -> broadcast lookups, so the
     # fact table streams straight into the grouped aggregate
     j = broadcast_join(li, part, on=("l_partkey",), right_on=("p_partkey",),
-                       num_partitions=8)
+                       num_partitions=None)
     j = broadcast_join(j, supp, on=("l_suppkey",), right_on=("s_suppkey",),
-                       num_partitions=8)
+                       num_partitions=None)
     return hash_aggregate(
         j, ["p_brand", "s_name"], adaptive=True,
         specs=
@@ -291,7 +291,7 @@ def q_orders_no_lineitem(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return partitioned_group_map(tagged, "o_orderkey", subtract,
-                                 num_partitions=16)
+                                 num_partitions=None)
 
 
 Q_ORDERS_NO_LINEITEM_SQL = """
@@ -456,11 +456,11 @@ def q_events_coverage(sf_dir: str) -> "ray.data.Dataset":
         return hash_aggregate(
             ev.map_batches(prep, batch_format="pyarrow"),
             ["user_id", "day"], [(None, "count", alias)],
-            num_partitions=8)
+            num_partitions=None)
 
     full = safe_join(side("view", "n_views"),
                      side("purchase", "n_purchases"),
-                     join_type="full_outer", num_partitions=8,
+                     join_type="full_outer", num_partitions=None,
                      on=("user_id", "day"))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -646,7 +646,7 @@ def q_orders_running(sf_dir: str) -> "ray.data.Dataset":
         })
 
     pre = orders.map_batches(prep, batch_format="pyarrow")
-    return partitioned_group_map(pre, "o_custkey", window, num_partitions=16)
+    return partitioned_group_map(pre, "o_custkey", window, num_partitions=None)
 
 
 Q_ORDERS_RUNNING_SQL = """

@@ -223,16 +223,32 @@ def _parquet_rows(path: str) -> int:
     return total
 
 
-def _parquet_uncompressed_bytes(paths: List[str]) -> int:
+def _parquet_uncompressed_bytes(
+    paths: List[str], columns: "Optional[List[str]]" = None,
+) -> int:
     """Uncompressed (in-memory-ish) byte size from parquet footers — the
-    zero-cost stand-in for ``Dataset.size_bytes()`` on a lazy read."""
+    zero-cost stand-in for ``Dataset.size_bytes()`` on a lazy read.
+    ``columns`` restricts the sum to those columns' chunks, matching a
+    pruned ``read_parquet(columns=...)``."""
     import pyarrow.parquet as pq
 
     total = 0
     for p in paths:
         md = pq.ParquetFile(p).metadata
+        if columns is None:
+            for rg in range(md.num_row_groups):
+                total += md.row_group(rg).total_byte_size
+            continue
+        idx = [
+            i for i in range(md.num_columns)
+            # path_in_schema is dotted for nested fields; match the root
+            if md.row_group(0).column(i).path_in_schema.split(".")[0]
+            in columns
+        ] if md.num_row_groups else []
         for rg in range(md.num_row_groups):
-            total += md.row_group(rg).total_byte_size
+            g = md.row_group(rg)
+            for i in idx:
+                total += g.column(i).total_uncompressed_size
     return total
 
 
@@ -551,11 +567,17 @@ def build_snapshot(
             return ray.data.read_parquet(trip_files, columns=cols)
 
         def run_mentions():
-            mentions = build_mentions(_read_triples(MENTION_INPUT_COLS), cfg)
+            mentions = build_mentions(
+                _read_triples(MENTION_INPUT_COLS), cfg,
+                input_bytes=_parquet_uncompressed_bytes(
+                    trip_files, MENTION_INPUT_COLS))
             _write_bucketed(mentions, out_dir, "mentions", cfg, "entity_id")
 
         def run_nodes():
-            nodes = build_nodes(_read_triples(NODE_INPUT_COLS), cfg)
+            nodes = build_nodes(
+                _read_triples(NODE_INPUT_COLS), cfg,
+                input_bytes=_parquet_uncompressed_bytes(
+                    trip_files, NODE_INPUT_COLS))
             if with_embeddings:
                 nodes = embed_column(nodes, "node_key", cfg, backend=embed_backend)
             _write_bucketed(nodes, out_dir, "nodes", cfg, "entity_id")

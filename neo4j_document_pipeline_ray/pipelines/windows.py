@@ -96,7 +96,7 @@ def q_events_sessions(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
         ).reset_index(drop=True)
         return out.astype({"n_events": "int64", "sum_value_milli": "int64"})
 
-    return partitioned_group_map(ev, "user_id", sessionize, num_partitions=16)
+    return partitioned_group_map(ev, "user_id", sessionize, num_partitions=None)
 
 
 def events_sessions_sql(gap_s: int = 1800) -> str:
@@ -265,7 +265,7 @@ def q_events_band_pairs(sf_dir: str, band_s: int = 60) -> "ray.data.Dataset":
     replicated = ev.map_batches(replicate, batch_format="pyarrow")
     return partitioned_group_map(
         replicated, ["event_type", "bucket"], pair_partition,
-        num_partitions=16,
+        num_partitions=None,
     )
 
 
@@ -321,7 +321,7 @@ def q_events_asof_purchase(sf_dir: str) -> "ray.data.Dataset":
                 np.where(np.isnan(since), -1, since), dtype="int64"),
         })
 
-    return partitioned_group_map(ev, "user_id", asof, num_partitions=16)
+    return partitioned_group_map(ev, "user_id", asof, num_partitions=None)
 
 
 EVENTS_ASOF_PURCHASE_SQL = """
@@ -501,7 +501,7 @@ def q_events_range_join(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset"
 
     slimmed = ev.map_batches(slim, batch_format="pyarrow")
     return partitioned_group_map(slimmed, "user_id", rjoin,
-                                 num_partitions=16)
+                                 num_partitions=None)
 
 
 def q_events_funnel(
@@ -559,7 +559,7 @@ def q_events_funnel(
 
     per_user = partitioned_group_map(
         ev.map_batches(slim, batch_format="pyarrow"),
-        "user_id", funnel, num_partitions=16)
+        "user_id", funnel, num_partitions=None)
 
     # left-attach so step-less users still emit a row of sentinels
     from neo4j_document_pipeline_ray.stages.grouped import broadcast_join
@@ -639,7 +639,7 @@ def q_events_transitions(sf_dir: str) -> "ray.data.Dataset":
 
     partials = partitioned_group_map(
         ev.map_batches(slim, batch_format="pyarrow"),
-        "user_id", transitions, num_partitions=16)
+        "user_id", transitions, num_partitions=None)
     return hash_aggregate(
         partials, ["prev_type", "next_type"], [("n", "sum", "n")],
         num_partitions=1)
@@ -722,7 +722,7 @@ GROUP BY 1, 2
 
 def q_events_late_data(
     sf_dir: str, window_s: int = 3600, lateness_s: int = 900,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Streaming watermark semantics over a batch log: each event
     arrives in ``event_id`` order; the WATERMARK at its arrival is the
@@ -769,6 +769,14 @@ def q_events_late_data(
             "n": pa.array([], pa.int64()),
         }))
     lo, hi = span[0]["lo"], span[0]["hi"]
+    if num_partitions is None:
+        from neo4j_document_pipeline_ray.stages.grouped import (
+            derive_partitions,
+            plan_size_estimate,
+        )
+
+        num_partitions = derive_partitions(
+            plan_size_estimate(ev, source_ok=True), floor=16)
     k = max(1, min(num_partitions, hi - lo + 1))
     width = (hi - lo) // k + 1
 

@@ -307,7 +307,11 @@ def build_edges(
     merged = partitioned_group_map(
         partial, "edge_key",
         functools.partial(_merge_edges_partition_arrow, keep_ord=keep_ord),
-        cfg.shuffle_partitions, batch_format="pyarrow", adaptive=True,
+        num_partitions=None, batch_format="pyarrow", adaptive=True,
+        # footer-bytes hint: a corpus-sized merge goes straight to the
+        # sorted exchange (no materialize-to-measure copy) and gets a
+        # size-derived partition count
+        size_hint=input_bytes, partition_floor=cfg.shuffle_partitions,
     )
     if not use_ref:
         return merged
@@ -318,7 +322,10 @@ def build_edges(
             batch_size=cfg.agg_batch_size,
         ),
         "src_ref",
-        num_partitions=cfg.join_partitions, adaptive=True,
+        num_partitions=None, adaptive=True,
+        # src_text dominates the triples payload, so the total input
+        # estimate is a tight upper bound for the snippet exchange
+        size_hint=input_bytes, partition_floor=cfg.join_partitions,
     )
     joined = broadcast_join(
         merged, prov, on=("src_ref",), join_type="left_outer",

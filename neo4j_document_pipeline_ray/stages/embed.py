@@ -330,8 +330,14 @@ def build_embeddings(
     triples: "ray.data.Dataset",
     cfg: Optional[PipelineConfig] = None,
     backend: Optional[EmbedderBackend] = None,
+    input_bytes: Optional[int] = None,
 ) -> "ray.data.Dataset":
-    """Chunk-level triples -> embeddings(text_key, embedding), one row per distinct key."""
+    """Chunk-level triples -> embeddings(text_key, embedding), one row per distinct key.
+
+    ``input_bytes``: footer-bytes upper bound of the three key columns
+    (the unpivot + in-batch dedup only shrink) — a corpus-sized key
+    exchange then skips the adaptive materialize-to-measure copy and
+    derives its partition count from size."""
     from neo4j_document_pipeline_ray.stages.grouped import distinct_by
 
     cfg = cfg or PipelineConfig()
@@ -339,8 +345,9 @@ def build_embeddings(
         _keys_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
     )
     distinct = distinct_by(keys, "text_key",
-                           num_partitions=cfg.shuffle_partitions,
-                           adaptive=True)
+                           num_partitions=None,
+                           adaptive=True, size_hint=input_bytes,
+                           partition_floor=cfg.shuffle_partitions)
     if backend is None:
         # stateless hash backend: plain tasks on the warm worker pool
         # (no actor-process spawn per run); real model/HTTP backends

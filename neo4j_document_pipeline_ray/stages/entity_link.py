@@ -100,21 +100,34 @@ def shard_node_candidates(
 
 
 def finalize_nodes(
-    cands: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None
+    cands: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None,
+    input_bytes: Optional[int] = None,
 ) -> "ray.data.Dataset":
-    """Candidate partials -> final nodes table (global min per entity)."""
+    """Candidate partials -> final nodes table (global min per entity).
+
+    ``input_bytes`` (parquet-footer uncompressed bytes of the pruned
+    triple columns feeding ``cands``) lets a corpus-sized exchange skip
+    the adaptive materialize-to-measure copy and derive its partition
+    count from size; the candidate partials only shrink the input, so
+    it is a valid upper bound."""
     from neo4j_document_pipeline_ray.stages.grouped import min_by_key
 
     cfg = cfg or PipelineConfig()
     agg = min_by_key(cands, "entity_id",
-                     num_partitions=cfg.shuffle_partitions, adaptive=True)
+                     num_partitions=None, adaptive=True,
+                     size_hint=input_bytes,
+                     partition_floor=cfg.shuffle_partitions)
     return agg.map_batches(_finish_batch, batch_format="pyarrow")
 
 
-def build_nodes(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
+def build_nodes(
+    triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None,
+    input_bytes: Optional[int] = None,
+) -> "ray.data.Dataset":
     """triples (chunk-level ok) -> nodes(entity_id, label, name, norm_key, node_key)."""
     cfg = cfg or PipelineConfig()
-    return finalize_nodes(shard_node_candidates(triples, cfg), cfg)
+    return finalize_nodes(shard_node_candidates(triples, cfg), cfg,
+                          input_bytes=input_bytes)
 
 
 def _mention_pairs_batch(batch: pa.Table) -> "pd.DataFrame":
@@ -146,28 +159,37 @@ def shard_mention_pairs(
 
 
 def finalize_mentions(
-    pairs: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None
+    pairs: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None,
+    input_bytes: Optional[int] = None,
 ) -> "ray.data.Dataset":
     from neo4j_document_pipeline_ray.stages.grouped import distinct_by
 
     cfg = cfg or PipelineConfig()
-    # partitioned by entity_id; every (doc, entity) pair lands whole
+    # partitioned by entity_id; every (doc, entity) pair lands whole.
+    # input_bytes: footer-bytes upper bound (pair partials only shrink)
+    # — see finalize_nodes.
     return distinct_by(pairs, "entity_id", subset=["doc_id", "entity_id"],
-                       num_partitions=cfg.shuffle_partitions, adaptive=True)
+                       num_partitions=None, adaptive=True,
+                       size_hint=input_bytes,
+                       partition_floor=cfg.shuffle_partitions)
 
 
-def build_mentions(triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None) -> "ray.data.Dataset":
+def build_mentions(
+    triples: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None,
+    input_bytes: Optional[int] = None,
+) -> "ray.data.Dataset":
     """Distinct (doc_id, entity_id) — the MENTIONS/SOURCE provenance edges
     (reference ``ingestMD.py:538-541``), idempotent per pair like MERGE."""
     cfg = cfg or PipelineConfig()
-    return finalize_mentions(shard_mention_pairs(triples, cfg), cfg)
+    return finalize_mentions(shard_mention_pairs(triples, cfg), cfg,
+                             input_bytes=input_bytes)
 
 
 def alias_candidates(
     nodes: "ray.data.Dataset",
     t_num: int = 1,
     t_den: int = 2,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """NEAR-miss alias candidates over canonicalized entity names.
 

@@ -35,21 +35,94 @@ import ray.data
 #: falls through to the sort path.
 SMALL_EXCHANGE_BYTES = 64 << 20
 
+#: size-derived partitioning: one hash partition per this many input
+#: bytes (a partition must fit one reducer's heap with headroom — every
+#: group of one ``_pk`` is processed by a single ``map_groups`` call).
+TARGET_PARTITION_BYTES = 256 << 20
+
+#: floor when nothing is known about the input size — the historical
+#: fixed default, so sandbox-scale behavior is unchanged.
+DEFAULT_PARTITION_FLOOR = 16
+
+
+def plan_size_estimate(ds: "ray.data.Dataset", source_ok: bool = False):
+    """Zero-execution byte-size estimate of a dataset.
+
+    Exact (no Ray job runs) when the lineage root already knows its
+    size — a ``read_parquet`` (parquet-footer estimate) or an
+    already-materialized dataset (block metadata).  Returns ``None``
+    when intermediate map stages hide the size, unless ``source_ok``:
+    then the lineage is walked to its source op(s) and THEIR estimate
+    is returned as a rough proxy (valid for roughly size-preserving or
+    shrinking pipelines — partial aggregation, column projection)."""
+    try:
+        m = ds._logical_plan.dag.infer_metadata()
+        if m.size_bytes is not None:
+            return m.size_bytes
+    except Exception:
+        return None
+    if not source_ok:
+        return None
+    try:
+        sizes, stack, seen = [], [ds._logical_plan.dag], set()
+        while stack:
+            op = stack.pop()
+            if id(op) in seen:
+                continue
+            seen.add(id(op))
+            deps = op.input_dependencies
+            if deps:
+                stack.extend(deps)
+            else:
+                sizes.append(op.infer_metadata().size_bytes)
+        if sizes and all(s is not None for s in sizes):
+            return sum(sizes)
+    except Exception:
+        pass
+    return None
+
+
+def derive_partitions(
+    size_bytes, floor: int = DEFAULT_PARTITION_FLOOR,
+    target_bytes: int = TARGET_PARTITION_BYTES,
+) -> int:
+    """Partition count scaled to the input: ``ceil(bytes / target)``,
+    floored at the historical fixed default so small inputs keep their
+    measured sandbox behavior while a 100 TB exchange gets ~400k
+    partitions instead of a 16-way reducer-memory cliff."""
+    if not size_bytes:
+        return floor
+    return max(floor, -(-int(size_bytes) // target_bytes))
+
 
 def partitioned_group_map(
     ds: "ray.data.Dataset",
     key_col: str,
     partition_fn: Callable,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
     batch_format: str = "pandas",
     adaptive: bool = False,
+    size_hint: "int | None" = None,
+    partition_floor: int = DEFAULT_PARTITION_FLOOR,
 ) -> "ray.data.Dataset":
-    """``adaptive=True`` opts into the small-exchange fast path: the
-    input is MATERIALIZED (the caller accepts a pin of the exchange
-    input — the contract graph-analytics call sites already live
-    under) and, when it fits ``SMALL_EXCHANGE_BYTES``, the whole map
-    runs as one task with no all-to-all.  Callers whose exchange input
-    is corpus-sized (doc- or token-keyed) must keep the default."""
+    """``adaptive=True`` opts into the small-exchange fast path: when
+    the input fits ``SMALL_EXCHANGE_BYTES``, the whole map runs as one
+    task with no all-to-all.  The small-vs-sorted decision is made from
+    METADATA first — ``size_hint`` (caller-supplied, e.g. parquet-footer
+    uncompressed bytes of a lazy read) or the plan's own zero-execution
+    estimate — and the input is materialized to check only when that
+    estimate is absent or already under the threshold, so a
+    corpus-sized exchange never pays an extra full copy through the
+    object store just to learn it is big.
+
+    ``num_partitions=None`` derives the partition count from the same
+    size evidence (``derive_partitions``), flooring at
+    ``partition_floor``; pass an int to pin it."""
+    known = size_hint if size_hint is not None else plan_size_estimate(ds)
+    if num_partitions is None:
+        est = known if known is not None else plan_size_estimate(
+            ds, source_ok=True)
+        num_partitions = derive_partitions(est, partition_floor)
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
 
     def add_pk(t: pa.Table) -> pa.Table:
@@ -72,7 +145,11 @@ def partitioned_group_map(
         def run_partition(t: pa.Table) -> pa.Table:
             return partition_fn(t.drop_columns(["_pk"]))
 
-    if adaptive:
+    if adaptive and (known is None or known <= SMALL_EXCHANGE_BYTES):
+        # metadata said small (or gave no answer): materializing to
+        # check is cheap / accepted by the caller's contract.  When
+        # metadata already said BIG, this block is skipped entirely —
+        # straight to the sorted exchange, zero extra copy.
         import ray
 
         mat = ds.map_batches(lambda t: t,
@@ -138,8 +215,10 @@ def distinct_by(
     ds: "ray.data.Dataset",
     key_col: str,
     subset: "list[str] | None" = None,
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
     adaptive: bool = False,
+    size_hint: "int | None" = None,
+    partition_floor: int = DEFAULT_PARTITION_FLOOR,
 ) -> "ray.data.Dataset":
     """Global DISTINCT on ``subset`` (default ``[key_col]``), hash-
     partitioned by ``key_col`` — every column in ``subset`` must be a
@@ -171,13 +250,17 @@ def distinct_by(
 
     return partitioned_group_map(
         ds, key_col, fn, num_partitions, batch_format="pyarrow",
-        adaptive=adaptive,
+        adaptive=adaptive, size_hint=size_hint,
+        partition_floor=partition_floor,
     )
 
 
 def min_by_key(
-    ds: "ray.data.Dataset", key_col: str, num_partitions: int = 16,
+    ds: "ray.data.Dataset", key_col: str,
+    num_partitions: "int | None" = None,
     adaptive: bool = False,
+    size_hint: "int | None" = None,
+    partition_floor: int = DEFAULT_PARTITION_FLOOR,
 ) -> "ray.data.Dataset":
     """Per-key minimum of every other column (vectorized replacement
     for ``groupby(key).aggregate(Min(...), ...)``).  String minima are
@@ -195,7 +278,8 @@ def min_by_key(
 
     return partitioned_group_map(ds, key_col, fn, num_partitions,
                                  batch_format="pyarrow",
-                                 adaptive=adaptive)
+                                 adaptive=adaptive, size_hint=size_hint,
+                                 partition_floor=partition_floor)
 
 
 _MERGE_FN = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -205,8 +289,10 @@ def hash_aggregate(
     ds: "ray.data.Dataset",
     keys: "str | list[str]",
     specs: "list[tuple]",
-    num_partitions: int = 16,
+    num_partitions: "int | None" = None,
     adaptive: bool = False,
+    size_hint: "int | None" = None,
+    partition_floor: int = DEFAULT_PARTITION_FLOOR,
 ) -> "ray.data.Dataset":
     """Two-phase grouped aggregation in Arrow: an in-batch partial
     ``group_by`` collapses every batch to one row per key (so the
@@ -248,9 +334,14 @@ def hash_aggregate(
 
     partial = ds.map_batches(lambda t: _run(t, "partial"),
                              batch_format="pyarrow")
+    if size_hint is None:
+        # the partial pass hides the root's size from the plan; the
+        # pre-partial input is an upper bound on the exchange input
+        size_hint = plan_size_estimate(ds)
     return partitioned_group_map(
         partial, key_cols, lambda t: _run(t, "merge"), num_partitions,
-        batch_format="pyarrow", adaptive=adaptive,
+        batch_format="pyarrow", adaptive=adaptive, size_hint=size_hint,
+        partition_floor=partition_floor,
     )
 
 
@@ -300,8 +391,20 @@ def safe_join(
     whenever either side may descend from a groupby/aggregate/map_groups
     without an intervening materialization — at small data scales (and
     with sparse hash partitions at any scale) those ops leave
-    schema-less empty blocks that abort the pyarrow hash join."""
-    return drop_empty_blocks(left).join(drop_empty_blocks(right), **kwargs)
+    schema-less empty blocks that abort the pyarrow hash join.
+
+    ``num_partitions=None`` (or absent) derives the join partition
+    count from the larger side's zero-execution size estimate
+    (``Dataset.join`` itself requires an int)."""
+    left = drop_empty_blocks(left)
+    right = drop_empty_blocks(right)
+    if kwargs.get("num_partitions") is None:
+        est = max(
+            (plan_size_estimate(s, source_ok=True) or 0)
+            for s in (left, right)
+        )
+        kwargs["num_partitions"] = derive_partitions(est, floor=8)
+    return left.join(right, **kwargs)
 
 
 # default ceiling for broadcasting a join side (fits next to a batch
@@ -316,7 +419,7 @@ def broadcast_join(
     on: tuple,
     right_on: "tuple | None" = None,
     join_type: str = "inner",
-    num_partitions: int = 8,
+    num_partitions: "int | None" = None,
     broadcast_max_bytes: int = BROADCAST_MAX_BYTES,
 ) -> "ray.data.Dataset":
     """Join with a broadcast small side when it fits, else hash join.

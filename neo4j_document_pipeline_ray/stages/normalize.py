@@ -60,6 +60,15 @@ TRIPLES_SCHEMA = pa.schema(_COLS)
 
 def make_normalize_batch(cfg: PipelineConfig):
     max_chars = cfg.src_text_max_chars
+    # entity_scope="label": reference-parity MERGE (n:Label {name})
+    # identity (ingestMD.py:505-511) — the canonicalization key is
+    # scoped by the (sanitized) node label, so equal names under
+    # different labels stay distinct entities.  Default "norm" keeps
+    # the label-blind promotion documented in the module docstring.
+    label_scoped = cfg.entity_scope == "label"
+    if cfg.entity_scope not in ("norm", "label"):
+        raise ValueError(
+            f"entity_scope must be 'norm' or 'label', got {cfg.entity_scope!r}")
 
     def normalize_batch(batch: pa.Table) -> pa.Table:
         cols: Dict[str, List] = {name: [] for name, _ in _COLS}
@@ -74,6 +83,12 @@ def make_normalize_batch(cfg: PipelineConfig):
                  kind, start, end, term, count, src_text, sub_key, obj_key, rel_key):
             src_nk = normalize_name_for_key(s)
             dst_nk = normalize_name_for_key(obj)
+            if label_scoped:
+                # \x1f cannot appear in a norm key (normalization maps
+                # non-[a-z0-9 ] to space), so the scoped key is
+                # collision-free with unscoped keys
+                src_nk = f"{st}\x1f{src_nk}"
+                dst_nk = f"{ot}\x1f{dst_nk}"
             row = (chunk_id, s, p, rel_type, obj, st, ot,
                    kind, start, end, term, count, src_text, sub_key, obj_key,
                    rel_key, src_nk, dst_nk, stable_id(src_nk), stable_id(dst_nk))

@@ -1578,3 +1578,80 @@ class TestTriadCensus:
 
     def test_empty(self, ray_session):
         assert self._run([]) == {}
+
+
+class TestDistantSupervisionCap:
+    """Per-doc distinct-entity cap on pair generation (VERDICT r4 #4):
+    a pathological doc must not materialize its quadratic pair set."""
+
+    def test_5k_entity_doc_completes_under_cap_and_logs(self, caplog):
+        import logging
+
+        import pandas as pd
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            _ds_pairgen_partition,
+        )
+
+        n = 5000
+        df = pd.DataFrame({
+            "doc_id": ["big"] * n + ["small"] * 3,
+            "entity_id": list(range(n)) + [1, 2, 3],
+        })
+        with caplog.at_level(logging.WARNING):
+            out = _ds_pairgen_partition(50)(df)
+        # big: 50*49 ordered pairs, small: 3*2 — not 5000*4999
+        assert len(out) == 50 * 49 + 3 * 2
+        big = out[out["doc_id"] == "big"]
+        assert big["src_id"].max() < 50  # cap keeps the LOWEST ids
+        assert any("doc_entity_cap=50" in r.message for r in caplog.records)
+
+    def test_cap_not_hit_is_silent_and_unchanged(self, caplog):
+        import logging
+
+        import pandas as pd
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            _ds_pairgen_partition,
+        )
+
+        df = pd.DataFrame({
+            "doc_id": ["d1"] * 4 + ["d2"] * 2,
+            "entity_id": [1, 2, 3, 2, 7, 8],
+        })
+        with caplog.at_level(logging.WARNING):
+            capped = _ds_pairgen_partition(50)(df)
+        uncapped = _ds_pairgen_partition(10**9)(df)
+        key = ["doc_id", "src_id", "dst_id"]
+        assert (capped.sort_values(key).reset_index(drop=True)
+                .equals(uncapped.sort_values(key).reset_index(drop=True)))
+        assert not caplog.records
+
+    def test_pipeline_end_to_end_with_cap(self, ray_session):
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.pipelines.graph_algo import (
+            distant_supervision,
+        )
+
+        n = 3000
+        mentions = rd.from_arrow(pa.table({
+            "doc_id": ["big"] * n + ["small"] * 2,
+            "entity_id": list(range(n)) + [1, 2],
+        }))
+        edges = rd.from_arrow(pa.table({
+            "src_id": pa.array([1], pa.int64()),
+            "rel_type": ["R"],
+            "dst_id": pa.array([2], pa.int64()),
+        }))
+        triples = rd.from_arrow(pa.table({
+            "doc_id": ["small"],
+            "src_id": pa.array([1], pa.int64()),
+            "rel_type": ["R"],
+            "dst_id": pa.array([2], pa.int64()),
+        }))
+        out = distant_supervision(mentions, edges, triples,
+                                  doc_entity_cap=50).to_pandas()
+        got = sorted(out.itertuples(index=False))
+        # both docs mention KB pair (1, R, 2); only "small" is provenance
+        assert got == [("big", 1, "R", 2, 0), ("small", 1, "R", 2, 1)]
