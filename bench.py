@@ -156,6 +156,14 @@ def run_bench() -> dict:
     queries = {"kg_snapshot": round(headline, 3)}
     spread = {"kg_snapshot": [min(headline_reps), max(headline_reps)]}
 
+    # embedding policy is part of the measured workload (the embed
+    # stage writes the widest output columns) — pin it in every artifact
+    embedding_policy = {
+        "with_embeddings": root.get("with_embeddings", True),
+        "embed_backend": cfg.embed_backend,
+        "embed_dim": cfg.embed_dim,
+    }
+
     if scaling_pages:
         # scaling mode: headline only, skip the secondary query sweep
         result = {
@@ -170,6 +178,7 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / headline, 2),
             "triples_per_sec": round(n_triples / headline, 2),
             "stage_timings_s": root["stage_timings_s"],
+            "embedding_policy": embedding_policy,
         }
         ray.shutdown()
         return result
@@ -361,6 +370,41 @@ def run_bench() -> dict:
     queries["kg_snapshot"] = round(headline, 3)
     spread["kg_snapshot"] = [min(headline_reps), max(headline_reps)]
 
+    # compaction at the bench design point (the `cli compact` job):
+    # fewer, larger, id-sorted files per table -> cheaper serving-side
+    # reads.  Runs AFTER the rerun passes because it REWRITES the
+    # parquet files the cached Datasets were planned over; the serving
+    # pull + query are then re-timed over the compacted layout and the
+    # facts asserted identical (compaction is a read-layout change
+    # only).
+    from neo4j_document_pipeline_ray.pipelines.compact import (
+        compact_snapshot,
+    )
+
+    t0 = time.time()
+    comp_stats = compact_snapshot(out_dir)
+    compact_sec = round(time.time() - t0, 3)
+    tables_c = {
+        name: rd.read_parquet(os.path.join(out_dir, name)).materialize()
+        for name in ("nodes", "edges", "mentions", "docs")
+    }
+    t0 = time.time()
+    loc_c = LocalKG.maybe_pull(tables_c)
+    pull_after = round(time.time() - t0, 3)
+    t0 = time.time()
+    res_c = graphrag(tables_c, question, top_k=5, hops=2, local_kg=loc_c)
+    query_after = round(time.time() - t0, 3)
+    assert res_c["facts"] == res["facts"]
+    result_extras["compaction"] = {
+        "compact_sec": compact_sec,
+        "files": {t: {"before": s["files_before"], "after": s["files_after"]}
+                  for t, s in comp_stats.items()},
+        "kg_local_pull_s": {"before": queries["kg_local_pull"],
+                            "after": pull_after},
+        "kg_graphrag_query_s": {"before": queries["kg_graphrag_query"],
+                                "after": query_after},
+    }
+
     result = {
         "metric": "kg_snapshot_sec_end_to_end",
         "value": round(headline, 3),
@@ -381,6 +425,7 @@ def run_bench() -> dict:
         # steal is invisible to load averages inside the sandbox) —
         # compare across artifacts to normalize wall-time drift
         "host_capacity": {"before": cap_before, "after": host_capacity()},
+        "embedding_policy": embedding_policy,
         **result_extras,
     }
     ray.shutdown()
@@ -715,6 +760,7 @@ def run_scaling() -> dict:
             "scaling_efficiency": round(eff, 3),
             "n_docs": lo["n_docs"],
             "sf": lo["sf"],
+            "embedding_policy": lo.get("embedding_policy"),
         }
 
     cap_before = host_capacity()
@@ -724,6 +770,9 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency_4_to_16_cpus",
         "host_capacity": {"before": cap_before, "after": host_capacity()},
         **primary,
+        # the embed stage runs LIVE in every scaling leg (widest output
+        # columns) — pinned from the child runs' artifacts
+        "embedding_policy": primary.get("embedding_policy"),
         "scaling_efficiency_8_to_32_bandwidth_saturated": saturated[
             "scaling_efficiency"
         ],

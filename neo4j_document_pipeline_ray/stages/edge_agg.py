@@ -300,6 +300,11 @@ def build_edges(
     cfg = cfg or PipelineConfig()
     use_ref = _use_ref_exchange(triples, cfg, input_bytes)
     keep_text = not use_ref
+    # input_bytes is in parquet-FOOTER units (post-encoding); the
+    # exchange gate wants in-memory bytes
+    from neo4j_document_pipeline_ray.stages.grouped import FOOTER_TO_ARROW
+
+    mem_hint = input_bytes * FOOTER_TO_ARROW if input_bytes else None
     partial = triples.map_batches(
         lambda t: _partial_edges_batch(t, keep_text=keep_text),
         batch_format="pyarrow", batch_size=cfg.agg_batch_size,
@@ -311,7 +316,7 @@ def build_edges(
         # footer-bytes hint: a corpus-sized merge goes straight to the
         # sorted exchange (no materialize-to-measure copy) and gets a
         # size-derived partition count
-        size_hint=input_bytes, partition_floor=cfg.shuffle_partitions,
+        size_hint=mem_hint, partition_floor=cfg.shuffle_partitions,
     )
     if not use_ref:
         return merged
@@ -325,7 +330,7 @@ def build_edges(
         num_partitions=None, adaptive=True,
         # src_text dominates the triples payload, so the total input
         # estimate is a tight upper bound for the snippet exchange
-        size_hint=input_bytes, partition_floor=cfg.join_partitions,
+        size_hint=mem_hint, partition_floor=cfg.join_partitions,
     )
     joined = broadcast_join(
         merged, prov, on=("src_ref",), join_type="left_outer",

@@ -344,9 +344,14 @@ def build_embeddings(
     keys = triples.select_columns(["sub_key", "obj_key", "rel_key"]).map_batches(
         _keys_batch, batch_format="pyarrow", batch_size=cfg.map_batch_size
     )
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        FOOTER_TO_ARROW,
+    )
+
     distinct = distinct_by(keys, "text_key",
-                           num_partitions=None,
-                           adaptive=True, size_hint=input_bytes,
+                           num_partitions=None, adaptive=True,
+                           size_hint=(input_bytes * FOOTER_TO_ARROW
+                                      if input_bytes else None),
                            partition_floor=cfg.shuffle_partitions)
     if backend is None:
         # stateless hash backend: plain tasks on the warm worker pool

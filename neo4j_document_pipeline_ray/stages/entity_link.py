@@ -113,9 +113,14 @@ def finalize_nodes(
     from neo4j_document_pipeline_ray.stages.grouped import min_by_key
 
     cfg = cfg or PipelineConfig()
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        FOOTER_TO_ARROW,
+    )
+
     agg = min_by_key(cands, "entity_id",
                      num_partitions=None, adaptive=True,
-                     size_hint=input_bytes,
+                     size_hint=(input_bytes * FOOTER_TO_ARROW
+                                if input_bytes else None),
                      partition_floor=cfg.shuffle_partitions)
     return agg.map_batches(_finish_batch, batch_format="pyarrow")
 
@@ -168,9 +173,14 @@ def finalize_mentions(
     # partitioned by entity_id; every (doc, entity) pair lands whole.
     # input_bytes: footer-bytes upper bound (pair partials only shrink)
     # — see finalize_nodes.
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        FOOTER_TO_ARROW,
+    )
+
     return distinct_by(pairs, "entity_id", subset=["doc_id", "entity_id"],
                        num_partitions=None, adaptive=True,
-                       size_hint=input_bytes,
+                       size_hint=(input_bytes * FOOTER_TO_ARROW
+                                  if input_bytes else None),
                        partition_floor=cfg.shuffle_partitions)
 
 

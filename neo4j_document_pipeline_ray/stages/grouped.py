@@ -44,6 +44,13 @@ TARGET_PARTITION_BYTES = 256 << 20
 #: fixed default, so sandbox-scale behavior is unchanged.
 DEFAULT_PARTITION_FLOOR = 16
 
+#: parquet-footer ``total_byte_size`` is AFTER dictionary/RLE encoding,
+#: not decoded size: measured on the sf0.1 triples table, in-memory
+#: Arrow is 5.2-7.5x the footer sum.  Callers whose size evidence is
+#: footer bytes multiply by this (conservatively low) factor before
+#: passing ``size_hint``, which is in estimated IN-MEMORY bytes.
+FOOTER_TO_ARROW = 4
+
 
 def plan_size_estimate(ds: "ray.data.Dataset", source_ok: bool = False):
     """Zero-execution byte-size estimate of a dataset.
