@@ -67,14 +67,15 @@ def _qvec_sql() -> str:
     return "[" + ", ".join(repr(float(x)) for x in q) + "]"
 
 
-def _lsh_bucket_sql(emb_expr: str = "e", n_planes: int = 8) -> str:
+def _lsh_bucket_sql(emb_expr: str = "e", n_planes: int = 8,
+                    dim: int | None = None) -> str:
     """DuckDB expression for the LSH hyperplane-sign bucket of an
     embedding column — bit i set iff dot(e, plane_i) > 0, replaying
     extras.similarity._bucket_of with the plane matrix (a pure
     function of the fixed seed) baked in as DOUBLE[] literals."""
     from neo4j_document_pipeline_ray.extras.similarity import _planes
 
-    pl = _planes(_EMB_DIM, n_planes)
+    pl = _planes(dim or _EMB_DIM, n_planes)
     terms = []
     for i, row in enumerate(pl):
         lit = "[" + ", ".join(repr(float(x)) for x in row) + "]"
@@ -94,6 +95,103 @@ def _probed_buckets_sql(multiprobe: int = 2, n_planes: int = 8) -> str:
 
     probe = _probe_buckets(embed_question(_QUESTION), multiprobe, n_planes)
     return ", ".join(str(b) for b in probe)
+
+
+#: the sf the driver runs its oracle comparison at (same convention as
+#: _TRUTH_001) — ANN oracles that bake query-derived literals read the
+#: query vector from here, matching the driver's `embeddings` view
+_ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def _ivf_topk_sql(parts) -> str:
+    """Exact SQL twin of an IVF index query: assign every vector to its
+    argmax-cosine centroid (lowest id on ties — the index's partition
+    rule), then exact cosine top-k restricted to the probed
+    partitions."""
+    rows, probe = parts
+    return f"""
+        WITH cents(cid, c) AS (VALUES {rows}),
+        n AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   (CASE WHEN sqrt(list_inner_product(
+                             CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) = 0
+                         THEN 1.0
+                         ELSE sqrt(list_inner_product(
+                             CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])))
+                    END) AS nrm
+            FROM embeddings
+        ), sims AS (
+            SELECT vec_id, e, cid,
+                   list_inner_product(
+                       list_transform(e, x -> x / nrm), c) AS s
+            FROM n CROSS JOIN cents
+        ), assigned AS (
+            SELECT vec_id, e, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY s DESC, cid) AS rn
+            FROM sims
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(e,
+                   (SELECT CAST(embedding AS DOUBLE[])
+                    FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        FROM assigned
+        WHERE rn = 1 AND cid IN ({probe})
+        ORDER BY sim DESC, vec_id
+        LIMIT 10
+    """
+
+
+def _ann_probed_buckets_sql(multiprobe: int = 2, n_planes: int = 8) -> str:
+    """Multiprobe bucket set for the embeddings-table query vector
+    (vec_id 0 of the oracle sf) — a pure function of (query vector,
+    plane seed, multiprobe), so the LSH index query gets an EXACT SQL
+    twin: cosine top-k restricted to the probed buckets."""
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        _probe_buckets,
+        query_vector,
+    )
+
+    probe = _probe_buckets(query_vector(_ORACLE_SF), multiprobe, n_planes)
+    return ", ".join(str(b) for b in probe)
+
+
+def _ivf_oracle_parts(n_centroids: int = 16, nprobe: int = 4,
+                      first_half_only: bool = False):
+    """(centroid VALUES rows, probed-centroid id list) for the IVF
+    oracle: replays the index's deterministic training — at the oracle
+    sf the corpus (500 rows) is under ``train_rows``, so the training
+    sample is ALL (or, for the frozen-centroid update variant, the
+    first half's) vectors in file order — with the pipeline's own
+    ``train_ivf_centroids`` (init = first k rows, 5 iterations,
+    argmax/lowest-id ties).  The centroids define the partitioning
+    rule, exactly as the LSH planes do for the bucket oracle."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        train_ivf_centroids,
+    )
+
+    t = pq.read_table(_ORACLE_SF + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist())
+    sample = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    q = sample[list(ids).index(0)]
+    if first_half_only:
+        sample = sample[ids < len(ids) // 2]
+    cents = train_ivf_centroids(sample, n_centroids)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(cents @ q), kind="stable")[:nprobe]
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(x)) for x in cents[j]))
+        for j in range(n_centroids)
+    )
+    return rows, ", ".join(str(int(j)) for j in order)
 
 
 def _corpus(sf_dir: str):
@@ -5343,6 +5441,41 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS sim
             FROM embeddings e
             ORDER BY sim DESC, e.vec_id
+            LIMIT 10
+        """,
+        # ann_ivf_topk: the IVF index query is deterministic end to end
+        # too — centroids are a fixed-seed k-means replay (baked as
+        # literals by _ivf_oracle_parts), a vector's partition is the
+        # argmax-cosine centroid (lowest id on ties), the probed set is
+        # a pure function of the query — so the SQL twin is the exact
+        # cosine top-k restricted to the probed partitions.
+        "ann_ivf_topk": _ivf_topk_sql(_ivf_oracle_parts(16, 4)),
+        # ann_ivf_update_topk: the update folds the second half in with
+        # FROZEN centroids, so every vector's partition follows the
+        # same first-half-trained assignment rule — same SQL twin,
+        # first-half centroids.
+        "ann_ivf_update_topk": _ivf_topk_sql(
+            _ivf_oracle_parts(16, 4, first_half_only=True)),
+        # ann_lsh_topk: like kg_vector_index_topk, the "approximate"
+        # LSH index query is deterministic end to end — bucket =
+        # hyperplane signs over the stored vectors, probed set a pure
+        # function of the query — so its SQL twin is the exact cosine
+        # top-k restricted to the probed buckets.
+        "ann_lsh_topk": f"""
+            WITH b AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), bucketed AS (
+                SELECT vec_id, e, {_lsh_bucket_sql("e", 8, 64)} AS bucket
+                FROM b
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(e,
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 6) AS sim
+            FROM bucketed
+            WHERE bucket IN ({_ann_probed_buckets_sql(2)})
+            ORDER BY sim DESC, vec_id
             LIMIT 10
         """,
         "ann_multi_topk": """
