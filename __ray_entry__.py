@@ -103,6 +103,296 @@ def _probed_buckets_sql(multiprobe: int = 2, n_planes: int = 8) -> str:
 _ORACLE_SF = "/root/testdata/sf0.01"
 
 
+def _semdedup_oracle_sql(threshold: float = 0.95,
+                         n_centroids: int = 16) -> str:
+    """Exact SQL twin of emb_semdedup: the k-means centroids are the
+    same deterministic replay as the IVF oracle (trained on the
+    AUGMENTED sample — originals then 2x-scaled copies, the query's
+    batch layout), assignment is argmax-cosine/lowest-id, and the
+    published greedy within-cluster scan is a recursive CTE that walks
+    each cluster in ascending vec_id carrying the kept unit vectors —
+    a row is kept iff its max dot against them is <= threshold."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        train_ivf_centroids,
+    )
+
+    t = pq.read_table(_ORACLE_SF + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    cents = train_ivf_centroids(np.vstack([m, m * 2.0]), n_centroids)
+    rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(x)) for x in cents[j]))
+        for j in range(n_centroids)
+    )
+    return f"""
+        WITH RECURSIVE
+        base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        aug AS (
+            SELECT vec_id, e FROM base
+            UNION ALL
+            SELECT vec_id + 1000000, list_transform(e, x -> x * 2.0)
+            FROM base
+        ),
+        cents(cid, c) AS (VALUES {rows}),
+        normed AS (
+            SELECT vec_id,
+                   list_transform(e, x -> x /
+                       (CASE WHEN sqrt(list_inner_product(e, e)) = 0
+                             THEN 1.0
+                             ELSE sqrt(list_inner_product(e, e))
+                        END)) AS u
+            FROM aug
+        ),
+        sims AS (
+            SELECT vec_id, u, CAST(cid AS BIGINT) AS cid,
+                   list_inner_product(u, c) AS s
+            FROM normed CROSS JOIN cents
+        ),
+        members AS (
+            SELECT vec_id, u, cid AS cluster,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY s DESC, cid) AS arn
+            FROM sims
+        ),
+        ordered AS (
+            SELECT vec_id, u, cluster,
+                   row_number() OVER (
+                       PARTITION BY cluster ORDER BY vec_id) AS rn
+            FROM members WHERE arn = 1
+        ),
+        walk AS (
+            SELECT cluster, 0 AS rn, CAST(NULL AS BIGINT) AS vec_id,
+                   false AS keep, CAST([] AS DOUBLE[][]) AS kept
+            FROM (SELECT DISTINCT cluster FROM ordered)
+          UNION ALL
+            SELECT o.cluster, o.rn, o.vec_id,
+                   (len(w.kept) = 0 OR coalesce(list_max(
+                        list_transform(w.kept,
+                            kv -> list_inner_product(kv, o.u))),
+                        -2.0) <= {threshold!r}) AS keep,
+                   CASE WHEN (len(w.kept) = 0 OR coalesce(list_max(
+                            list_transform(w.kept,
+                                kv -> list_inner_product(kv, o.u))),
+                            -2.0) <= {threshold!r})
+                        THEN list_append(w.kept, o.u)
+                        ELSE w.kept END
+            FROM walk w
+            JOIN ordered o
+              ON o.cluster = w.cluster AND o.rn = w.rn + 1
+        )
+        SELECT vec_id, cluster, keep FROM walk WHERE rn > 0
+    """
+
+
+def _ann_recall_oracle_sql(k: int = 10, multiprobe: int = 2,
+                           nprobe: int = 4, n_planes: int = 8,
+                           n_centroids: int = 16) -> str:
+    """Exact SQL twin of the recall@k audit: both approximate tiers
+    (LSH probed buckets, IVF probed centroid partitions) AND the exact
+    truth sets are computed in SQL for the fixed 4-query batch, then
+    intersected — recall_milli = n_hit * 1000 // k, integer-exact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        _probe_buckets,
+        train_ivf_centroids,
+    )
+
+    t = pq.read_table(_ORACLE_SF + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    m = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    qids = [0, 1, 2, 3]
+    qvs = [m[ids.index(v)] for v in qids]
+    cents = train_ivf_centroids(m, n_centroids)
+    cent_rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ", ".join(repr(float(x)) for x in cents[j]))
+        for j in range(n_centroids))
+    q_rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            v, ", ".join(repr(float(x)) for x in qv))
+        for v, qv in zip(qids, qvs))
+    lsh_rows = ", ".join(
+        f"({v}, {b})"
+        for v, qv in zip(qids, qvs)
+        for b in _probe_buckets(qv, multiprobe, n_planes))
+    ivf_rows = ", ".join(
+        f"({v}, {int(c)})"
+        for v, qv in zip(qids, qvs)
+        for c in np.argsort(
+            -(cents @ (qv / max(np.linalg.norm(qv), 1e-12))),
+            kind="stable")[:nprobe])
+    return f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        cents(cid, c) AS (VALUES {cent_rows}),
+        q(qid, qv) AS (VALUES {q_rows}),
+        rows_b AS (
+            SELECT vec_id, e, {_lsh_bucket_sql("e", n_planes, 64)} AS bucket
+            FROM base
+        ),
+        asg AS (
+            SELECT vec_id, cid FROM (
+                SELECT b.vec_id, cents.cid,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY list_inner_product(
+                               list_transform(b.e, x -> x /
+                                   (CASE WHEN sqrt(list_inner_product(
+                                             b.e, b.e)) = 0
+                                         THEN 1.0
+                                         ELSE sqrt(list_inner_product(
+                                             b.e, b.e)) END)),
+                               cents.c) DESC, cents.cid) AS rn
+                FROM base b CROSS JOIN cents
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT q.qid, rb.vec_id, rb.bucket, a.cid,
+                   round(list_cosine_similarity(rb.e, q.qv), 6) AS sim
+            FROM rows_b rb JOIN asg a USING (vec_id) CROSS JOIN q
+        ),
+        exact AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                FROM scored
+            ) WHERE rn <= {k}
+        ),
+        lshp(qid, bucket) AS (VALUES {lsh_rows}),
+        ivfp(qid, cid) AS (VALUES {ivf_rows}),
+        lsh_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT s.qid AS qid, s.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY s.qid
+                           ORDER BY s.sim DESC, s.vec_id) AS rn
+                FROM scored s
+                JOIN lshp p ON p.qid = s.qid AND p.bucket = s.bucket
+            ) WHERE rn <= {k}
+        ),
+        ivf_top AS (
+            SELECT qid, vec_id FROM (
+                SELECT s.qid AS qid, s.vec_id AS vec_id,
+                       row_number() OVER (
+                           PARTITION BY s.qid
+                           ORDER BY s.sim DESC, s.vec_id) AS rn
+                FROM scored s
+                JOIN ivfp p ON p.qid = s.qid AND p.cid = s.cid
+            ) WHERE rn <= {k}
+        ),
+        hits AS (
+            SELECT 'lsh' AS method, CAST(q.qid AS BIGINT) AS query_id,
+                   (SELECT count(*) FROM lsh_top t
+                    JOIN exact x ON x.qid = t.qid
+                                AND x.vec_id = t.vec_id
+                    WHERE t.qid = q.qid) AS n_hit
+            FROM q
+            UNION ALL
+            SELECT 'ivf', CAST(q.qid AS BIGINT),
+                   (SELECT count(*) FROM ivf_top t
+                    JOIN exact x ON x.qid = t.qid
+                                AND x.vec_id = t.vec_id
+                    WHERE t.qid = q.qid)
+            FROM q
+        )
+        SELECT method, query_id, n_hit,
+               (n_hit * 1000) // {k} AS recall_milli
+        FROM hits
+    """
+
+
+def _pq_oracle_sql(k: int = 10, rerank: int = 50, m: int = 8,
+                   ks: int = 16) -> str:
+    """Exact SQL twin of ann_pq_topk: per-subspace codebooks are the
+    deterministic k-means replay (baked with their |c|^2 and
+    query-block inner products precomputed by the same numpy the
+    pipeline uses), encoding is argmin-L2/lowest-id in SQL, the ADC
+    score is the LUT sum, and the top-``rerank`` candidate head is
+    re-scored exactly — the published ADC + re-rank serving shape,
+    end-to-end deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from neo4j_document_pipeline_ray.extras.similarity import (
+        train_pq_codebooks,
+    )
+
+    t = pq.read_table(_ORACLE_SF + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    sample = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    books = train_pq_codebooks(sample, m, ks)
+    sub = sample.shape[1] // m
+    q = sample[ids.index(0)]
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    lut_ip = np.stack([books[j] @ qn[j * sub:(j + 1) * sub]
+                       for j in range(m)])
+    lut_n2 = (books ** 2).sum(axis=-1)
+    rows = ", ".join(
+        "({}, {}, [{}]::DOUBLE[], {!r}, {!r})".format(
+            j, c, ", ".join(repr(float(x)) for x in books[j, c]),
+            float(lut_n2[j, c]), float(lut_ip[j, c]))
+        for j in range(m) for c in range(ks)
+    )
+    qlit = "[" + ", ".join(repr(float(x)) for x in qn) + "]"
+    return f"""
+        WITH books(j, cid, c, n2, qip) AS (VALUES {rows}),
+        base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ),
+        blocks AS (
+            SELECT vec_id, CAST(r.j AS INTEGER) AS j,
+                   e[r.j * {sub} + 1 : (r.j + 1) * {sub}] AS x
+            FROM base CROSS JOIN range({m}) r(j)
+        ),
+        dists AS (
+            SELECT vec_id, b.j, b.cid, b.n2, b.qip,
+                   -2.0 * list_inner_product(x, b.c) + b.n2 AS d
+            FROM blocks JOIN books b ON b.j = blocks.j
+        ),
+        codes AS (
+            SELECT vec_id, j, n2, qip FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        adc AS (
+            SELECT vec_id,
+                   round(sum(qip) /
+                         sqrt(greatest(sum(n2), 1e-24)), 6) AS sim
+            FROM codes GROUP BY vec_id
+        ),
+        cand AS (
+            SELECT vec_id FROM adc
+            ORDER BY sim DESC, vec_id
+            LIMIT {max(k, rerank)}
+        )
+        SELECT b.vec_id,
+               round(list_inner_product(e, {qlit}) /
+                     (CASE WHEN sqrt(list_inner_product(e, e)) = 0
+                           THEN 1.0
+                           ELSE sqrt(list_inner_product(e, e))
+                      END), 6) AS sim
+        FROM base b JOIN cand USING (vec_id)
+        ORDER BY sim DESC, b.vec_id
+        LIMIT {k}
+    """
+
+
 def _ivf_topk_sql(parts) -> str:
     """Exact SQL twin of an IVF index query: assign every vector to its
     argmax-cosine centroid (lowest id on ties — the index's partition
@@ -505,9 +795,10 @@ def _q_ann_lsh_topk(sf_dir: str):
 def _q_ann_ivf_topk(sf_dir: str):
     """IVF top-k through the coarse-quantizer index path: centroid-
     partitioned parquet built once per source fingerprint, query reads
-    only the nprobe nearest-centroid partitions.  APPROXIMATE by design
-    (k-means training is not SQL-expressible -> rows-only here); the
-    pytest oracle pins nprobe=n_centroids == brute force and recall."""
+    only the nprobe nearest-centroid partitions.  Deterministic end to
+    end — the fixed-seed k-means replay is baked into an EXACT SQL
+    twin (_ivf_topk_sql); pytest additionally pins
+    nprobe=n_centroids == brute force and recall."""
     import os
 
     import ray.data as rd
@@ -533,9 +824,10 @@ def _q_ann_ivf_topk(sf_dir: str):
 def _q_ann_recall(sf_dir: str):
     """Recall@10 of both approximate index tiers (LSH multiprobe=2,
     IVF nprobe=4) against the exact scan, for a 4-query batch — the
-    per-round index-quality artifact.  rows-only by design (k-means /
-    bucket probing are not SQL-expressible); determinism and the
-    full-probe==exact bound are pinned in pytest."""
+    per-round index-quality artifact.  Deterministic end to end: both
+    tiers and the truth sets have an EXACT SQL twin
+    (_ann_recall_oracle_sql); the full-probe==exact bound is pinned in
+    pytest."""
     import os
 
     import numpy as np
@@ -670,8 +962,8 @@ def _q_emb_semdedup(sf_dir: str):
     the SAME direction, so it lands in its original's cluster with
     cosine exactly 1.0 and must come back keep=false while every
     original (no raw pair above 0.52) stays keep=true — the invariant
-    tests/test_extras.py pins.  rows-only at the gate: the cluster
-    assignment is float k-means, not SQL-replayable."""
+    tests/test_extras.py pins.  The k-means replay + recursive-CTE
+    greedy scan form an EXACT SQL twin (_semdedup_oracle_sql)."""
     import os
 
     import numpy as np
@@ -1531,9 +1823,10 @@ def _q_ann_pq_topk(sf_dir: str):
     """PQ top-k through the asymmetric-distance code table (32x
     compression at dim 64 / m 8) with exact re-rank of the candidate
     head — the memory-bound ANN layout for corpora whose raw vectors
-    cannot be scanned.  APPROXIMATE by design (k-means codebooks are
-    not SQL-expressible -> rows-only); the pytest oracle pins exact
-    reconstruction == brute force and rerank recall."""
+    cannot be scanned.  Deterministic end to end — codebook replay +
+    in-SQL encode + ADC + re-rank form an EXACT SQL twin
+    (_pq_oracle_sql); pytest additionally pins exact reconstruction ==
+    brute force and rerank recall."""
     import os
 
     import ray.data as rd
@@ -1561,8 +1854,9 @@ def _q_ann_ivf_update_topk(sf_dir: str):
     """IVF index maintenance: build on the first half of the corpus,
     fold the second half in WITHOUT retraining (frozen centroids,
     per-partition appends), query through the updated index.
-    APPROXIMATE (k-means) -> rows-only; the pytest oracle pins
-    full-probe-after-update == brute force over the whole corpus."""
+    Deterministic — the frozen first-half centroids bake into an EXACT
+    SQL twin; pytest additionally pins full-probe-after-update ==
+    brute force over the whole corpus."""
     import os
 
     import ray.data as rd
@@ -5450,6 +5744,16 @@ def oracle_sql() -> dict[str, str]:
         # a pure function of the query — so the SQL twin is the exact
         # cosine top-k restricted to the probed partitions.
         "ann_ivf_topk": _ivf_topk_sql(_ivf_oracle_parts(16, 4)),
+        # emb_semdedup: the greedy within-cluster scan is a recursive
+        # CTE over the same deterministic k-means replay — see
+        # _semdedup_oracle_sql.
+        "emb_semdedup": _semdedup_oracle_sql(0.95, 16),
+        # ann_pq_topk: codebook replay + in-SQL encode + ADC LUT sum +
+        # exact re-rank of the candidate head — see _pq_oracle_sql.
+        "ann_pq_topk": _pq_oracle_sql(10, 50),
+        # ann_recall: both tiers AND the truth sets in SQL, then the
+        # integer intersection — see _ann_recall_oracle_sql.
+        "ann_recall": _ann_recall_oracle_sql(10, 2, 4),
         # ann_ivf_update_topk: the update folds the second half in with
         # FROZEN centroids, so every vector's partition follows the
         # same first-half-trained assignment rule — same SQL twin,
@@ -5633,7 +5937,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, entity_id
             LIMIT 10
         """,
-        # lsh / mm_features: seeded-rng hyperplanes or stubbed codecs
-        # -> rows-only, verified against exact oracles in pytest
-        # instead.
+        # mm_features / mm_resize / mm_frames: binary-codec
+        # surfaces (payload bytes -> pixels) have no SQL form ->
+        # rows-only, verified against exact pytest oracles instead;
+        # kg_graphrag's formatting layer likewise stays rows-only while
+        # every numeric channel feeding it is hash-checked above.
     }
