@@ -263,6 +263,16 @@ def _use_ref_exchange(
         # caller-supplied estimate (parquet-footer uncompressed bytes) —
         # lets a LAZY input decide without materializing it
         return input_bytes > cfg.edge_ref_threshold_bytes
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        plan_size_estimate,
+    )
+
+    est = plan_size_estimate(triples, source_ok=True)
+    if est is not None:
+        # zero-execution metadata estimate (exact for materialized /
+        # read-rooted lineages) — size_bytes() on a lazy map lineage
+        # would execute the whole plan just to measure it
+        return est > cfg.edge_ref_threshold_bytes
     try:
         size = triples.size_bytes() or 0
     except Exception:

@@ -352,6 +352,39 @@ def hash_aggregate(
     )
 
 
+#: logical ops that cannot emit the SCHEMA-LESS zero-row blocks Ray
+#: 2.49's all-to-all operators produce (see drop_empty_blocks): reads
+#: carry file-footer schemas, map-family ops pass schemas through, and
+#: in-memory sources are born with one.  Sort/Aggregate/Repartition and
+#: anything unrecognized are treated as unsafe.
+_SCHEMA_SAFE_OPS = frozenset({
+    "Read", "MapBatches", "MapRows", "Filter", "Project", "FlatMap",
+    "Union", "Limit", "FromArrow", "FromPandas", "FromItems",
+    "FromNumpy", "InputData",
+})
+
+
+def lineage_schema_safe(ds: "ray.data.Dataset") -> bool:
+    """True when every op in ``ds``'s logical lineage is in
+    ``_SCHEMA_SAFE_OPS`` — such a dataset cannot contain schema-less
+    empty blocks, so join guards may skip the materializing
+    ``drop_empty_blocks`` copy entirely (the difference between a
+    streaming join and pinning a corpus-sized side at 100 TB)."""
+    try:
+        stack, seen = [ds._logical_plan.dag], set()
+        while stack:
+            op = stack.pop()
+            if id(op) in seen:
+                continue
+            seen.add(id(op))
+            if type(op).__name__ not in _SCHEMA_SAFE_OPS:
+                return False
+            stack.extend(op.input_dependencies)
+        return True
+    except Exception:
+        return False
+
+
 def drop_empty_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Remove the SCHEMA-LESS zero-row blocks that Ray 2.49's hash
     aggregates / ``map_groups`` emit for partitions that received no
@@ -377,6 +410,11 @@ def drop_empty_blocks(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         ]
         if all(m.num_rows is None or m.num_rows > 0 for m in metas):
             return ds
+    elif lineage_schema_safe(ds):
+        # No all-to-all in the lineage -> no schema-less empties are
+        # possible: keep the dataset LAZY (a corpus-sized join side
+        # streams into the join instead of being pinned here).
+        return ds
 
     mat = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
     refs, total = [], 0
@@ -443,6 +481,15 @@ def broadcast_join(
     right = drop_empty_blocks(right)
     from ray.data.dataset import MaterializedDataset
 
+    # metadata-first size gate (the adaptive-exchange rule): a right
+    # side that is KNOWN big from plan metadata goes straight to the
+    # hash join without being pinned here just to measure it
+    est = plan_size_estimate(right)
+    if est is not None and est > broadcast_max_bytes:
+        return safe_join(
+            left, right, join_type=join_type, num_partitions=num_partitions,
+            on=on, right_on=right_on,
+        )
     if not isinstance(right, MaterializedDataset):
         right = right.materialize()
     size = right.size_bytes() or 0

@@ -208,3 +208,77 @@ class TestAdaptiveGate:
         assert plan_size_estimate(mapped) is None
         # ...but the source walk still finds the read's estimate
         assert plan_size_estimate(mapped, source_ok=True) == est
+
+
+class TestLineageSchemaSafe:
+    """Join guards skip the materializing drop_empty_blocks copy for
+    lineages that cannot contain schema-less empty blocks."""
+
+    def test_read_and_map_lineages_stay_lazy(self, ray_session, tmp_path):
+        import ray.data as rd
+        from ray.data.dataset import MaterializedDataset
+
+        from neo4j_document_pipeline_ray.stages import grouped
+
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({"a": [1, 2, 3]}), p)
+        ds = rd.read_parquet(p).map_batches(
+            lambda t: t, batch_format="pyarrow").filter(lambda r: True)
+        assert grouped.lineage_schema_safe(ds)
+        out = grouped.drop_empty_blocks(ds)
+        assert out is ds  # untouched, still lazy
+        assert not isinstance(out, MaterializedDataset)
+
+    def test_aggregate_lineage_is_not_safe(self, ray_session):
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.stages import grouped
+
+        ds = rd.from_arrow(pa.table({"k": [1, 1, 2], "v": [1, 2, 3]}))
+        g = ds.groupby("k").map_groups(lambda d: d)
+        assert not grouped.lineage_schema_safe(g)
+
+    def test_safe_join_on_lazy_read_sides(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.stages.grouped import safe_join
+
+        pl = str(tmp_path / "l.parquet")
+        pr = str(tmp_path / "r.parquet")
+        pq.write_table(pa.table({"k": [1, 2, 3], "x": ["a", "b", "c"]}), pl)
+        pq.write_table(pa.table({"k": [2, 3, 4], "y": [20, 30, 40]}), pr)
+        out = safe_join(rd.read_parquet(pl), rd.read_parquet(pr),
+                        join_type="inner", on=("k",)).to_pandas()
+        got = sorted(out.itertuples(index=False))
+        assert got == [(2, "b", 20), (3, "c", 30)]
+
+    def test_broadcast_join_metadata_big_right_goes_hash(self, ray_session,
+                                                         monkeypatch,
+                                                         tmp_path):
+        """A right side KNOWN big from plan metadata must reach the
+        hash join without ever being materialized here."""
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.stages import grouped
+
+        pr = str(tmp_path / "r.parquet")
+        pq.write_table(
+            pa.table({"k": list(range(1000)),
+                      "y": ["y" * 50] * 1000}), pr)
+        right = rd.read_parquet(pr)
+        est = grouped.plan_size_estimate(right)
+        assert est and est > 0
+        monkeypatch.setattr(grouped, "BROADCAST_MAX_BYTES", 1)
+        calls = []
+        orig = rd.Dataset.materialize
+
+        def spy(self, *a, **k):
+            calls.append(1)
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(rd.Dataset, "materialize", spy)
+        left = rd.from_arrow(pa.table({"k": [5, 6], "x": ["a", "b"]}))
+        out = grouped.broadcast_join(
+            left, right, on=("k",), broadcast_max_bytes=1).to_pandas()
+        assert sorted(out["k"]) == [5, 6]
+        assert not calls, "known-big right side was materialized"
