@@ -1777,8 +1777,40 @@ def _q_kg_distant_contexts(sf_dir: str):
 
     x = broadcast_join(pairs, named("src_id", "s_name"), on=("src_id",))
     x = broadcast_join(x, named("dst_id", "d_name"), on=("dst_id",))
-    rows = safe_join(x, kg["docs"].select_columns(["doc_id", "text"]),
-                     join_type="inner", num_partitions=8, on=("doc_id",))
+
+    # FUSED reduce-side join: a hash join would replicate the ~3 KB doc
+    # text onto every one of the 418k pair rows and push ~1 GB of
+    # duplicated text through the object store into the contexts map
+    # (measured 33 s at sf0.01).  Instead pairs and doc text are
+    # co-partitioned by doc_id (text ships ONCE per doc) and the
+    # contexts — the only small output — are computed inside the
+    # partition task.
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        partitioned_group_map,
+    )
+
+    _COLS = ["doc_id", "src_id", "rel_type", "dst_id", "s_name",
+             "d_name", "text"]
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        t = t.append_column("text", pa.nulls(t.num_rows, pa.string()))
+        return t.select(_COLS)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "src_id": pa.nulls(n, pa.int64()),
+            "rel_type": pa.nulls(n, pa.string()),
+            "dst_id": pa.nulls(n, pa.int64()),
+            "s_name": pa.nulls(n, pa.string()),
+            "d_name": pa.nulls(n, pa.string()),
+            "text": t["text"],
+        })
+
+    both = x.map_batches(tag_pairs, batch_format="pyarrow").union(
+        kg["docs"].select_columns(["doc_id", "text"]).map_batches(
+            tag_docs, batch_format="pyarrow"))
 
     def _find(t, col):
         offs = np.full(t.num_rows, -1, dtype=np.int64)
@@ -1793,10 +1825,21 @@ def _q_kg_distant_contexts(sf_dir: str):
                 sub, nm).to_numpy(zero_copy_only=False)
         return offs
 
-    def contexts(t: pa.Table) -> pa.Table:
-        o1, o2 = _find(t, "s_name"), _find(t, "d_name")
+    def contexts_partition(t: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(t["text"])
+        docs_part = t.filter(is_doc)
+        prs = t.filter(pc.invert(is_doc))
+        txt = dict(zip(docs_part["doc_id"].to_pylist(),
+                       docs_part["text"].to_pylist()))
+        texts = [txt.get(d) for d in prs["doc_id"].to_pylist()]
+        have = pa.array([x is not None for x in texts])
+        prs = prs.filter(have)  # inner-join semantics
+        texts = [x for x in texts if x is not None]
+        t2 = prs.drop_columns(["text"]).append_column(
+            "text", pa.array(texts, pa.string()))
+        o1, o2 = _find(t2, "s_name"), _find(t2, "d_name")
         keep = (o1 >= 0) & (o2 >= 0) & (np.abs(o1 - o2) <= _DS_SPAN)
-        sub = t.filter(pa.array(keep))
+        sub = t2.filter(pa.array(keep))
         o1, o2 = o1[keep], o2[keep]
         texts = sub["text"].to_pylist()
         sn = sub["s_name"].to_pylist()
@@ -1816,7 +1859,8 @@ def _q_kg_distant_contexts(sf_dir: str):
             "context": pa.array(ctx, pa.string()),
         })
 
-    return rows.map_batches(contexts, batch_format="pyarrow")
+    return partitioned_group_map(both, "doc_id", contexts_partition,
+                                 batch_format="pyarrow")
 
 
 def _q_ann_pq_topk(sf_dir: str):
