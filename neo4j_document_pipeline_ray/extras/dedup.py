@@ -1061,15 +1061,31 @@ def prefix_jaccard_pairs(
                        ("gram", pa.int64())]).empty_table(),
             os.path.join(gram_dir, "empty.parquet"))
     grams = ray.data.read_parquet(gram_dir)
+    # gram-table footer bytes scaled to in-memory units: a valid upper
+    # bound for every gram-proportional exchange below (joined/prefix
+    # tables only shrink or add one small int column) — lets the
+    # adaptive gate skip the sorted exchange's multi-second fixed cost
+    # at small scale WITHOUT a materialize-to-measure copy at corpus
+    # scale (metadata says big -> straight to the sorted exchange).
+    from neo4j_document_pipeline_ray.stages.grouped import FOOTER_TO_ARROW
+
+    gram_mem = FOOTER_TO_ARROW * sum(
+        sum(md.row_group(i).total_byte_size
+            for i in range(md.num_row_groups))
+        for md in (pq.ParquetFile(os.path.join(gram_dir, f)).metadata
+                   for f in os.listdir(gram_dir)
+                   if f.endswith(".parquet"))
+    )
     dfreq = hash_aggregate(grams, "gram", [(None, "count", "dfreq")],
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions, adaptive=True)
     gdf = safe_join(grams, dfreq, join_type="inner", on=("gram",),
                     num_partitions=num_partitions)
     prefix = partitioned_group_map(
-        gdf, "doc_id", _prefix_per_doc(t_num, t_den), num_partitions)
+        gdf, "doc_id", _prefix_per_doc(t_num, t_den), num_partitions,
+        adaptive=True, size_hint=2 * gram_mem)
     cand = partitioned_group_map(
         prefix, "gram", _prefix_cand_partition(t_num, t_den),
-        num_partitions)
+        num_partitions, adaptive=True, size_hint=2 * gram_mem)
     cand = hash_aggregate(cand, ["a", "b"], [(None, "count", "_m")],
                           num_partitions=num_partitions
                           ).drop_columns(["_m"])
@@ -1095,7 +1111,7 @@ def prefix_jaccard_pairs(
     inter = hash_aggregate(jab, ["a", "b"], [(None, "count", "i")],
                            num_partitions=num_partitions)
     sizes = hash_aggregate(grams, "doc_id", [(None, "count", "L")],
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions, adaptive=True)
     j = safe_join(inter, sizes, join_type="inner", on=("a",), right_on=("doc_id",),
                   num_partitions=num_partitions)
     j = j.rename_columns({"L": "la"})
