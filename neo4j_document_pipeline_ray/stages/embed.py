@@ -346,12 +346,14 @@ def build_embeddings(
     )
     from neo4j_document_pipeline_ray.stages.grouped import (
         FOOTER_TO_ARROW,
+        plan_size_estimate,
     )
 
+    mem_hint = (input_bytes * FOOTER_TO_ARROW if input_bytes is not None
+                else plan_size_estimate(triples, source_ok=True))
     distinct = distinct_by(keys, "text_key",
                            num_partitions=None, adaptive=True,
-                           size_hint=(input_bytes * FOOTER_TO_ARROW
-                                      if input_bytes else None),
+                           size_hint=mem_hint,
                            partition_floor=cfg.shuffle_partitions)
     if backend is None:
         # stateless hash backend: plain tasks on the warm worker pool

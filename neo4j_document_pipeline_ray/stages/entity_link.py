@@ -101,28 +101,37 @@ def shard_node_candidates(
 
 def finalize_nodes(
     cands: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None,
-    input_bytes: Optional[int] = None,
+    mem_hint: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Candidate partials -> final nodes table (global min per entity).
 
-    ``input_bytes`` (parquet-footer uncompressed bytes of the pruned
-    triple columns feeding ``cands``) lets a corpus-sized exchange skip
-    the adaptive materialize-to-measure copy and derive its partition
-    count from size; the candidate partials only shrink the input, so
-    it is a valid upper bound."""
+    ``mem_hint`` (estimated IN-MEMORY bytes of the rows feeding
+    ``cands``) lets a corpus-sized exchange skip the adaptive
+    materialize-to-measure copy and derive its partition count from
+    size; the candidate partials only shrink the input, so it is a
+    valid upper bound."""
     from neo4j_document_pipeline_ray.stages.grouped import min_by_key
 
     cfg = cfg or PipelineConfig()
-    from neo4j_document_pipeline_ray.stages.grouped import (
-        FOOTER_TO_ARROW,
-    )
-
     agg = min_by_key(cands, "entity_id",
                      num_partitions=None, adaptive=True,
-                     size_hint=(input_bytes * FOOTER_TO_ARROW
-                                if input_bytes else None),
+                     size_hint=mem_hint,
                      partition_floor=cfg.shuffle_partitions)
     return agg.map_batches(_finish_batch, batch_format="pyarrow")
+
+
+def _mem_hint(triples, input_bytes: Optional[int]) -> Optional[int]:
+    """Footer bytes (caller-supplied, scaled to in-memory units) or the
+    plan's own zero-execution estimate — exact when the triples
+    lineage is materialized/read-rooted, the kg_build case."""
+    from neo4j_document_pipeline_ray.stages.grouped import (
+        FOOTER_TO_ARROW,
+        plan_size_estimate,
+    )
+
+    if input_bytes is not None:
+        return input_bytes * FOOTER_TO_ARROW
+    return plan_size_estimate(triples, source_ok=True)
 
 
 def build_nodes(
@@ -132,7 +141,7 @@ def build_nodes(
     """triples (chunk-level ok) -> nodes(entity_id, label, name, norm_key, node_key)."""
     cfg = cfg or PipelineConfig()
     return finalize_nodes(shard_node_candidates(triples, cfg), cfg,
-                          input_bytes=input_bytes)
+                          mem_hint=_mem_hint(triples, input_bytes))
 
 
 def _mention_pairs_batch(batch: pa.Table) -> "pd.DataFrame":
@@ -165,22 +174,17 @@ def shard_mention_pairs(
 
 def finalize_mentions(
     pairs: "ray.data.Dataset", cfg: Optional[PipelineConfig] = None,
-    input_bytes: Optional[int] = None,
+    mem_hint: Optional[int] = None,
 ) -> "ray.data.Dataset":
     from neo4j_document_pipeline_ray.stages.grouped import distinct_by
 
     cfg = cfg or PipelineConfig()
     # partitioned by entity_id; every (doc, entity) pair lands whole.
-    # input_bytes: footer-bytes upper bound (pair partials only shrink)
-    # — see finalize_nodes.
-    from neo4j_document_pipeline_ray.stages.grouped import (
-        FOOTER_TO_ARROW,
-    )
-
+    # mem_hint: in-memory upper bound (pair partials only shrink) —
+    # see finalize_nodes.
     return distinct_by(pairs, "entity_id", subset=["doc_id", "entity_id"],
                        num_partitions=None, adaptive=True,
-                       size_hint=(input_bytes * FOOTER_TO_ARROW
-                                  if input_bytes else None),
+                       size_hint=mem_hint,
                        partition_floor=cfg.shuffle_partitions)
 
 
@@ -192,7 +196,7 @@ def build_mentions(
     (reference ``ingestMD.py:538-541``), idempotent per pair like MERGE."""
     cfg = cfg or PipelineConfig()
     return finalize_mentions(shard_mention_pairs(triples, cfg), cfg,
-                             input_bytes=input_bytes)
+                             mem_hint=_mem_hint(triples, input_bytes))
 
 
 def alias_candidates(
