@@ -2677,6 +2677,57 @@ def _q_kg_graphrag(sf_dir: str):
     return pd.DataFrame({"fact": res["facts"].splitlines()})
 
 
+def _q_kg_graphrag_seeds(sf_dir: str):
+    """The /graphrag DECISION CORE, oracle-checked: hybrid blend ->
+    MMR (lambda=0.7) -> document round-robin diversification ->
+    one-seed-per-document dedup, exactly the seed-selection chain of
+    graphrag() (main.py:221-400).  Returns the diversified candidate
+    list with ranks, blended scores, and the seed flags — everything
+    the facts formatter consumes except the snippet text."""
+    import numpy as np
+    import pandas as pd
+
+    from neo4j_document_pipeline_ray.pipelines.graphrag import (
+        _filter_by_ids,
+        diversify_by_document,
+        doc_titles_for_nodes,
+        embed_question,
+        first_doc_for_nodes,
+        hybrid_candidates,
+        mmr_select,
+        one_seed_per_document,
+    )
+
+    kg = _kg(sf_dir)
+    qvec = embed_question(_QUESTION)
+    cands = hybrid_candidates(kg["nodes"], _QUESTION, qvec,
+                              k_vec=12, k_kw=12,
+                              alpha_vec=0.6, beta_kw=0.4)
+    ids = [c["entity_id"] for c in cands]
+    emb_rows = _filter_by_ids(kg["nodes"], ids, "entity_id") \
+        .select_columns(["entity_id", "embedding"]).take_all()
+    embs = {int(r["entity_id"]): np.asarray(r["embedding"],
+                                            dtype=np.float32)
+            for r in emb_rows}
+    sel = mmr_select(cands, embs, k=5)
+    sel_ids = [c["entity_id"] for c in sel]
+    titles = doc_titles_for_nodes(kg["mentions"], kg["docs"], sel_ids)
+    div = diversify_by_document(sel, titles, k=len(sel))
+    first_doc = first_doc_for_nodes(kg["mentions"],
+                                    [c["entity_id"] for c in div])
+    seeds = set(one_seed_per_document(div, first_doc))
+    return pd.DataFrame({
+        "rank": pd.Series(range(len(div)), dtype="int64"),
+        "entity_id": pd.Series([c["entity_id"] for c in div],
+                               dtype="int64"),
+        "label": [c["label"] for c in div],
+        "name": [c["name"] for c in div],
+        "score": pd.Series([c["score"] for c in div], dtype="float64"),
+        "is_seed": pd.Series(
+            [int(c["entity_id"] in seeds) for c in div], dtype="int64"),
+    })
+
+
 def _q_pages_lang_stats(sf_dir: str):
     """Language distribution + crawl-time range over the raw pages table
     (the curation pre-filter a web corpus runs before extraction; uses
@@ -3067,6 +3118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bm25_topk": _q_kg_bm25_topk,
         "kg_bm25_index_topk": _q_kg_bm25_index_topk,
         "kg_khop": _q_kg_khop,
+        "kg_graphrag_seeds": _q_kg_graphrag_seeds,
         "pages_lang_stats": _q_pages_lang_stats,
         "pages_section_stats": _q_pages_section_stats,
         "pages_url_dedup": _q_pages_url_dedup,
@@ -3337,6 +3389,204 @@ def _bm25_topk_sql(nname: str) -> str:
         WHERE score > 0
         ORDER BY score DESC, entity_id
         LIMIT 12
+    """
+
+
+def _vector_topk_sql(nname: str, k: int = 10) -> str:
+    """Oracle for the vector channel (cosine top-k of the question
+    vector against the truth-derived node embeddings — the exact
+    hash-embedder SQL twin), parameterized by k so the hybrid seed
+    oracle can reuse it at channel depth 12."""
+    return f"""
+        WITH m AS (
+            SELECT subject AS name, subject_type AS label
+            FROM read_parquet('{_TRUTH_001}')
+            UNION ALL
+            SELECT object, object_type FROM read_parquet('{_TRUTH_001}')
+        ), k AS (
+            SELECT name, label, {nname} AS norm_key FROM m
+        ), g AS (
+            SELECT norm_key, min(name || chr(31) || label) AS rep
+            FROM k GROUP BY norm_key
+        ), nodes_t AS (
+            SELECT {_eid_sql('norm_key')} AS entity_id,
+                   split_part(rep, chr(31), 2) AS label,
+                   split_part(rep, chr(31), 1) AS name
+            FROM g
+        ), emb AS (
+            SELECT entity_id, label, name,
+                   {_hash_emb_sql("(label || ':' || name)")} AS e
+            FROM nodes_t
+        ), scored AS (
+            SELECT entity_id, label, name,
+                   round(list_inner_product(e, {_qvec_sql()}) /
+                         (CASE WHEN sqrt(list_inner_product(e, e)) = 0
+                               THEN 1.0
+                               ELSE sqrt(list_inner_product(e, e))
+                          END), 6) AS score
+            FROM emb
+        )
+        SELECT entity_id, label, name, score FROM scored
+        ORDER BY score DESC, entity_id
+        LIMIT {k}
+    """
+
+
+def _graphrag_seeds_sql(nname: str, top_k: int = 5) -> str:
+    """Exact SQL twin of the /graphrag DECISION CORE — the part that
+    chooses what to retrieve: hybrid blend (per-channel max + min-max
+    normalize + renormalized 0.6/0.4 weights, graphutil.py:401-447),
+    MMR selection (lambda=0.7 greedy, graphutil.py:452-497; unrolled
+    k-1 steps — only the selected SET matters downstream, not pick
+    order), document round-robin diversification (graphutil.py:512-542
+    — expressible as ORDER BY (within-bucket rank, bucket rank)), and
+    one-seed-per-document dedup (main.py:316-333).  The snippet-bearing
+    facts formatting stays rows-only (source_text has no truth-side
+    replay); every numeric decision feeding it is checked here."""
+    lam, mu = 0.7, 0.3
+    steps = []
+    for h in range(1, top_k):
+        steps.append(f"""
+        simx{h} AS MATERIALIZED (
+            SELECT u1.entity_id AS cand,
+                   max(list_inner_product(u1.u, u2.u)) AS m
+            FROM uemb u1, sel{h - 1} s
+            JOIN uemb u2 ON u2.entity_id = s.entity_id
+            GROUP BY u1.entity_id
+        ), val{h} AS MATERIALIZED (
+            SELECT c.pos, c.entity_id,
+                   {lam!r} * c.score - {mu!r} * coalesce(x.m, 0.0)
+                       AS val
+            FROM cands c
+            LEFT JOIN simx{h} x ON x.cand = c.entity_id
+            WHERE c.pos NOT IN (SELECT pos FROM sel{h - 1})
+        ), pick{h} AS MATERIALIZED (
+            SELECT pos, entity_id FROM (
+                SELECT pos, entity_id, row_number() OVER (
+                    ORDER BY val DESC, pos) AS rn
+                FROM val{h}
+            ) WHERE rn = 1
+        ), sel{h} AS MATERIALIZED (
+            SELECT pos, entity_id FROM sel{h - 1}
+            UNION ALL SELECT pos, entity_id FROM pick{h}
+        )""")
+    return f"""
+        WITH vch AS MATERIALIZED (
+            SELECT * FROM ({_vector_topk_sql(nname, 12)})
+        ), kch AS MATERIALIZED (
+            SELECT * FROM ({_bm25_topk_sql(nname)})
+        ), both_ch AS (
+            SELECT coalesce(v.entity_id, b.entity_id) AS entity_id,
+                   coalesce(v.label, b.label) AS label,
+                   coalesce(v.name, b.name) AS name,
+                   coalesce(v.score, 0.0) AS vec,
+                   coalesce(b.score, 0.0) AS kw
+            FROM vch v FULL OUTER JOIN kch b ON v.entity_id = b.entity_id
+        ), mm AS (
+            SELECT min(vec) AS vlo, max(vec) AS vhi,
+                   min(kw) AS klo, max(kw) AS khi
+            FROM both_ch
+        ), blended AS (
+            SELECT entity_id, label, name,
+                   round(0.6 * (CASE WHEN vhi - vlo < 1e-12 THEN 0.5
+                                     ELSE (vec - vlo) / (vhi - vlo) END)
+                       + 0.4 * (CASE WHEN khi - klo < 1e-12 THEN 0.5
+                                     ELSE (kw - klo) / (khi - klo) END),
+                         6) AS score
+            FROM both_ch, mm
+        ), cands AS MATERIALIZED (
+            SELECT entity_id, label, name, score,
+                   row_number() OVER (ORDER BY score DESC, entity_id)
+                       AS pos
+            FROM blended
+        ), uemb AS MATERIALIZED (
+            SELECT c.entity_id,
+                   list_transform(e.e, x -> x /
+                       (CASE WHEN sqrt(list_inner_product(e.e, e.e)) = 0
+                             THEN 1.0
+                             ELSE sqrt(list_inner_product(e.e, e.e))
+                        END)) AS u
+            FROM cands c JOIN (
+                SELECT {_eid_sql('norm_key')} AS entity_id,
+                       {_hash_emb_sql(
+                           "(split_part(rep, chr(31), 2) || ':' || "
+                           "split_part(rep, chr(31), 1))")} AS e
+                FROM (
+                    SELECT norm_key,
+                           min(name || chr(31) || label) AS rep
+                    FROM (
+                        SELECT name, label, {nname} AS norm_key FROM (
+                            SELECT subject AS name,
+                                   subject_type AS label
+                            FROM read_parquet('{_TRUTH_001}')
+                            UNION ALL
+                            SELECT object, object_type
+                            FROM read_parquet('{_TRUTH_001}')
+                        )
+                    ) GROUP BY norm_key
+                )
+            ) e ON e.entity_id = c.entity_id
+        ), sel0 AS MATERIALIZED (
+            SELECT pos, entity_id FROM cands WHERE pos = 1
+        ),{",".join(steps)},
+        mmr AS (
+            SELECT c.entity_id, c.label, c.name, c.score
+            FROM cands c JOIN sel{top_k - 1} s ON s.pos = c.pos
+        ),
+        ment AS MATERIALIZED (
+            SELECT DISTINCT doc_id, {_eid_sql(nname)} AS entity_id
+            FROM (
+                SELECT sha256(p.text) AS doc_id, tr.subject AS name
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+                UNION ALL
+                SELECT sha256(p.text), tr.object
+                FROM read_parquet('{_TRUTH_001}') tr
+                JOIN read_parquet('{_PAGES_001}') p USING (url)
+            )
+        ), first_doc AS MATERIALIZED (
+            SELECT entity_id, min(doc_id) AS doc_id
+            FROM ment GROUP BY entity_id
+        ), titles_t AS MATERIALIZED (
+            SELECT sha256(text) AS doc_id,
+                   regexp_extract(min(url), '([^/]+)$', 1) AS title
+            FROM read_parquet('{_PAGES_001}')
+            GROUP BY sha256(text)
+        ), with_bucket AS (
+            SELECT m.*,
+                   coalesce(nullif(t.title, ''), '__NO_DOC__') AS bucket
+            FROM mmr m
+            LEFT JOIN first_doc f ON f.entity_id = m.entity_id
+            LEFT JOIN titles_t t ON t.doc_id = f.doc_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY score DESC, entity_id) AS rb,
+                   max(score) OVER (PARTITION BY bucket) AS bbest
+            FROM with_bucket
+        ), border AS (
+            SELECT bucket, dense_rank() OVER (
+                       ORDER BY bbest DESC, bucket) AS bo
+            FROM (SELECT DISTINCT bucket, bbest FROM ranked)
+        ), diversified AS (
+            SELECT r.entity_id, r.label, r.name, r.score,
+                   CAST(row_number() OVER (ORDER BY r.rb, b.bo) - 1
+                        AS BIGINT) AS rank
+            FROM ranked r JOIN border b ON b.bucket = r.bucket
+        ), seeded AS (
+            SELECT d.*,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY coalesce(
+                                nullif(f.doc_id, ''),
+                                CAST(d.entity_id AS VARCHAR))
+                            ORDER BY d.rank) = 1
+                        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+                   END AS is_seed
+            FROM diversified d
+            LEFT JOIN first_doc f ON f.entity_id = d.entity_id
+        )
+        SELECT rank, entity_id, label, name, score, is_seed
+        FROM seeded
     """
 
 
@@ -4866,6 +5116,7 @@ def oracle_sql() -> dict[str, str]:
         # the scan path, so it shares the same oracle
         "kg_bm25_index_topk": _bm25_topk_sql(nname),
         "kg_khop": _khop_sql(nsub, nobj),
+        "kg_graphrag_seeds": _graphrag_seeds_sql(nname),
         "kg_ego_nets": _ego_sql(nsub, nobj, _khop_seeds()),
         "kg_pagerank": _pagerank_sql(nsub, nobj),
         "kg_ppr": _ppr_sql(nsub, nobj),
@@ -5905,39 +6156,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT text_key, r.i AS i, e[r.i + 1] AS val
             FROM emb CROSS JOIN range({_EMB_DIM}) r(i)
         """,
-        "kg_vector_topk": f"""
-            WITH m AS (
-                SELECT subject AS name, subject_type AS label
-                FROM read_parquet('{_TRUTH_001}')
-                UNION ALL
-                SELECT object, object_type FROM read_parquet('{_TRUTH_001}')
-            ), k AS (
-                SELECT name, label, {nname} AS norm_key FROM m
-            ), g AS (
-                SELECT norm_key, min(name || chr(31) || label) AS rep
-                FROM k GROUP BY norm_key
-            ), nodes_t AS (
-                SELECT {_eid_sql('norm_key')} AS entity_id,
-                       split_part(rep, chr(31), 2) AS label,
-                       split_part(rep, chr(31), 1) AS name
-                FROM g
-            ), emb AS (
-                SELECT entity_id, label, name,
-                       {_hash_emb_sql("(label || ':' || name)")} AS e
-                FROM nodes_t
-            ), scored AS (
-                SELECT entity_id, label, name,
-                       round(list_inner_product(e, {_qvec_sql()}) /
-                             (CASE WHEN sqrt(list_inner_product(e, e)) = 0
-                                   THEN 1.0
-                                   ELSE sqrt(list_inner_product(e, e))
-                              END), 6) AS score
-                FROM emb
-            )
-            SELECT entity_id, label, name, score FROM scored
-            ORDER BY score DESC, entity_id
-            LIMIT 10
-        """,
+        "kg_vector_topk": _vector_topk_sql(nname, 10),
         # kg_vector_index_topk: the probed-bucket restriction is itself
         # deterministic (hyperplane signs over the exact hash-embedding
         # twin + a query bucket set that is a pure function of the
