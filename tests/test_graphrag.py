@@ -557,3 +557,36 @@ class TestGraphRAGBatchServing:
         }))
         with _pytest.raises(ValueError):
             graphrag_serve_batch(tables, qds, max_bytes=1024)
+
+
+class TestGraphragSeeds:
+    """The oracle-checked /graphrag decision core (kg_graphrag_seeds):
+    structural invariants beyond the SQL hash gate."""
+
+    def test_seed_chain_invariants(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entrymod
+
+        df = entrymod.queries()["kg_graphrag_seeds"](
+            "/root/testdata/sf0.001")
+        assert list(df.columns) == [
+            "rank", "entity_id", "label", "name", "score", "is_seed"]
+        assert len(df) == 5  # MMR k
+        assert list(df["rank"]) == list(range(5))
+        assert df["entity_id"].is_unique
+        assert df["is_seed"].isin([0, 1]).all()
+        assert df["is_seed"].sum() >= 1
+        # the decision core must agree with the full graphrag() flow:
+        # its seeds are exactly the rows flagged is_seed
+        from neo4j_document_pipeline_ray.pipelines.graphrag import graphrag
+
+        res = graphrag(entrymod._kg("/root/testdata/sf0.001"),
+                       entrymod._QUESTION, top_k=5, hops=2)
+        assert sorted(res["seeds"]) == sorted(
+            df.loc[df["is_seed"] == 1, "entity_id"])
+        # deterministic across runs
+        df2 = entrymod.queries()["kg_graphrag_seeds"](
+            "/root/testdata/sf0.001")
+        assert df.equals(df2)
