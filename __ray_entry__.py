@@ -2728,6 +2728,17 @@ def _q_kg_graphrag_seeds(sf_dir: str):
     })
 
 
+def _q_docs_train_shards(sf_dir: str):
+    """Deterministic seeded shuffle of the corpus into training shards
+    (shard, pos) — the reproducible write layout a training-data
+    export streams into; reshuffle = seed bump, no global sort."""
+    from neo4j_document_pipeline_ray.extras.sampling import (
+        docs_train_shards,
+    )
+
+    return docs_train_shards(sf_dir)
+
+
 def _q_pages_lang_stats(sf_dir: str):
     """Language distribution + crawl-time range over the raw pages table
     (the curation pre-filter a web corpus runs before extraction; uses
@@ -3119,6 +3130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bm25_index_topk": _q_kg_bm25_index_topk,
         "kg_khop": _q_kg_khop,
         "kg_graphrag_seeds": _q_kg_graphrag_seeds,
+        "docs_train_shards": _q_docs_train_shards,
         "pages_lang_stats": _q_pages_lang_stats,
         "pages_section_stats": _q_pages_section_stats,
         "pages_url_dedup": _q_pages_url_dedup,
@@ -5117,6 +5129,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_bm25_index_topk": _bm25_topk_sql(nname),
         "kg_khop": _khop_sql(nsub, nobj),
         "kg_graphrag_seeds": _graphrag_seeds_sql(nname),
+        "docs_train_shards": __import__(
+            "neo4j_document_pipeline_ray.extras.sampling",
+            fromlist=["docs_train_shards_sql"]).docs_train_shards_sql(),
         "kg_ego_nets": _ego_sql(nsub, nobj, _khop_seeds()),
         "kg_pagerank": _pagerank_sql(nsub, nobj),
         "kg_ppr": _ppr_sql(nsub, nobj),

@@ -293,3 +293,72 @@ def docs_split_sql(train_pct: int = 80, val_pct: int = 10) -> str:
           FROM documents)
     GROUP BY 1, 2
     """
+
+
+def train_shards(
+    docs: "ray.data.Dataset",
+    n_shards: int = 8,
+    seed: int = 42,
+    num_partitions: "int | None" = None,
+) -> "ray.data.Dataset":
+    """Deterministic global shuffle into training shards — the write
+    layout a training-data export needs: every document gets a
+    ``(shard, pos)`` slot from a seeded hash, so readers stream shard
+    files in ``pos`` order and see a reproducible pseudo-random
+    document order with no global sort and no RNG state.
+
+    ``h = ((doc_id + seed) * K) mod 2^32`` (the module's Knuth mix,
+    trivially SQL-mirrored); ``shard = h mod n_shards``; ``pos`` =
+    rank of ``(h, doc_id)`` within the shard.  Reshuffling is a seed
+    bump.  Scale contract: one shard's keys must fit a reducer (the
+    same bound as the shard FILE a writer would emit) — size
+    ``n_shards`` to the corpus, e.g. 100 TB / 4096 shards.  Returns
+    ``(doc_id, shard, pos)``.
+    """
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids + np.uint64(seed)) * np.uint64(_KNUTH)) \
+            % np.uint64(1 << 32)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64),
+                              pa.int64()),
+            "h": pa.array(h.astype(np.int64), pa.int64()),
+        })
+
+    def rank(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["shard", "h", "doc_id"], kind="mergesort")
+        df["pos"] = df.groupby("shard", sort=False).cumcount()
+        return df[["doc_id", "shard", "pos"]].astype(
+            {"doc_id": "int64", "shard": "int64", "pos": "int64"})
+
+    return partitioned_group_map(
+        docs.select_columns(["doc_id"]).map_batches(
+            key, batch_format="pyarrow"),
+        "shard", rank, num_partitions=num_partitions)
+
+
+def docs_train_shards(sf_dir: str, n_shards: int = 8,
+                      seed: int = 42) -> "ray.data.Dataset":
+    return train_shards(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"]),
+        n_shards=n_shards, seed=seed)
+
+
+def docs_train_shards_sql(n_shards: int = 8, seed: int = 42) -> str:
+    """DuckDB mirror of :func:`train_shards` (same seeded Knuth mix)."""
+    return f"""
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+               AS pos
+    FROM (
+        SELECT doc_id,
+               ((doc_id + {seed}) * {_KNUTH}) % 4294967296 AS h,
+               (((doc_id + {seed}) * {_KNUTH}) % 4294967296)
+                   % {n_shards} AS shard
+        FROM documents
+    )
+    """

@@ -347,3 +347,30 @@ class TestTableProfile:
 
         pd.testing.assert_frame_equal(
             got[want.columns.tolist()], want, check_dtype=False)
+
+
+class TestTrainShards:
+    def test_deterministic_cover_and_seed_bump(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from neo4j_document_pipeline_ray.extras.sampling import (
+            train_shards,
+        )
+
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(100)), pa.int64())}))
+        a = train_shards(docs, n_shards=4, seed=1).to_pandas()
+        # every doc exactly once; positions contiguous per shard
+        assert sorted(a["doc_id"]) == list(range(100))
+        for s, grp in a.groupby("shard"):
+            assert sorted(grp["pos"]) == list(range(len(grp)))
+        # reproducible
+        b = train_shards(docs, n_shards=4, seed=1).to_pandas()
+        key = ["doc_id", "shard", "pos"]
+        assert a.sort_values(key).reset_index(drop=True).equals(
+            b.sort_values(key).reset_index(drop=True))
+        # a seed bump reshuffles
+        c = train_shards(docs, n_shards=4, seed=2).to_pandas()
+        merged = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+        assert (merged["shard_a"] != merged["shard_c"]).any()
